@@ -1,0 +1,64 @@
+import os
+
+from qpp_fusion_rag_tpu.config import Config, config, detect_dataset
+
+
+def test_defaults_load():
+    assert config.qpp.n_methods == 13
+    assert list(config.qpp.methods)[:3] == ["nqc", "smv", "wig"]
+    assert config.qpp.default_index == 5
+    assert config.fusion.rrf_k == 60
+    assert config.tpu.dense.chunk_docs > 0
+
+
+def test_env_expansion(tmp_path, monkeypatch):
+    p = tmp_path / "c.yaml"
+    p.write_text("a: '${MY_TEST_VAR:fallback}'\nb: '${MY_TEST_VAR2}'\nroot: '${PROJECT_ROOT}/x'\n")
+    monkeypatch.delenv("MY_TEST_VAR", raising=False)
+    c = Config.load(p)
+    assert c.a == "fallback"
+    assert c.b == "${MY_TEST_VAR2}"  # unresolved, no default
+    assert c.root.endswith("/x") and "${" not in c.root
+
+    monkeypatch.setenv("MY_TEST_VAR", "live")
+    c = Config.load(p)
+    assert c.a == "live"
+
+
+def test_nested_default_expansion(tmp_path, monkeypatch):
+    p = tmp_path / "c.yaml"
+    p.write_text("a: '${OUTER_X:${PROJECT_ROOT}/inner}'\n")
+    monkeypatch.delenv("OUTER_X", raising=False)
+    c = Config.load(p)
+    assert c.a.endswith("/inner") and "${" not in c.a
+
+
+def test_qpp_index_resolution():
+    assert config.get_qpp_index("RSD") == 5
+    assert config.get_qpp_index("BERTQPP") == 12
+    assert config.get_qpp_index("fusion") == -1
+    try:
+        config.get_qpp_index("nope")
+        assert False
+    except KeyError:
+        pass
+
+
+def test_readonly():
+    try:
+        config.qpp.n_methods = 5  # type: ignore[misc]
+        assert False
+    except AttributeError:
+        pass
+
+
+def test_detect_dataset():
+    assert detect_dataset("/data/nq/runs") == "nq"
+    assert detect_dataset("/x/BEIR-scifact/corpus.jsonl") == "scifact"
+    assert detect_dataset("/tmp/other") is None
+
+
+def test_overrides():
+    c = Config.load(overrides={"qpp": {"default_index": 3}})
+    assert c.qpp.default_index == 3
+    assert c.qpp.n_methods == 13
