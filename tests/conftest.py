@@ -7,11 +7,20 @@ Must run before anything imports jax, hence module-level in conftest.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU regardless of ambient JAX_PLATFORMS (e.g. a real-TPU tunnel):
+# tests must be fast, deterministic (f32 matmuls), and exercise an 8-device mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+# jax may already be imported by the interpreter's sitecustomize (with a
+# hardware backend registered); env vars alone are then too late. The config
+# override below is honored as long as no backend has been initialized yet.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
