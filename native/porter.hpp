@@ -1,0 +1,228 @@
+// Porter stemming algorithm (M.F. Porter, 1980) — self-contained C++
+// implementation written from the published algorithm description.
+// Used by the sparse-index tokenizer to approximate Terrier's default
+// PorterStemmer pipeline (reference retrievers use Terrier BM25 via
+// PyTerrier, src/retrievers/bm25.py:29-52).
+#pragma once
+
+#include <string>
+
+namespace porter {
+
+class Stemmer {
+  std::string b;
+  int k = 0, j = 0;  // b[0..k] is the word; j is general offset
+
+  bool cons(int i) const {
+    switch (b[i]) {
+      case 'a': case 'e': case 'i': case 'o': case 'u': return false;
+      case 'y': return (i == 0) ? true : !cons(i - 1);
+      default: return true;
+    }
+  }
+
+  // m() measures the number of consonant sequences in b[0..j]
+  int m() const {
+    int n = 0, i = 0;
+    while (true) {
+      if (i > j) return n;
+      if (!cons(i)) break;
+      i++;
+    }
+    i++;
+    while (true) {
+      while (true) {
+        if (i > j) return n;
+        if (cons(i)) break;
+        i++;
+      }
+      i++;
+      n++;
+      while (true) {
+        if (i > j) return n;
+        if (!cons(i)) break;
+        i++;
+      }
+      i++;
+    }
+  }
+
+  bool vowelinstem() const {
+    for (int i = 0; i <= j; i++)
+      if (!cons(i)) return true;
+    return false;
+  }
+
+  bool doublec(int jj) const {
+    if (jj < 1) return false;
+    if (b[jj] != b[jj - 1]) return false;
+    return cons(jj);
+  }
+
+  // cvc(i) is true <=> b[i-2..i] is consonant-vowel-consonant and the second
+  // consonant is not w, x or y.
+  bool cvc(int i) const {
+    if (i < 2 || !cons(i) || cons(i - 1) || !cons(i - 2)) return false;
+    char ch = b[i];
+    return ch != 'w' && ch != 'x' && ch != 'y';
+  }
+
+  bool ends(const char* s) {
+    int len = (int)std::char_traits<char>::length(s);
+    if (len > k + 1) return false;
+    if (b.compare(k - len + 1, len, s) != 0) return false;
+    j = k - len;
+    return true;
+  }
+
+  void setto(const char* s) {
+    int len = (int)std::char_traits<char>::length(s);
+    b.replace(j + 1, k - j, s, len);
+    k = j + len;
+  }
+
+  void r(const char* s) {
+    if (m() > 0) setto(s);
+  }
+
+  // step1ab: plurals and -ed / -ing
+  void step1ab() {
+    if (b[k] == 's') {
+      if (ends("sses")) k -= 2;
+      else if (ends("ies")) setto("i");
+      else if (b[k - 1] != 's') k--;
+    }
+    if (ends("eed")) {
+      if (m() > 0) k--;
+    } else if ((ends("ed") || ends("ing")) && vowelinstem()) {
+      k = j;
+      if (ends("at")) setto("ate");
+      else if (ends("bl")) setto("ble");
+      else if (ends("iz")) setto("ize");
+      else if (doublec(k)) {
+        k--;
+        char ch = b[k];
+        if (ch == 'l' || ch == 's' || ch == 'z') k++;
+      } else if (m() == 1 && cvc(k)) setto("e");
+    }
+  }
+
+  void step1c() {
+    if (ends("y") && vowelinstem()) b[k] = 'i';
+  }
+
+  void step2() {
+    switch (b[k - 1]) {
+      case 'a':
+        if (ends("ational")) { r("ate"); break; }
+        if (ends("tional")) { r("tion"); break; }
+        break;
+      case 'c':
+        if (ends("enci")) { r("ence"); break; }
+        if (ends("anci")) { r("ance"); break; }
+        break;
+      case 'e':
+        if (ends("izer")) { r("ize"); break; }
+        break;
+      case 'l':
+        if (ends("bli")) { r("ble"); break; }
+        if (ends("alli")) { r("al"); break; }
+        if (ends("entli")) { r("ent"); break; }
+        if (ends("eli")) { r("e"); break; }
+        if (ends("ousli")) { r("ous"); break; }
+        break;
+      case 'o':
+        if (ends("ization")) { r("ize"); break; }
+        if (ends("ation")) { r("ate"); break; }
+        if (ends("ator")) { r("ate"); break; }
+        break;
+      case 's':
+        if (ends("alism")) { r("al"); break; }
+        if (ends("iveness")) { r("ive"); break; }
+        if (ends("fulness")) { r("ful"); break; }
+        if (ends("ousness")) { r("ous"); break; }
+        break;
+      case 't':
+        if (ends("aliti")) { r("al"); break; }
+        if (ends("iviti")) { r("ive"); break; }
+        if (ends("biliti")) { r("ble"); break; }
+        break;
+      case 'g':
+        if (ends("logi")) { r("log"); break; }
+        break;
+    }
+  }
+
+  void step3() {
+    switch (b[k]) {
+      case 'e':
+        if (ends("icate")) { r("ic"); break; }
+        if (ends("ative")) { r(""); break; }
+        if (ends("alize")) { r("al"); break; }
+        break;
+      case 'i':
+        if (ends("iciti")) { r("ic"); break; }
+        break;
+      case 'l':
+        if (ends("ical")) { r("ic"); break; }
+        if (ends("ful")) { r(""); break; }
+        break;
+      case 's':
+        if (ends("ness")) { r(""); break; }
+        break;
+    }
+  }
+
+  void step4() {
+    switch (b[k - 1]) {
+      case 'a': if (ends("al")) break; return;
+      case 'c': if (ends("ance")) break; if (ends("ence")) break; return;
+      case 'e': if (ends("er")) break; return;
+      case 'i': if (ends("ic")) break; return;
+      case 'l': if (ends("able")) break; if (ends("ible")) break; return;
+      case 'n':
+        if (ends("ant")) break;
+        if (ends("ement")) break;
+        if (ends("ment")) break;
+        if (ends("ent")) break;
+        return;
+      case 'o':
+        if (ends("ion") && j >= 0 && (b[j] == 's' || b[j] == 't')) break;
+        if (ends("ou")) break;
+        return;
+      case 's': if (ends("ism")) break; return;
+      case 't': if (ends("ate")) break; if (ends("iti")) break; return;
+      case 'u': if (ends("ous")) break; return;
+      case 'v': if (ends("ive")) break; return;
+      case 'z': if (ends("ize")) break; return;
+      default: return;
+    }
+    if (m() > 1) k = j;
+  }
+
+  void step5() {
+    j = k;
+    if (b[k] == 'e') {
+      int a = m();
+      if (a > 1 || (a == 1 && !cvc(k - 1))) k--;
+    }
+    if (b[k] == 'l' && doublec(k) && m() > 1) k--;
+  }
+
+ public:
+  std::string stem(const std::string& word) {
+    if (word.size() <= 2) return word;
+    b = word;
+    k = (int)b.size() - 1;
+    j = k;
+    step1ab();
+    step1c();
+    step2();
+    step3();
+    step4();
+    step5();
+    return b.substr(0, k + 1);
+  }
+};
+
+}  // namespace porter

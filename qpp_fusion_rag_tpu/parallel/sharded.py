@@ -43,11 +43,12 @@ def sharded_dense_topk(
     mesh: Mesh,
     k: int = 100,
     chunk: int = 8192,
+    exact: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Exact distributed top-k -> (scores [B, k], global ids [B, k])."""
+    """Distributed top-k -> (scores [B, k], global ids [B, k])."""
 
     def local(q, c):
-        vals, ids = dense.dense_topk(q, c, k=k, chunk=min(chunk, c.shape[0]))
+        vals, ids = dense.dense_topk(q, c, k=k, chunk=min(chunk, c.shape[0]), exact=exact)
         shard = jax.lax.axis_index(CORPUS_AXIS).astype(jnp.int32)
         ids = jnp.where(ids >= 0, ids + shard * c.shape[0], -1)
         return _merge_over_corpus(vals, ids, k)
@@ -69,11 +70,12 @@ def sharded_multi_view_topk(
     mesh: Mesh,
     k: int = 100,
     chunk: int = 8192,
+    exact: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Distributed R-view retrieval -> (scores [R, B, k], ids [R, B, k])."""
 
     def local(q, proj, c):
-        vals, ids = dense.multi_view_topk(q, proj, c, k=k, chunk=min(chunk, c.shape[0]))
+        vals, ids = dense.multi_view_topk(q, proj, c, k=k, chunk=min(chunk, c.shape[0]), exact=exact)
         shard = jax.lax.axis_index(CORPUS_AXIS).astype(jnp.int32)
         ids = jnp.where(ids >= 0, ids + shard * c.shape[0], -1)
         return _merge_over_corpus(vals, ids, k)

@@ -24,7 +24,7 @@ def qc(rng=np.random.default_rng(7)):
 
 def test_dense_topk_matches_naive(qc):
     q, c = qc
-    vals, ids = dense.dense_topk(jnp.asarray(q), jnp.asarray(c), k=10, chunk=128)
+    vals, ids = dense.dense_topk(jnp.asarray(q), jnp.asarray(c), k=10, chunk=128, exact=True)
     ref_vals, ref_ids = naive_topk(q, c, 10)
     np.testing.assert_allclose(np.asarray(vals), ref_vals, rtol=1e-5)
     # ids may differ on exact ties; verify scores at returned ids instead
@@ -35,7 +35,7 @@ def test_dense_topk_matches_naive(qc):
 def test_dense_topk_k_exceeds_n():
     q = jnp.ones((2, 8), jnp.float32)
     c = jnp.ones((5, 8), jnp.float32)
-    vals, ids = dense.dense_topk(q, c, k=10, chunk=4)
+    vals, ids = dense.dense_topk(q, c, k=10, chunk=4, exact=True)
     assert np.all(np.asarray(ids)[:, 5:] == -1)
     assert np.all(np.isneginf(np.asarray(vals)[:, 5:]))
     assert np.all(np.asarray(ids)[:, :5] >= 0)
@@ -45,7 +45,7 @@ def test_multi_view_topk(qc):
     q, c = qc
     rng = np.random.default_rng(3)
     proj = rng.standard_normal((3, 32, 32)).astype(np.float32) * 0.2
-    vals, ids = dense.multi_view_topk(jnp.asarray(q), jnp.asarray(proj), jnp.asarray(c), k=7, chunk=256)
+    vals, ids = dense.multi_view_topk(jnp.asarray(q), jnp.asarray(proj), jnp.asarray(c), k=7, chunk=256, exact=True)
     assert vals.shape == (3, 6, 7)
     for r in range(3):
         ref_vals, _ = naive_topk(q @ proj[r], c, 7)
@@ -71,7 +71,7 @@ def test_sharded_dense_topk_matches_local(cpu_mesh, qc):
 
     q, c = qc
     c = c[:1000 - (1000 % 4)]  # divisible by 4 corpus shards
-    vals, ids = sharded_dense_topk(jnp.asarray(q), jnp.asarray(c), cpu_mesh, k=10, chunk=64)
+    vals, ids = sharded_dense_topk(jnp.asarray(q), jnp.asarray(c), cpu_mesh, k=10, chunk=64, exact=True)
     ref_vals, _ = naive_topk(q, c, 10)
     np.testing.assert_allclose(np.asarray(vals), ref_vals, rtol=1e-5)
     got = np.take_along_axis(q @ c.T, np.asarray(ids), axis=-1)
@@ -86,9 +86,19 @@ def test_sharded_multi_view_topk(cpu_mesh, qc):
     rng = np.random.default_rng(5)
     proj = rng.standard_normal((2, 32, 32)).astype(np.float32) * 0.3
     vals, ids = sharded_multi_view_topk(
-        jnp.asarray(q), jnp.asarray(proj), jnp.asarray(c), cpu_mesh, k=5, chunk=100
+        jnp.asarray(q), jnp.asarray(proj), jnp.asarray(c), cpu_mesh, k=5, chunk=100, exact=True
     )
     assert vals.shape == (2, 6, 5)
     for r in range(2):
         ref_vals, _ = naive_topk(q @ proj[r], c, 5)
         np.testing.assert_allclose(np.asarray(vals[r]), ref_vals, rtol=1e-4, atol=1e-4)
+
+
+def test_approx_topk_recall(qc):
+    """Default (approx) path must keep high recall vs exact."""
+    q, c = qc
+    ev, ei = dense.dense_topk(jnp.asarray(q), jnp.asarray(c), k=20, chunk=250, exact=True)
+    av, ai = dense.dense_topk(jnp.asarray(q), jnp.asarray(c), k=20, chunk=250, exact=False)
+    ei, ai = np.asarray(ei), np.asarray(ai)
+    rec = np.mean([len(set(ei[i]) & set(ai[i])) / 20 for i in range(len(ei))])
+    assert rec >= 0.9, rec

@@ -1,0 +1,100 @@
+"""Flagship pipeline: fused retrieval step, distributed training, graft entry."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def _inputs(B=8, D=32, N=512, R=3, seed=0):
+    rng = np.random.default_rng(seed)
+    q = rng.standard_normal((B, D)).astype(np.float32)
+    proj = (rng.standard_normal((R, D, D)) * 0.2).astype(np.float32)
+    proj[0] = np.eye(D)
+    c = rng.standard_normal((N, D)).astype(np.float32)
+    tf = np.tile(np.array([4.0, 4.0, 8.0, 5.0], np.float32), (B, 1))
+    return q, proj, c, tf
+
+
+def test_fused_retrieval_step_shapes():
+    from qpp_fusion_rag_tpu.pipeline.engine import fused_retrieval_step
+
+    q, proj, c, tf = _inputs()
+    ids, scores, qpp = fused_retrieval_step(
+        jnp.asarray(q), jnp.asarray(proj), jnp.asarray(c), jnp.asarray(tf),
+        k=20, chunk=128, k_out=15,
+    )
+    assert ids.shape == (8, 15) and scores.shape == (8, 15)
+    assert qpp.shape == (3, 8, 13)
+    s = np.asarray(scores)
+    assert np.all(np.diff(s, axis=-1) <= 1e-6)  # fused scores sorted desc
+    assert np.all(np.asarray(ids)[:, 0] >= 0)
+    assert np.isfinite(np.asarray(qpp)).all()
+
+
+def test_distributed_forward_matches_single(cpu_mesh):
+    from qpp_fusion_rag_tpu.pipeline.distributed import make_distributed_forward
+    from qpp_fusion_rag_tpu.pipeline.engine import fused_retrieval_step
+
+    q, proj, c, tf = _inputs(B=8, N=512)
+    fwd = make_distributed_forward(cpu_mesh, k=20, chunk=64, k_out=15)
+    d_ids, d_scores, d_qpp = fwd(jnp.asarray(q), jnp.asarray(proj), jnp.asarray(c), jnp.asarray(tf))
+    s_ids, s_scores, s_qpp = fused_retrieval_step(
+        jnp.asarray(q), jnp.asarray(proj), jnp.asarray(c), jnp.asarray(tf),
+        k=20, chunk=64, k_out=15,
+    )
+    np.testing.assert_allclose(np.asarray(d_scores), np.asarray(s_scores), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d_qpp), np.asarray(s_qpp), rtol=1e-4, atol=1e-5)
+
+
+def test_distributed_train_step_reduces_loss(cpu_mesh):
+    import optax
+
+    from qpp_fusion_rag_tpu.pipeline.distributed import (
+        make_distributed_train_step,
+        shard_inputs,
+    )
+    from qpp_fusion_rag_tpu.pipeline.engine import make_train_state
+
+    R = 3
+    q, proj, c, tf = _inputs(B=16, N=512, R=R)
+    rng = np.random.default_rng(1)
+    t_raw = rng.uniform(0.1, 1.0, (16, R)).astype(np.float32)
+    targets = t_raw / t_raw.sum(axis=1, keepdims=True)
+
+    state, opt = make_train_state(
+        jax.random.PRNGKey(0), n_retrievers=R, n_qpp_features=R * 13,
+        learning_rate=3e-3,
+    )
+    step = make_distributed_train_step(cpu_mesh, opt, k=20, chunk=64)
+    args = shard_inputs(cpu_mesh, q, targets, proj, c, tf)
+    losses = []
+    for _ in range(30):
+        state, loss = step(state, *args)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] - 0.01, losses[:3] + losses[-3:]
+
+
+def test_graft_entry_single_chip():
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    ids, scores, qpp = out
+    assert np.asarray(ids).shape[0] == args[0].shape[0]
+
+
+def test_graft_entry_multichip():
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
