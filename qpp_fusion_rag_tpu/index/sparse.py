@@ -1,0 +1,185 @@
+"""Sparse index: host build (native C++), device search (ops.sparse).
+
+Index layer replacement for the reference's Terrier inverted index
+(scripts/01_index.py:36-72) and Pyserini impact index (splade.py:75-78):
+one artifact format serves both BM25 (weights computed at finalize) and
+learned-impact (SPLADE-style, weights supplied by an encoder) retrieval.
+
+On-disk layout (directory):
+    sparse.npz   offsets/docs/weights/doc_lens arrays + params
+    vocab.txt    terms, one per line, id order
+    docnos.txt   external doc ids, one per line, row order
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from qpp_fusion_rag_tpu.config import config
+from qpp_fusion_rag_tpu.index.native import NativeIndexBuilder
+
+
+class SparseIndex:
+    """Immutable CSR impact-list index + query tokenization."""
+
+    def __init__(
+        self,
+        offsets: np.ndarray,      # int32/int64 [T+1]
+        docs: np.ndarray,         # int32 [P]
+        weights: np.ndarray,      # f32 [P]
+        doc_lens: np.ndarray,     # int32 [N]
+        docnos: List[str],
+        vocab_dump: str,
+        params: Optional[Dict] = None,
+    ):
+        self.offsets = np.asarray(offsets, dtype=np.int32)
+        self.docs = np.asarray(docs, dtype=np.int32)
+        self.weights = np.asarray(weights, dtype=np.float32)
+        self.doc_lens = np.asarray(doc_lens, dtype=np.int32)
+        self.docnos = list(docnos)
+        self.vocab_dump = vocab_dump
+        self.params = params or {}
+        self._tok: Optional[NativeIndexBuilder] = None
+        self._device = None
+
+    # -- properties ----------------------------------------------------
+    @property
+    def num_docs(self) -> int:
+        return len(self.docnos)
+
+    @property
+    def num_terms(self) -> int:
+        return len(self.offsets) - 1
+
+    @property
+    def num_postings(self) -> int:
+        return len(self.docs)
+
+    @property
+    def max_df(self) -> int:
+        return int(np.max(np.diff(self.offsets))) if self.num_terms else 0
+
+    # -- build ---------------------------------------------------------
+    @classmethod
+    def build_bm25(
+        cls,
+        corpus: Iterable[Tuple[str, str]],   # (docno, text)
+        k1: Optional[float] = None,
+        b: Optional[float] = None,
+        batch_size: int = 4096,
+    ) -> "SparseIndex":
+        """Build a BM25 impact index (BEIR params k1=0.9 b=0.4 by default,
+        reference src/retrievers/bm25.py:20-26)."""
+        k1 = k1 if k1 is not None else float(config.tpu.sparse.bm25_k1)
+        b = b if b is not None else float(config.tpu.sparse.bm25_b)
+        builder = NativeIndexBuilder(k1=k1, b=b)
+        docnos: List[str] = []
+        batch: List[str] = []
+        for docno, text in corpus:
+            docnos.append(docno)
+            batch.append(text)
+            if len(batch) >= batch_size:
+                builder.add_docs(batch)
+                batch = []
+        if batch:
+            builder.add_docs(batch)
+        builder.finalize(bm25_weights=True)
+        offsets, docs, weights, doc_lens = builder.export()
+        idx = cls(
+            offsets, docs, weights, doc_lens, docnos, builder.vocab_dump(),
+            params={"kind": "bm25", "k1": k1, "b": b},
+        )
+        idx._tok = builder  # reuse live vocab for query tokenization
+        return idx
+
+    # -- persistence ---------------------------------------------------
+    def save(self, path) -> None:
+        path = Path(path)
+        path.mkdir(parents=True, exist_ok=True)
+        np.savez_compressed(
+            path / "sparse.npz",
+            offsets=self.offsets, docs=self.docs,
+            weights=self.weights, doc_lens=self.doc_lens,
+        )
+        (path / "vocab.txt").write_text(self.vocab_dump)
+        (path / "docnos.txt").write_text("\n".join(self.docnos) + "\n")
+        (path / "params.json").write_text(json.dumps(self.params))
+
+    @classmethod
+    def load(cls, path) -> "SparseIndex":
+        path = Path(path)
+        arrs = np.load(path / "sparse.npz")
+        params = json.loads((path / "params.json").read_text())
+        return cls(
+            arrs["offsets"], arrs["docs"], arrs["weights"], arrs["doc_lens"],
+            (path / "docnos.txt").read_text().splitlines(),
+            (path / "vocab.txt").read_text(),
+            params=params,
+        )
+
+    # -- query path ----------------------------------------------------
+    def _tokenizer(self) -> NativeIndexBuilder:
+        if self._tok is None:
+            tok = NativeIndexBuilder(
+                k1=self.params.get("k1", 0.9), b=self.params.get("b", 0.4)
+            )
+            tok.vocab_load(self.vocab_dump)
+            self._tok = tok
+        return self._tok
+
+    def encode_queries(
+        self, texts: Sequence[str], max_terms: Optional[int] = None
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """-> (term_ids [B, Tq] int32 -1-padded, weights [B, Tq] f32 qtf)."""
+        max_terms = max_terms or int(config.tpu.sparse.max_query_terms)
+        tok = self._tokenizer()
+        B = len(texts)
+        ids = np.full((B, max_terms), -1, dtype=np.int32)
+        wts = np.zeros((B, max_terms), dtype=np.float32)
+        for i, text in enumerate(texts):
+            tids, counts = tok.query_terms(text, max_terms)
+            ids[i, : len(tids)] = tids
+            wts[i, : len(tids)] = counts
+        return ids, wts
+
+    def _device_arrays(self):
+        import jax.numpy as jnp
+
+        if self._device is None:
+            self._device = (
+                jnp.asarray(self.docs),
+                jnp.asarray(self.weights),
+                jnp.asarray(self.offsets),
+            )
+        return self._device
+
+    def search(
+        self,
+        queries: Sequence[str],
+        k: int = 100,
+        p_cap: Optional[int] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Batch search -> (scores [B, k], doc row indices [B, k], -1 pad).
+
+        p_cap defaults to covering the largest posting list (exact scoring);
+        cap it for impact-ordered pruning on large corpora.
+        """
+        q_terms, q_weights = self.encode_queries(queries)
+        flat_docs, flat_weights, offsets = self._device_arrays()
+        from qpp_fusion_rag_tpu.ops.sparse import sparse_score_topk
+
+        if p_cap is None:
+            p_cap = int(self.params.get("p_cap", 0)) or self.max_df
+        p_cap = max(min(p_cap, self.max_df), 1)
+        scores, ids = sparse_score_topk(
+            flat_docs, flat_weights, offsets,
+            q_terms, q_weights, k=k, p_cap=p_cap,
+        )
+        return np.asarray(scores), np.asarray(ids)
+
+    def docno(self, row: int) -> str:
+        return self.docnos[row]

@@ -1,0 +1,101 @@
+"""Sparse (BM25 / learned-impact) scoring on device.
+
+Replaces JVM postings traversal (Terrier BM25 via PyTerrier, reference
+src/retrievers/bm25.py:29-52; Lucene impact search via Pyserini,
+src/retrievers/splade.py:75-80) with a TPU formulation over the CSR
+impact lists built by the native indexer (native/sparse_index.cpp):
+
+  1. each query term gathers a fixed-size window of its impact-ordered
+     postings (top-`p_cap` by impact — terms with df <= p_cap are exact;
+     longer lists are impact-pruned, the standard quantized-impact
+     approximation),
+  2. candidate (doc, weight·query_weight) pairs flatten per query,
+  3. duplicates (docs hit by several terms) reduce with a sort +
+     prefix-scan segmented sum,
+  4. `top_k` returns the fused candidate ranking.
+
+Everything is static-shaped: queries pad to `max_terms` (-1), windows mask
+beyond the true posting length.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+SENTINEL = jnp.int32(2**31 - 1)
+
+
+def segmented_topk(
+    ids: jnp.ndarray,    # [M] int32 doc ids (SENTINEL = invalid)
+    vals: jnp.ndarray,   # [M] f32 contributions (0 for invalid)
+    k: int,
+    count_bonus: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Sum contributions per unique id -> top-k (ids, sums, counts).
+
+    The shared segmented-aggregation primitive behind both fusion
+    (ops.fusion) and sparse scoring: sort by id, reduce duplicate runs with
+    a prefix-scan segment sum, then top-k over the reduced table.
+    """
+    M = ids.shape[0]
+    order = jnp.argsort(ids)
+    sids = ids[order]
+    svals = vals[order]
+    svalid = sids != SENTINEL
+
+    first = jnp.concatenate([jnp.ones((1,), bool), sids[1:] != sids[:-1]])
+    seg = jnp.cumsum(first) - 1
+    sums = jax.ops.segment_sum(svals, seg, num_segments=M)
+    counts = jax.ops.segment_sum(svalid.astype(jnp.float32), seg, num_segments=M)
+    rep_ids = jnp.full((M,), SENTINEL, dtype=jnp.int32).at[seg].set(sids)
+
+    scores = sums * counts if count_bonus else sums
+    scores = jnp.where((rep_ids != SENTINEL) & (counts > 0), scores, -jnp.inf)
+    k = min(k, M)
+    top_vals, top_idx = jax.lax.top_k(scores, k)
+    top_ids = rep_ids[top_idx]
+    ok = jnp.isfinite(top_vals)
+    return (
+        jnp.where(ok, top_ids, -1),
+        jnp.where(ok, top_vals, -jnp.inf),
+        counts[top_idx],
+    )
+
+
+@partial(jax.jit, static_argnames=("k", "p_cap"))
+def sparse_score_topk(
+    flat_docs: jnp.ndarray,     # [P_total] int32 CSR doc ids (impact-ordered per term)
+    flat_weights: jnp.ndarray,  # [P_total] f32 impacts
+    offsets: jnp.ndarray,       # [T+1] int32 CSR term offsets
+    q_terms: jnp.ndarray,       # [B, Tq] int32 term ids (-1 pad)
+    q_weights: jnp.ndarray,     # [B, Tq] f32 per-term query weights (qtf / impacts)
+    k: int = 100,
+    p_cap: int = 1024,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """-> (scores [B, k] f32 desc, doc ids [B, k] i32, -1 padded)."""
+    P_total = flat_docs.shape[0]
+    tq_valid = q_terms >= 0
+    terms = jnp.where(tq_valid, q_terms, 0)
+    starts = offsets[terms]                          # [B, Tq]
+    lens = offsets[terms + 1] - starts
+    lens = jnp.where(tq_valid, lens, 0)
+
+    win = jnp.arange(p_cap, dtype=jnp.int32)
+    gidx = jnp.clip(starts[..., None] + win, 0, max(P_total - 1, 0))  # [B, Tq, P]
+    valid = win < lens[..., None]
+    docs = jnp.where(valid, flat_docs[gidx], SENTINEL)
+    vals = jnp.where(valid, flat_weights[gidx] * q_weights[..., None], 0.0)
+
+    B = q_terms.shape[0]
+    docs = docs.reshape(B, -1)
+    vals = vals.reshape(B, -1)
+
+    def one(d, v):
+        ids, scores, _ = segmented_topk(d, v, k)
+        return scores, ids
+
+    return jax.vmap(one)(docs, vals)

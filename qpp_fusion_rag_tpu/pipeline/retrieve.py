@@ -1,0 +1,53 @@
+"""Stage 02 — retrieval CLI.
+
+`python -m qpp_fusion_rag_tpu.pipeline.retrieve --dataset-dir data/<ds>
+ --index-dir data/<ds>/index --retrievers bm25 --output-dir data/<ds>/runs`
+
+Reference: scripts/02_retrieve.py:287-364 — run each selected retriever,
+write `<R>.res` (raw) + `<R>.norm.res` (per-query min-max), the score
+contract for QPP and fusion. No checkpoint-JSONL machinery is needed:
+batched device search makes per-retriever runtime seconds, not hours.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="Run retrievers over a query set")
+    ap.add_argument("--dataset-dir", required=True, help="dir with queries.jsonl + qrels/")
+    ap.add_argument("--index-dir", required=True, help="dir with per-retriever index subdirs")
+    ap.add_argument("--retrievers", nargs="*", default=["bm25"])
+    ap.add_argument("--output-dir", required=True)
+    ap.add_argument("--top-k", type=int, default=None)
+    ap.add_argument("--split", default="test")
+    args = ap.parse_args(argv)
+
+    from qpp_fusion_rag_tpu.config import config
+    from qpp_fusion_rag_tpu.data.loaders import load_queries
+    from qpp_fusion_rag_tpu.retrievers import get_retriever
+    from qpp_fusion_rag_tpu.retrievers.base import write_results_trec
+
+    top_k = args.top_k or int(config.processing.retrieval.top_k)
+    queries = load_queries(args.dataset_dir, split=args.split)
+    out_dir = Path(args.output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    print(f"[retrieve] {len(queries)} queries, top_k={top_k}")
+
+    for name in args.retrievers:
+        t0 = time.time()
+        retriever = get_retriever(name, index_dir=Path(args.index_dir) / name)
+        results = retriever.retrieve_batch(queries, top_k=top_k)
+        dt = time.time() - t0
+        write_results_trec(results, out_dir / f"{name}.res", tag=name, normalize=False)
+        write_results_trec(results, out_dir / f"{name}.norm.res", tag=name, normalize=True)
+        print(f"[retrieve] {name}: {dt:.2f}s ({len(queries) / max(dt, 1e-9):.0f} q/s)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

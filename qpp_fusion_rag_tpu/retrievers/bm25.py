@@ -1,0 +1,64 @@
+"""BM25 retriever over the native sparse index + device scoring kernel.
+
+Replaces the reference's PyTerrier/Terrier BM25 (reference
+src/retrievers/bm25.py:29-134: BatchRetrieve with BEIR params k1=0.9 b=0.4,
+alnum-only query sanitization, grouped batch). Query sanitization here is
+the native tokenizer's alnum split; scoring runs batched on device.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, Optional, Tuple
+
+from qpp_fusion_rag_tpu.config import config
+from qpp_fusion_rag_tpu.index.sparse import SparseIndex
+from qpp_fusion_rag_tpu.retrievers.base import BaseRetriever, RetrieverResult
+
+
+class BM25Retriever(BaseRetriever):
+    name = "bm25"
+
+    def __init__(self, index: SparseIndex, p_cap: Optional[int] = None):
+        self.index = index
+        self.p_cap = p_cap
+
+    @classmethod
+    def from_corpus(cls, corpus: Iterable[Tuple[str, str]], **kw) -> "BM25Retriever":
+        return cls(SparseIndex.build_bm25(corpus), **kw)
+
+    @classmethod
+    def from_index_dir(cls, path, **kw) -> "BM25Retriever":
+        return cls(SparseIndex.load(path), **kw)
+
+    def retrieve(self, query: str, qid: str, top_k: int = 100) -> RetrieverResult:
+        out, ms = self._timed(lambda: self.index.search([query], k=top_k, p_cap=self.p_cap))
+        scores, rows = out
+        results = [
+            (self.index.docno(int(r)), float(s), rank + 1)
+            for rank, (s, r) in enumerate(zip(scores[0], rows[0]))
+            if r >= 0
+        ]
+        return RetrieverResult(qid, results, latency_ms=ms)
+
+    def retrieve_batch(
+        self, queries: Dict[str, str], top_k: int = 100, batch_size: Optional[int] = None
+    ) -> Dict[str, RetrieverResult]:
+        batch_size = batch_size or int(config.processing.batch_sizes.retrieval)
+        qids = list(queries.keys())
+        out: Dict[str, RetrieverResult] = {}
+        for i in range(0, len(qids), batch_size):
+            chunk = qids[i : i + batch_size]
+            (scores, rows), ms = self._timed(
+                lambda c=chunk: self.index.search(
+                    [queries[q] for q in c], k=top_k, p_cap=self.p_cap
+                )
+            )
+            per_query = ms / max(len(chunk), 1)
+            for bi, qid in enumerate(chunk):
+                results = [
+                    (self.index.docno(int(r)), float(s), rank + 1)
+                    for rank, (s, r) in enumerate(zip(scores[bi], rows[bi]))
+                    if r >= 0
+                ]
+                out[qid] = RetrieverResult(qid, results, latency_ms=per_query)
+        return out

@@ -1,0 +1,155 @@
+"""Dense retriever: brute-force device top-k over an embedding matrix.
+
+Replaces the reference's BGE / TCT-ColBERT retrievers (reference
+src/retrievers/bge.py:122-362 — FAISS flat or segmented-HNSW search over
+Pyserini-prebuilt embeddings; src/retrievers/tct_colbert.py:33-208 —
+self-encoded corpus + FAISS IndexFlatIP). Here the corpus matrix lives on
+device (bf16) and search is the streaming matmul top-k (ops.dense); on a
+mesh the corpus shards over chips (parallel.sharded).
+
+Index directory layout: embeddings.npy [N, D] + docnos.txt. The query
+encoder is pluggable: any callable texts -> [B, D]; precomputed query
+embeddings are also accepted directly.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from qpp_fusion_rag_tpu.config import config
+from qpp_fusion_rag_tpu.retrievers.base import BaseRetriever, RetrieverResult
+
+
+class DenseIndex:
+    """Embedding matrix + docno mapping, device-resident for search."""
+
+    def __init__(self, embeddings: np.ndarray, docnos: List[str], normalize: bool = False):
+        emb = np.asarray(embeddings)
+        if normalize:
+            norms = np.linalg.norm(emb, axis=1, keepdims=True)
+            emb = emb / np.maximum(norms, 1e-12)
+        self.embeddings = emb
+        self.docnos = list(docnos)
+        self._device = None
+
+    @property
+    def num_docs(self) -> int:
+        return len(self.docnos)
+
+    @property
+    def dim(self) -> int:
+        return self.embeddings.shape[1]
+
+    def save(self, path) -> None:
+        path = Path(path)
+        path.mkdir(parents=True, exist_ok=True)
+        np.save(path / "embeddings.npy", self.embeddings)
+        (path / "docnos.txt").write_text("\n".join(self.docnos) + "\n")
+
+    @classmethod
+    def load(cls, path) -> "DenseIndex":
+        path = Path(path)
+        return cls(
+            np.load(path / "embeddings.npy"),
+            (path / "docnos.txt").read_text().splitlines(),
+        )
+
+    def device_matrix(self):
+        import jax.numpy as jnp
+
+        if self._device is None:
+            dtype = getattr(jnp, str(config.tpu.dense.corpus_dtype))
+            self._device = jnp.asarray(self.embeddings, dtype=dtype)
+        return self._device
+
+    def search(
+        self,
+        query_embeddings: np.ndarray,
+        k: int = 100,
+        exact: bool = False,
+        mesh=None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """-> (scores [B, k], row ids [B, k], -1 pad)."""
+        import jax.numpy as jnp
+
+        from qpp_fusion_rag_tpu.ops.dense import dense_topk
+
+        chunk = min(int(config.tpu.dense.chunk_docs), self.num_docs)
+        q = jnp.asarray(np.asarray(query_embeddings, dtype=np.float32))
+        if mesh is not None:
+            from qpp_fusion_rag_tpu.parallel.sharded import sharded_dense_topk
+
+            vals, ids = sharded_dense_topk(
+                q, self.device_matrix(), mesh, k=k, chunk=chunk, exact=exact
+            )
+        else:
+            vals, ids = dense_topk(q, self.device_matrix(), k=k, chunk=chunk, exact=exact)
+        return np.asarray(vals), np.asarray(ids)
+
+
+class DenseRetriever(BaseRetriever):
+    name = "dense"
+
+    def __init__(
+        self,
+        index: DenseIndex,
+        encoder: Optional[Callable[[Sequence[str]], np.ndarray]] = None,
+        mesh=None,
+        exact: bool = False,
+    ):
+        self.index = index
+        self.encoder = encoder
+        self.mesh = mesh
+        self.exact = exact
+
+    @classmethod
+    def from_index_dir(cls, index_dir, encoder=None, **kw) -> "DenseRetriever":
+        return cls(DenseIndex.load(index_dir), encoder=encoder, **kw)
+
+    # -- embedding-level API -------------------------------------------
+    def search_embeddings(
+        self, query_embeddings: np.ndarray, k: int = 100
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        return self.index.search(query_embeddings, k=k, exact=self.exact, mesh=self.mesh)
+
+    # -- text-level API ------------------------------------------------
+    def _encode(self, texts: Sequence[str]) -> np.ndarray:
+        if self.encoder is None:
+            raise RuntimeError(
+                "DenseRetriever has no query encoder; pass encoder= or use "
+                "search_embeddings() with precomputed embeddings"
+            )
+        return np.asarray(self.encoder(list(texts)))
+
+    def retrieve(self, query: str, qid: str, top_k: int = 100) -> RetrieverResult:
+        out, ms = self._timed(lambda: self.search_embeddings(self._encode([query]), k=top_k))
+        scores, rows = out
+        results = [
+            (self.index.docnos[int(r)], float(s), rank + 1)
+            for rank, (s, r) in enumerate(zip(scores[0], rows[0]))
+            if r >= 0
+        ]
+        return RetrieverResult(qid, results, latency_ms=ms)
+
+    def retrieve_batch(
+        self, queries: Dict[str, str], top_k: int = 100, batch_size: Optional[int] = None
+    ) -> Dict[str, RetrieverResult]:
+        batch_size = batch_size or int(config.processing.batch_sizes.retrieval)
+        qids = list(queries.keys())
+        out: Dict[str, RetrieverResult] = {}
+        for i in range(0, len(qids), batch_size):
+            chunk = qids[i : i + batch_size]
+            emb = self._encode([queries[q] for q in chunk])
+            (scores, rows), ms = self._timed(lambda e=emb: self.search_embeddings(e, k=top_k))
+            per_query = ms / max(len(chunk), 1)
+            for bi, qid in enumerate(chunk):
+                results = [
+                    (self.index.docnos[int(r)], float(s), rank + 1)
+                    for rank, (s, r) in enumerate(zip(scores[bi], rows[bi]))
+                    if r >= 0
+                ]
+                out[qid] = RetrieverResult(qid, results, latency_ms=per_query)
+        return out

@@ -1,0 +1,70 @@
+"""Retriever layer: dense retriever, registry, stage-01/02 CLIs end-to-end."""
+
+import json
+
+import numpy as np
+import pytest
+
+
+def test_dense_index_and_retriever(tmp_path):
+    from qpp_fusion_rag_tpu.retrievers.dense import DenseIndex, DenseRetriever
+
+    rng = np.random.default_rng(0)
+    emb = rng.standard_normal((200, 16)).astype(np.float32)
+    docnos = [f"d{i}" for i in range(200)]
+    idx = DenseIndex(emb, docnos, normalize=True)
+    idx.save(tmp_path / "dense")
+    idx2 = DenseIndex.load(tmp_path / "dense")
+
+    # encoder = lookup of the (normalized) doc embedding -> doc must rank #1
+    norm = idx2.embeddings
+
+    def encoder(texts):
+        return np.stack([norm[int(t[1:])] for t in texts])
+
+    r = DenseRetriever(idx2, encoder=encoder, exact=True)
+    res = r.retrieve("d17", "q1", top_k=5)
+    assert res.results[0][0] == "d17"
+    batch = r.retrieve_batch({"a": "d3", "b": "d4"}, top_k=3)
+    assert batch["a"].results[0][0] == "d3"
+    assert batch["b"].results[0][0] == "d4"
+
+
+def test_registry_unknown():
+    from qpp_fusion_rag_tpu.retrievers import get_retriever
+
+    with pytest.raises(KeyError):
+        get_retriever("nope")
+
+
+def test_index_and_retrieve_cli(tmp_path, tmp_dataset):
+    from qpp_fusion_rag_tpu.pipeline.index import main as index_main
+    from qpp_fusion_rag_tpu.pipeline.retrieve import main as retrieve_main
+
+    idx_dir = tmp_path / "index"
+    rc = index_main([
+        "--corpus", str(tmp_dataset / "corpus.jsonl"),
+        "--output", str(idx_dir / "bm25"),
+    ])
+    assert rc == 0
+
+    runs = tmp_path / "runs"
+    rc = retrieve_main([
+        "--dataset-dir", str(tmp_dataset),
+        "--index-dir", str(idx_dir),
+        "--retrievers", "bm25",
+        "--output-dir", str(runs),
+        "--top-k", "10",
+    ])
+    assert rc == 0
+    assert (runs / "bm25.res").exists() and (runs / "bm25.norm.res").exists()
+
+    # .norm.res is per-query min-max of .res
+    from qpp_fusion_rag_tpu.data.loaders import load_run_file
+
+    raw = load_run_file(runs / "bm25.res")
+    norm = load_run_file(runs / "bm25.norm.res")
+    assert set(raw) == set(norm) and len(raw) > 0
+    for qid in raw:
+        scores = [s for _, s, _ in norm[qid]]
+        assert max(scores) <= 1.0 + 1e-6 and min(scores) >= -1e-6

@@ -1,0 +1,128 @@
+"""Native tokenizer/index + device BM25 scoring vs a pure-Python reference."""
+
+import math
+
+import numpy as np
+import pytest
+
+from qpp_fusion_rag_tpu.index.native import NativeIndexBuilder
+from qpp_fusion_rag_tpu.index.sparse import SparseIndex
+
+DOCS = [
+    ("d0", "the quick brown fox jumps over the lazy dog"),
+    ("d1", "a fast brown fox leaps across lazy dogs daily"),
+    ("d2", "information retrieval systems rank documents by relevance"),
+    ("d3", "neural retrieval models learn dense representations of documents"),
+    ("d4", "the dog sleeps all day and dreams of foxes"),
+    ("d5", "ranking documents with learned sparse representations"),
+]
+
+
+def python_bm25(docs, query_terms, k1=0.9, b=0.4, stem=None):
+    """Reference BM25 with the same tokenization (given pre-stemmed tokens)."""
+    toks = [stem(d) for _, d in docs]
+    N = len(toks)
+    avgdl = sum(len(t) for t in toks) / N
+    scores = np.zeros(N)
+    for qt in query_terms:
+        df = sum(1 for t in toks if qt in t)
+        if df == 0:
+            continue
+        idf = math.log(1 + (N - df + 0.5) / (df + 0.5))
+        for di, t in enumerate(toks):
+            tf = t.count(qt)
+            if tf:
+                dl = len(t)
+                scores[di] += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    return scores
+
+
+@pytest.fixture(scope="module")
+def index():
+    return SparseIndex.build_bm25(DOCS)
+
+
+def test_tokenizer_stem_and_stopwords():
+    b = NativeIndexBuilder()
+    b.add_doc("The running dogs are quickly jumping over fences")
+    b.finalize()
+    vocab = set(b.vocab_dump().splitlines())
+    assert "run" in vocab          # Porter: running -> run
+    assert "quickli" in vocab      # Porter: quickly -> quickli
+    assert "dog" in vocab          # plural stripped
+    assert "the" not in vocab      # stopword
+    assert "are" not in vocab
+
+
+def test_index_shapes(index):
+    assert index.num_docs == 6
+    assert index.num_terms > 10
+    assert index.offsets[-1] == index.num_postings
+    # postings impact-ordered within each term
+    for t in range(index.num_terms):
+        w = index.weights[index.offsets[t]:index.offsets[t + 1]]
+        assert np.all(np.diff(w) <= 1e-6)
+
+
+def test_bm25_scores_match_python(index):
+    tok = index._tokenizer()
+
+    def stem_doc(text):
+        ids, counts = tok.query_terms(text, 64)
+        # expand ids back to a token multiset via vocab
+        terms = index.vocab_dump.splitlines()
+        out = []
+        for tid, c in zip(ids, counts):
+            out += [terms[tid]] * int(c)
+        return out
+
+    query = "brown fox documents"
+    q_terms = stem_doc(query)
+    ref = python_bm25(DOCS, q_terms, stem=stem_doc)
+
+    scores, rows = index.search([query], k=6)
+    got = np.zeros(len(DOCS))
+    for s, r in zip(scores[0], rows[0]):
+        if r >= 0:
+            got[int(r)] = s
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_search_ranking_sane(index):
+    scores, rows = index.search(["brown fox"], k=3)
+    top = [index.docno(int(r)) for r in rows[0] if r >= 0]
+    assert set(top[:2]) == {"d0", "d1"}  # both fox docs on top
+
+
+def test_save_load_roundtrip(tmp_path, index):
+    index.save(tmp_path / "idx")
+    loaded = SparseIndex.load(tmp_path / "idx")
+    assert loaded.num_docs == index.num_docs
+    s1, r1 = index.search(["lazy dog"], k=4)
+    s2, r2 = loaded.search(["lazy dog"], k=4)
+    np.testing.assert_allclose(s1, s2, rtol=1e-6)
+    np.testing.assert_array_equal(r1, r2)
+
+
+def test_p_cap_pruning(index):
+    """p_cap=1 keeps only each term's best posting — scores drop, shapes hold."""
+    s_full, _ = index.search(["brown fox dog"], k=6)
+    s_cap, _ = index.search(["brown fox dog"], k=6, p_cap=1)
+    assert s_cap[0][0] <= s_full[0][0] + 1e-6
+
+
+def test_bm25_retriever(index):
+    from qpp_fusion_rag_tpu.retrievers.bm25 import BM25Retriever
+
+    r = BM25Retriever(index)
+    res = r.retrieve("brown fox", "q1", top_k=3)
+    assert res.query_id == "q1"
+    assert res.results[0][0] in ("d0", "d1")
+    assert res.results[0][2] == 1
+    batch = r.retrieve_batch({"q1": "brown fox", "q2": "dense neural models"}, top_k=3)
+    assert batch["q2"].results[0][0] == "d3"
+
+
+def test_empty_and_oov_query(index):
+    scores, rows = index.search(["zzzqqqxyz unknownterm", ""], k=3)
+    assert np.all(rows == -1)
