@@ -24,16 +24,79 @@ def _bm25(index_dir, **kw):
     return BM25Retriever.from_index_dir(index_dir, **kw)
 
 
-def _dense(index_dir, **kw):
+def _dense(index_dir, model_name=None, pooling="cls", **kw):
     from qpp_fusion_rag_tpu.retrievers.dense import DenseRetriever
 
-    return DenseRetriever.from_index_dir(index_dir, **kw)
+    encoder = kw.pop("encoder", None)
+    if encoder is None and model_name is not None:
+        from qpp_fusion_rag_tpu.encoders import DenseEncoder, load_hf_bert
+
+        params, cfg = load_hf_bert(model_name)
+        encoder = DenseEncoder(params, cfg, pooling=pooling, normalize=(pooling == "cls"))
+    return DenseRetriever.from_index_dir(index_dir, encoder=encoder, **kw)
+
+
+def _bge(index_dir, **kw):
+    from qpp_fusion_rag_tpu.config import config
+
+    kw.setdefault("model_name", config.models.bge.name)
+    return _dense(index_dir, pooling="cls", **kw)
+
+
+def _tct(index_dir, **kw):
+    from qpp_fusion_rag_tpu.config import config
+
+    kw.setdefault("model_name", config.models.tct_colbert.name)
+    return _dense(index_dir, pooling="mean", **kw)
+
+
+def _splade(index_dir, encoder=None, **kw):
+    from qpp_fusion_rag_tpu.retrievers.splade import SpladeIndex, SpladeRetriever
+
+    if encoder is None:
+        from qpp_fusion_rag_tpu.config import config
+        from qpp_fusion_rag_tpu.encoders import SpladeEncoder, load_hf_bert
+
+        params, cfg = load_hf_bert(config.models.splade.name, with_mlm=True)
+        encoder = SpladeEncoder(params, cfg)
+    return SpladeRetriever(SpladeIndex.load(index_dir), encoder=encoder, **kw)
+
+
+def _two_stage(index_dir, corpus=None, reranker=None, kind="cross", **kw):
+    """BM25 first stage from `index_dir`/../bm25 + a neural reranker."""
+    from qpp_fusion_rag_tpu.retrievers.two_stage import TwoStageRetriever
+
+    first = _bm25(Path(index_dir).parent / "bm25")
+    if corpus is None:
+        raise ValueError("two-stage retrievers need corpus= (dict or LazyCorpus)")
+    if reranker is None:
+        from qpp_fusion_rag_tpu.config import config
+        from qpp_fusion_rag_tpu.encoders import (
+            CrossEncoderScorer,
+            DenseEncoder,
+            load_hf_bert,
+        )
+        from qpp_fusion_rag_tpu.retrievers.two_stage import (
+            CrossEncoderReranker,
+            DenseReranker,
+        )
+
+        if kind == "cross":
+            params, cfg = load_hf_bert(config.models.cross_encoder.name, with_classifier=True)
+            reranker = CrossEncoderReranker(CrossEncoderScorer(params, cfg))
+        else:
+            params, cfg = load_hf_bert(config.models.tct_colbert.name)
+            reranker = DenseReranker(DenseEncoder(params, cfg, pooling="mean"))
+    return TwoStageRetriever(first, reranker, corpus, **kw)
 
 
 RETRIEVER_REGISTRY = {
     "bm25": _bm25,
-    "bge": _dense,
-    "tct_colbert": _dense,
+    "bge": _bge,
+    "tct_colbert": _tct,
+    "splade": _splade,
+    "bm25_tct": lambda index_dir, **kw: _two_stage(index_dir, kind="dense", name="bm25_tct", **kw),
+    "bm25_monot5": lambda index_dir, **kw: _two_stage(index_dir, kind="cross", name="bm25_monot5", **kw),
 }
 
 

@@ -1,0 +1,128 @@
+"""JAX BERT parity vs torch transformers (tiny random-init models, offline)."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from qpp_fusion_rag_tpu.encoders import (
+    BertConfig,
+    CrossEncoderScorer,
+    DenseEncoder,
+    SpladeEncoder,
+    bert_encode,
+    params_from_hf_state_dict,
+)
+
+TINY = dict(
+    vocab_size=128, hidden_size=32, num_hidden_layers=2,
+    num_attention_heads=4, intermediate_size=64,
+    max_position_embeddings=64, type_vocab_size=2,
+)
+
+
+@pytest.fixture(scope="module")
+def batch():
+    rng = np.random.default_rng(0)
+    ids = rng.integers(1, 128, size=(3, 10)).astype(np.int32)
+    mask = np.ones((3, 10), dtype=np.int32)
+    mask[1, 7:] = 0
+    mask[2, 5:] = 0
+    ids[mask == 0] = 0
+    return ids, mask
+
+
+def _hf_config():
+    return transformers.BertConfig(**TINY)
+
+
+def test_bert_encode_matches_torch(batch):
+    ids, mask = batch
+    torch.manual_seed(0)
+    model = transformers.BertModel(_hf_config()).eval()
+    with torch.no_grad():
+        ref = model(
+            input_ids=torch.tensor(ids.astype(np.int64)),
+            attention_mask=torch.tensor(mask.astype(np.int64)),
+        ).last_hidden_state.numpy()
+
+    cfg = BertConfig.from_hf(model.config)
+    params = params_from_hf_state_dict(model.state_dict(), cfg)
+    import jax.numpy as jnp
+
+    out = np.asarray(bert_encode(params, cfg, jnp.asarray(ids), jnp.asarray(mask)))
+    # padded positions may differ (torch masks only attention); compare real tokens
+    m = mask.astype(bool)
+    np.testing.assert_allclose(out[m], ref[m], rtol=2e-4, atol=2e-5)
+
+
+def test_splade_encoder_matches_torch(batch):
+    ids, mask = batch
+    torch.manual_seed(1)
+    model = transformers.BertForMaskedLM(_hf_config()).eval()
+    with torch.no_grad():
+        logits = model(
+            input_ids=torch.tensor(ids.astype(np.int64)),
+            attention_mask=torch.tensor(mask.astype(np.int64)),
+        ).logits.numpy()
+    acts = np.log1p(np.maximum(logits, 0.0)) * mask[..., None]
+    ref = acts.max(axis=1)
+
+    cfg = BertConfig.from_hf(model.config)
+    params = params_from_hf_state_dict(model.state_dict(), cfg)
+    enc = SpladeEncoder(params, cfg)
+    out = enc.impacts_ids(ids, mask)
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+
+    top_ids, top_w = enc.top_impacts(ids, mask, k=5)
+    assert top_ids.shape == (3, 5)
+    np.testing.assert_allclose(top_w[:, 0], out.max(axis=1), rtol=1e-5)
+
+
+def test_cross_encoder_matches_torch(batch):
+    ids, mask = batch
+    torch.manual_seed(2)
+    model = transformers.BertForSequenceClassification(
+        transformers.BertConfig(**TINY, num_labels=1)
+    ).eval()
+    with torch.no_grad():
+        ref = model(
+            input_ids=torch.tensor(ids.astype(np.int64)),
+            attention_mask=torch.tensor(mask.astype(np.int64)),
+        ).logits.numpy()[:, 0]
+
+    cfg = BertConfig.from_hf(model.config)
+    params = params_from_hf_state_dict(model.state_dict(), cfg)
+    scorer = CrossEncoderScorer(params, cfg)
+    out = scorer.score_ids(ids, mask)
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_dense_encoder_pooling(batch):
+    ids, mask = batch
+    torch.manual_seed(3)
+    model = transformers.BertModel(_hf_config()).eval()
+    cfg = BertConfig.from_hf(model.config)
+    params = params_from_hf_state_dict(model.state_dict(), cfg)
+
+    enc_cls = DenseEncoder(params, cfg, pooling="cls", normalize=True)
+    emb = enc_cls.encode_ids(ids, mask)
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, rtol=1e-5)
+
+    enc_mean = DenseEncoder(params, cfg, pooling="mean", normalize=False)
+    emb2 = enc_mean.encode_ids(ids, mask)
+    assert emb2.shape == (3, 32)
+    assert not np.allclose(emb, emb2)
+
+
+def test_dense_encoder_with_tokenizer():
+    torch.manual_seed(4)
+    model = transformers.BertModel(_hf_config()).eval()
+    cfg = BertConfig.from_hf(model.config)
+    params = params_from_hf_state_dict(model.state_dict(), cfg)
+
+    tok = lambda t: [ord(c) % 120 + 1 for c in t][:20]
+    enc = DenseEncoder(params, cfg, tokenizer=tok)
+    out = enc(["hello world", "ranking"])
+    assert out.shape == (2, 32)
