@@ -1,0 +1,118 @@
+"""ProbFuse: segment-probability fusion (Lillis et al. 2006).
+
+Reference ProbFuse.py:33-160 — split each ranker's top-L into x equal
+segments; on a training split estimate P(rel | segment, ranker) either over
+judged docs only ("judged") or over all docs ("all"); fuse test runs by
+summing each doc's segment probabilities across rankers. Here the
+probability tables are estimated with vectorized tensor ops over the
+RunTensor + aligned relevance gains, and fusion reuses the shared
+segmented-aggregation kernel.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Literal, Sequence
+
+import numpy as np
+
+from qpp_fusion_rag_tpu.data.runtensor import RunTensor
+from qpp_fusion_rag_tpu.ops.metrics import align_relevance
+
+
+def _segment_index(K: int, x: int) -> np.ndarray:
+    """rank position (0-based) -> segment id 0..x-1 (reference ProbFuse.py:33-42)."""
+    seg = (np.arange(K) * x) // K
+    return np.minimum(seg, x - 1)
+
+
+class ProbFuse:
+    def __init__(self, x: int = 25, depth: int = 100,
+                 variant: Literal["judged", "all"] = "judged"):
+        self.x = x
+        self.depth = depth
+        self.variant = variant
+        self.probs: Dict[str, np.ndarray] = {}   # ranker -> [x] P(rel | seg)
+
+    # -- training ------------------------------------------------------
+    def train(self, rt: RunTensor, qrels: Dict[str, Dict[str, int]]) -> Dict[str, np.ndarray]:
+        """Estimate per-ranker segment probabilities on the given queries."""
+        K = min(self.depth, rt.K)
+        seg = _segment_index(K, self.x)                     # [K]
+        for r, name in enumerate(rt.retrievers):
+            gains, _n_rel, _ideal = align_relevance(
+                rt.doc_ids[r][:, :K], rt.qids, qrels, rt.vocab
+            )
+            rel = gains > 0                                  # [Q, K]
+            judged_q = np.array([q in qrels for q in rt.qids])
+            rel = rel[judged_q]
+            valid = rt.doc_ids[r][judged_q, :K] >= 0
+            p = np.zeros(self.x, dtype=np.float64)
+            for s in range(self.x):
+                cols = seg == s
+                if self.variant == "judged":
+                    # P = rel / judged-in-segment; unjudged docs are not
+                    # counted (reference "judged" variant). Without a
+                    # judgment pool, judged == retrieved ∩ qrels docs; we
+                    # approximate judged by rel+explicit-nonrel = all valid
+                    # docs of judged queries (BEIR qrels are positives-only).
+                    denom = valid[:, cols].sum()
+                else:
+                    denom = valid[:, cols].sum()
+                num = rel[:, cols].sum()
+                p[s] = num / denom if denom > 0 else 0.0
+            self.probs[name] = p
+        return self.probs
+
+    # -- fusion --------------------------------------------------------
+    def fuse(self, rt: RunTensor, k_out: int = 100, name: str = "probfuse") -> RunTensor:
+        """Fused score(d) = sum_r P_r(rel | segment of d in r's list) / seg_len
+        (reference build-run step: summed segment probabilities)."""
+        if not self.probs:
+            raise RuntimeError("ProbFuse.train() first")
+        from qpp_fusion_rag_tpu.ops import fusion as F
+        import jax.numpy as jnp
+
+        K = min(self.depth, rt.K)
+        seg = _segment_index(K, self.x)
+        # per-(retriever, rank) contribution = P(rel | seg) — constant over
+        # queries, so feed it as the "scores" tensor with uniform weights.
+        contrib = np.zeros((rt.R, rt.Q, K), dtype=np.float32)
+        for r, rname in enumerate(rt.retrievers):
+            contrib[r, :, :] = self.probs[rname][seg][None, :]
+        valid = rt.doc_ids[:, :, :K] >= 0
+        contrib = np.where(valid, contrib, -np.inf).astype(np.float32)
+
+        ids, scores = F.fuse(
+            rt.doc_ids[:, :, :K], contrib,
+            weights=np.ones((rt.R, rt.Q), np.float32),
+            method="combsum", minmax_norm=False,
+            k_out=min(k_out, rt.R * K),
+        )
+        return RunTensor(
+            np.asarray(ids)[None], np.asarray(scores)[None],
+            rt.qids, [name], rt.vocab,
+        )
+
+
+def probfuse_experiment(
+    rt: RunTensor,
+    qrels: Dict[str, Dict[str, int]],
+    train_qids: Sequence[str],
+    test_qids: Sequence[str],
+    x: int = 25,
+    depth: int = 100,
+    variant: str = "judged",
+    metric: str = "nDCG@10",
+) -> Dict:
+    """Train on train_qids, fuse+evaluate on test_qids (reference flow)."""
+    from qpp_fusion_rag_tpu.evaluation.ir_evaluator import IREvaluator
+
+    pf = ProbFuse(x=x, depth=depth, variant=variant)  # type: ignore[arg-type]
+    pf.train(rt.select_queries(list(train_qids)), qrels)
+    fused = pf.fuse(rt.select_queries(list(test_qids)))
+    ev = IREvaluator([metric])
+    return {
+        "probs": {k: v.tolist() for k, v in pf.probs.items()},
+        metric: ev.evaluate(fused, qrels)[metric],
+        "fused": fused,
+    }
