@@ -29,7 +29,7 @@ DIM = 768
 R_VIEWS = 5                 # 5-retriever ensemble
 BATCH = 1024
 TOP_K = 100
-CHUNK = 65_536
+CHUNK = 131_072
 NORTH_STAR_QPS = 10_000.0
 
 

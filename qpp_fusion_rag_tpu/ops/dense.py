@@ -65,6 +65,22 @@ def _final_merge(vals: jnp.ndarray, ids: jnp.ndarray, k: int, exact: bool, recal
     return mv, jnp.take_along_axis(ids, top, axis=-1)
 
 
+def _mask_last_chunk(s, ci, n_chunks, chunk, n):
+    """Mask zero-vector pad docs (they exist only in the last chunk). Guarded
+    by lax.cond so the full-score-tensor mask pays its HBM round-trip for one
+    chunk, not all of them; pad docs score exactly 0 and could otherwise
+    displace negative true scores from the candidate set."""
+    if n % chunk == 0:
+        return s
+    iota = jnp.arange(chunk, dtype=jnp.int32)[None, :]
+    return jax.lax.cond(
+        ci == n_chunks - 1,
+        lambda x: jnp.where(ci * chunk + iota < n, x, NEG),
+        lambda x: x,
+        s,
+    )
+
+
 def _pad_corpus(corpus: jnp.ndarray, chunk: int) -> Tuple[jnp.ndarray, int]:
     n = corpus.shape[0]
     pad = (-n) % chunk
@@ -97,15 +113,17 @@ def dense_topk(
     def body(_, ci):
         block = jax.lax.dynamic_slice_in_dim(corpus, ci * chunk, chunk, axis=0)
         s = jnp.dot(q, block.T, preferred_element_type=jnp.float32)  # [B, chunk]
-        off = ci * chunk
-        s = jnp.where(off + jnp.arange(chunk, dtype=jnp.int32)[None, :] < n, s, NEG)
+        s = _mask_last_chunk(s, ci, n_chunks, chunk, n)
         cv, cidx = _chunk_topk(s, k, exact, recall)                  # [B, k]
-        return None, (cv, cidx.astype(jnp.int32) + off)
+        return None, (cv, cidx.astype(jnp.int32) + ci * chunk)
 
     _, (cand_v, cand_i) = jax.lax.scan(body, None, jnp.arange(n_chunks, dtype=jnp.int32))
-    # [n_chunks, B, k] -> [B, n_chunks*k], then one merge
+    # [n_chunks, B, k] -> [B, n_chunks*k]; padding rows (zero vectors beyond
+    # n) are masked HERE on the tiny candidate set — masking the full score
+    # tensor per chunk would cost an extra HBM round-trip of R*B*N floats.
     cand_v = jnp.moveaxis(cand_v, 0, 1).reshape(B, n_chunks * k)
     cand_i = jnp.moveaxis(cand_i, 0, 1).reshape(B, n_chunks * k)
+    cand_v = jnp.where(cand_i < n, cand_v, NEG)
     vals, ids = _final_merge(cand_v, cand_i, k, exact=True, recall=recall)
     ids = jnp.where(jnp.isfinite(vals), ids, -1)
     return vals, ids
@@ -139,14 +157,14 @@ def multi_view_topk(
     def body(_, ci):
         block = jax.lax.dynamic_slice_in_dim(corpus, ci * chunk, chunk, axis=0)
         s = jnp.dot(qflat, block.T, preferred_element_type=jnp.float32)  # [R*B, chunk]
-        off = ci * chunk
-        s = jnp.where(off + jnp.arange(chunk, dtype=jnp.int32)[None, :] < n, s, NEG)
+        s = _mask_last_chunk(s, ci, n_chunks, chunk, n)
         cv, cidx = _chunk_topk(s, k, exact, recall)
-        return None, (cv, cidx.astype(jnp.int32) + off)
+        return None, (cv, cidx.astype(jnp.int32) + ci * chunk)
 
     _, (cand_v, cand_i) = jax.lax.scan(body, None, jnp.arange(n_chunks, dtype=jnp.int32))
     cand_v = jnp.moveaxis(cand_v, 0, 1).reshape(R * B, n_chunks * k)
     cand_i = jnp.moveaxis(cand_i, 0, 1).reshape(R * B, n_chunks * k)
+    cand_v = jnp.where(cand_i < n, cand_v, NEG)  # mask pad docs on candidates only
     vals, ids = _final_merge(cand_v, cand_i, k, exact=True, recall=recall)
     ids = jnp.where(jnp.isfinite(vals), ids, -1)
     return vals.reshape(R, B, k), ids.reshape(R, B, k)

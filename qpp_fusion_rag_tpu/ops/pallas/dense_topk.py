@@ -1,0 +1,147 @@
+"""Pallas fused matmul + block-max kernel for dense retrieval (TPU).
+
+The XLA path (ops.dense) materializes the per-chunk score tensor
+[rows, chunk] f32 in HBM between the matmul and the top-k reduction — at
+NQ scale that is ~54 GB of HBM round-trip per 1024-query batch, which caps
+throughput at ~92 TF/s on v5e. This kernel fuses the reduction into the
+matmul: scores live only in VMEM, and each 128-doc group emits (max,
+argmax), shrinking the matmul's output traffic by 128×.
+
+    phase 1 (this kernel): q [M, D] × corpus [N, D] -> group maxima
+        vals [M, N/128] f32, ids [M, N/128] i32   (global doc ids)
+    phase 2 (XLA, ops.dense.pallas_topk): top-k over the group maxima.
+
+Group-max selection is the same reduction `lax.approx_max_k` performs
+(one candidate per 128-doc tile), so phase 1 + phase 2 matches the
+approx path's recall (~0.98 @ k=100 on random scores) while avoiding the
+score-tensor HBM traffic entirely.
+
+Tiling: grid (M/TM, N/TN); per step the MXU computes [TM, D] × [D, TN] in
+one shot (D ≤ 1024 fits VMEM), the VPU reduces TN into TN/128 group maxima.
+Defaults TM=512, TN=2048 keep VMEM ≈ 12 MB including double buffering.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+GROUP = 128  # docs per emitted candidate (VPU lane width)
+
+
+def _kernel(q_ref, c_ref, vals_ref, ids_ref):
+    # q_ref [TM, D] bf16, c_ref [TN, D] bf16 -> scores [TM, TN] f32 (VMEM only)
+    scores = jax.lax.dot_general(
+        q_ref[:], c_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    TM, TN = scores.shape
+    g = TN // GROUP
+    s3 = scores.reshape(TM, g, GROUP)
+    vals_ref[0] = jnp.max(s3, axis=-1)
+    arg = jnp.argmax(s3, axis=-1).astype(jnp.int32)          # [TM, g] in-group
+    j = pl.program_id(1)
+    base = j * TN + jax.lax.broadcasted_iota(jnp.int32, (TM, g), 1) * GROUP
+    ids_ref[0] = base + arg
+
+
+@partial(jax.jit, static_argnames=("tm", "tn"))
+def group_max_scores(
+    q: jnp.ndarray,        # [M, D] (cast to corpus dtype)
+    corpus: jnp.ndarray,   # [N, D], N % tn == 0
+    tm: int = 512,
+    tn: int = 2048,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """-> (vals [M, N/GROUP] f32, ids [M, N/GROUP] i32 global doc ids)."""
+    M, D = q.shape
+    N = corpus.shape[0]
+    assert N % tn == 0 and tn % GROUP == 0, (N, tn)
+    pad_m = (-M) % tm
+    if pad_m:
+        q = jnp.pad(q, ((0, pad_m), (0, 0)))
+    Mp = q.shape[0]
+    q = q.astype(corpus.dtype)
+
+    grid = (Mp // tm, N // tn)
+    g_out = tn // GROUP
+    n_tiles = N // tn
+    # Output is [n_tiles, Mp, g_out] with the n-tile axis leading: TPU block
+    # specs need the last dim to be 128-divisible OR the full array dim —
+    # g_out (e.g. 16) is small, so it must be the full trailing dim.
+    vals, ids = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, D), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, D), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tm, g_out), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm, g_out), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, Mp, g_out), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, Mp, g_out), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * N * D,
+            bytes_accessed=Mp * D * 2 + N * D * 2 + 2 * Mp * (N // GROUP) * 4,
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() != "tpu",  # CPU tests run interpreted
+    )(q, corpus)
+    vals = jnp.moveaxis(vals, 0, 1).reshape(Mp, N // GROUP)
+    ids = jnp.moveaxis(ids, 0, 1).reshape(Mp, N // GROUP)
+    return vals[:M], ids[:M]
+
+
+@partial(jax.jit, static_argnames=("k", "tm", "tn"))
+def pallas_dense_topk(
+    queries: jnp.ndarray,   # [B, D]
+    corpus: jnp.ndarray,    # [N, D]
+    k: int = 100,
+    tm: int = 512,
+    tn: int = 2048,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused dense top-k -> (scores [B, k], ids [B, k]); approx at the same
+    one-per-128-group recall as the approx_max_k path."""
+    n = corpus.shape[0]
+    pad_n = (-n) % tn
+    if pad_n:
+        corpus = jnp.pad(corpus, ((0, pad_n), (0, 0)))
+    vals, ids = group_max_scores(queries, corpus, tm=tm, tn=tn)
+    if pad_n:
+        vals = jnp.where(ids < n, vals, -jnp.inf)
+    kk = min(k, vals.shape[-1])
+    top_vals, top_idx = jax.lax.top_k(vals, kk)
+    top_ids = jnp.take_along_axis(ids, top_idx, axis=-1)
+    if kk < k:
+        pad = ((0, 0), (0, k - kk))
+        top_vals = jnp.pad(top_vals, pad, constant_values=-jnp.inf)
+        top_ids = jnp.pad(top_ids, pad, constant_values=-1)
+    top_ids = jnp.where(jnp.isfinite(top_vals), top_ids, -1)
+    return top_vals, top_ids
+
+
+@partial(jax.jit, static_argnames=("k", "tm", "tn"))
+def pallas_multi_view_topk(
+    queries: jnp.ndarray,    # [B, D]
+    view_proj: jnp.ndarray,  # [R, D, Dv]
+    corpus: jnp.ndarray,     # [N, Dv]
+    k: int = 100,
+    tm: int = 512,
+    tn: int = 2048,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """R-view fused dense top-k -> (scores [R, B, k], ids [R, B, k])."""
+    qv = jnp.einsum(
+        "bd,rdv->rbv", queries.astype(jnp.float32), view_proj.astype(jnp.float32)
+    )
+    R, B, Dv = qv.shape
+    vals, ids = pallas_dense_topk(qv.reshape(R * B, Dv), corpus, k=k, tm=tm, tn=tn)
+    return vals.reshape(R, B, k), ids.reshape(R, B, k)
