@@ -55,7 +55,7 @@ def main() -> None:
     def step():
         return fused_retrieval_step(
             q_emb, view_proj, corpus, text_feats,
-            k=TOP_K, chunk=chunk, k_out=TOP_K,
+            k=TOP_K, chunk=chunk, k_out=TOP_K, use_pallas=on_tpu,
         )
 
     # Warmup/compile

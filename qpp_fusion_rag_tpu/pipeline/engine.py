@@ -62,7 +62,10 @@ def qpp_from_runs(
     return qpp
 
 
-@partial(jax.jit, static_argnames=("k", "chunk", "k_out", "method", "qpp_index"))
+@partial(
+    jax.jit,
+    static_argnames=("k", "chunk", "k_out", "method", "qpp_index", "use_pallas"),
+)
 def fused_retrieval_step(
     q_emb: jnp.ndarray,       # [B, D]
     view_proj: jnp.ndarray,   # [R, D, Dv]
@@ -73,12 +76,18 @@ def fused_retrieval_step(
     k_out: int = 100,
     method: int = F.COMBSUM,
     qpp_index: int = 5,       # RSD (reference default weight source)
+    use_pallas: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One fused-retrieval forward step -> (fused_ids [B, k_out],
     fused_scores [B, k_out], qpp [R, B, 13]). Multi-chip execution comes
     from jit sharding propagation over pre-sharded inputs (see
     __graft_entry__.dryrun_multichip)."""
-    vals, ids = D.multi_view_topk(q_emb, view_proj, corpus, k=k, chunk=chunk)
+    if use_pallas:
+        from qpp_fusion_rag_tpu.ops.pallas.dense_topk import pallas_multi_view_topk
+
+        vals, ids = pallas_multi_view_topk(q_emb, view_proj, corpus, k=k)
+    else:
+        vals, ids = D.multi_view_topk(q_emb, view_proj, corpus, k=k, chunk=chunk)
     qpp = qpp_from_runs(vals, ids, text_feats)
     weights = qpp[..., qpp_index]                                  # [R, B]
     norm = _row_minmax_scores(vals, ids >= 0)
