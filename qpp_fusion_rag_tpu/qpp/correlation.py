@@ -1,0 +1,167 @@
+"""QPP correlation metrics: how well predictors track true performance.
+
+Re-expresses the reference's correlation package (reference
+src/qpp/java/org/correlation/*: Pearson/Spearman/Kendall/RMSE, SARE —
+scaled absolute rank error, PairwiseAccuracyMetric — concordant-pair
+accuracy, quantized-class agreement, and OverlapStats' RBO + rank distance,
+the primitive inside the sampled RSD/UEF variants) as vectorized numpy.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+import numpy as np
+
+
+def _rankdata(x: np.ndarray) -> np.ndarray:
+    """Average-rank tie handling (scipy.stats.rankdata semantics)."""
+    x = np.asarray(x, dtype=np.float64)
+    order = np.argsort(x, kind="stable")
+    ranks = np.empty(len(x))
+    sx = x[order]
+    i = 0
+    while i < len(x):
+        j = i
+        while j + 1 < len(x) and sx[j + 1] == sx[i]:
+            j += 1
+        ranks[order[i : j + 1]] = (i + j) / 2.0 + 1.0
+        i = j + 1
+    return ranks
+
+
+def pearson(a, b) -> float:
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    if len(a) < 2 or a.std() == 0 or b.std() == 0:
+        return 0.0
+    return float(np.corrcoef(a, b)[0, 1])
+
+
+def spearman(a, b) -> float:
+    return pearson(_rankdata(a), _rankdata(b))
+
+
+def kendall(a, b) -> float:
+    """Kendall tau-b (tie-corrected), O(n^2) pair scan."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    n = len(a)
+    if n < 2:
+        return 0.0
+    da = np.sign(a[:, None] - a[None, :])
+    db = np.sign(b[:, None] - b[None, :])
+    iu = np.triu_indices(n, 1)
+    da, db = da[iu], db[iu]
+    conc = float(np.sum(da * db > 0))
+    disc = float(np.sum(da * db < 0))
+    ties_a = float(np.sum((da == 0) & (db != 0)))
+    ties_b = float(np.sum((db == 0) & (da != 0)))
+    denom = np.sqrt((conc + disc + ties_a) * (conc + disc + ties_b))
+    return float((conc - disc) / denom) if denom > 0 else 0.0
+
+
+def rmse(a, b) -> float:
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    return float(np.sqrt(np.mean((a - b) ** 2)))
+
+
+def pairwise_accuracy(pred, true) -> float:
+    """Fraction of query pairs ordered concordantly (reference
+    PairwiseAccuracyMetric)."""
+    pred = np.asarray(pred, np.float64)
+    true = np.asarray(true, np.float64)
+    n = len(pred)
+    if n < 2:
+        return 0.0
+    dp = np.sign(pred[:, None] - pred[None, :])
+    dt = np.sign(true[:, None] - true[None, :])
+    iu = np.triu_indices(n, 1)
+    dp, dt = dp[iu], dt[iu]
+    valid = dt != 0
+    if not valid.any():
+        return 0.0
+    return float(np.mean(dp[valid] == dt[valid]))
+
+
+def sare(pred, true) -> np.ndarray:
+    """Scaled Absolute Rank Error per query (reference SARE.java):
+    |rank_pred(q) - rank_true(q)| / n. Lower is better."""
+    pred = np.asarray(pred, np.float64)
+    true = np.asarray(true, np.float64)
+    n = len(pred)
+    rp = _rankdata(-pred)
+    rt = _rankdata(-true)
+    return np.abs(rp - rt) / max(n, 1)
+
+
+def smare(pred, true) -> float:
+    """Mean SARE (scaled mean absolute rank error)."""
+    return float(np.mean(sare(pred, true))) if len(pred) else 0.0
+
+
+def quantized_class_accuracy(pred, true, n_classes: int = 4) -> float:
+    """Agreement after quantile-bucketing both sequences into n classes
+    (reference QuantizedClassAccuracy)."""
+    pred = np.asarray(pred, np.float64)
+    true = np.asarray(true, np.float64)
+    if len(pred) == 0:
+        return 0.0
+
+    def bucket(x):
+        qs = np.quantile(x, np.linspace(0, 1, n_classes + 1)[1:-1])
+        return np.searchsorted(qs, x, side="right")
+
+    return float(np.mean(bucket(pred) == bucket(true)))
+
+
+# =============================================================================
+# Ranked-list overlap primitives (reference OverlapStats)
+# =============================================================================
+
+def rbo(list_a: Sequence, list_b: Sequence, p: float = 0.9) -> float:
+    """Rank-Biased Overlap (extrapolated) between two ranked lists."""
+    a, b = list(list_a), list(list_b)
+    if not a or not b:
+        return 0.0
+    k = min(len(a), len(b))
+    seen_a, seen_b = set(), set()
+    overlap = 0
+    s = 0.0
+    for d in range(1, k + 1):
+        seen_a.add(a[d - 1])
+        seen_b.add(b[d - 1])
+        overlap = len(seen_a & seen_b)
+        s += (p ** (d - 1)) * overlap / d
+    agreement_k = overlap / k
+    return float((1 - p) * s + agreement_k * (p ** k))
+
+
+def rank_distance(list_a: Sequence, list_b: Sequence) -> float:
+    """Mean absolute rank displacement of shared items (reference
+    OverlapStats rank-dist, used by UEF); items missing from one list get
+    the max displacement len(list)."""
+    pos_b = {d: i for i, d in enumerate(list_b)}
+    n = max(len(list_a), 1)
+    total = 0.0
+    for i, d in enumerate(list_a):
+        total += abs(i - pos_b[d]) if d in pos_b else float(len(list_b) or n)
+    return total / n
+
+
+CORRELATION_METRICS = {
+    "pearson": pearson,
+    "spearman": spearman,
+    "kendall": kendall,
+    "rmse": rmse,
+    "pairwise_accuracy": pairwise_accuracy,
+    "smare": smare,
+    "quantized_accuracy": quantized_class_accuracy,
+}
+
+
+def evaluate_correlations(
+    pred: np.ndarray, true: np.ndarray, metrics: Sequence[str] = ("pearson", "spearman", "kendall")
+) -> Dict[str, float]:
+    return {m: CORRELATION_METRICS[m](pred, true) for m in metrics}

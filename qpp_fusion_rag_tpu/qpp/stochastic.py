@@ -1,0 +1,112 @@
+"""Stochastic QPP: predictor robustness under ranking perturbations.
+
+Re-expresses the reference's stochastic_qpp package (reference
+stochastic_qpp/RankSwapper.java — swap relevant/non-relevant docs to
+generate permuted rankings; NoisePerturbationTieBreaker — ±δ score noise;
+StochasticQPPEvaluation.java — correlation distribution over sampled
+perturbations at several cutoffs) with vectorized numpy + fixed PRNG keys,
+so every experiment is reproducible.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+from qpp_fusion_rag_tpu.data.runtensor import RunTensor
+
+
+def swap_rank_pairs(
+    doc_ids: np.ndarray,     # [Q, K]
+    scores: np.ndarray,      # [Q, K]
+    rel_mask: np.ndarray,    # [Q, K] bool — doc at (q, k) is relevant
+    swap_frac: float = 0.2,
+    rng: Optional[np.random.Generator] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """RankSwapper: for a fraction of (relevant, non-relevant) position
+    pairs per query, swap the docs (scores keep their positions, so the
+    score distribution is unchanged but the ranking degrades)."""
+    rng = rng or np.random.default_rng(0)
+    doc_ids = doc_ids.copy()
+    Q, K = doc_ids.shape
+    for qi in range(Q):
+        rel_pos = np.flatnonzero(rel_mask[qi])
+        non_pos = np.flatnonzero(~rel_mask[qi] & (doc_ids[qi] >= 0))
+        n_swaps = int(round(swap_frac * min(len(rel_pos), len(non_pos))))
+        if n_swaps == 0:
+            continue
+        a = rng.choice(rel_pos, n_swaps, replace=False)
+        b = rng.choice(non_pos, n_swaps, replace=False)
+        doc_ids[qi, a], doc_ids[qi, b] = doc_ids[qi, b], doc_ids[qi, a].copy()
+    return doc_ids, scores
+
+
+def perturb_scores(
+    scores: np.ndarray,
+    delta: float = 0.05,
+    rng: Optional[np.random.Generator] = None,
+    resort: bool = True,
+) -> np.ndarray:
+    """NoisePerturbationTieBreaker: add uniform ±delta noise to scores
+    (optionally re-sorting each row descending, which permutes near-ties)."""
+    rng = rng or np.random.default_rng(0)
+    noisy = scores + rng.uniform(-delta, delta, scores.shape).astype(scores.dtype)
+    if resort:
+        noisy = -np.sort(-noisy, axis=-1)
+    return noisy
+
+
+def stochastic_qpp_evaluation(
+    rt: RunTensor,
+    qrels: Dict[str, Dict[str, int]],
+    n_samples: int = 10,
+    delta: float = 0.05,
+    cutoffs: Sequence[int] = (10, 20, 50),
+    target_metric: str = "nDCG@10",
+    correlation: str = "pearson",
+    seed: int = 0,
+    query_texts: Optional[Dict[str, str]] = None,
+) -> Dict:
+    """Correlation distribution of every QPP method under score
+    perturbations × cutoffs -> {cutoff: {method: {mean, std, samples}}}.
+
+    Reference semantics: StochasticQPPEvaluation.java — each sample
+    perturbs the rankings, recomputes QPP, and re-measures predictor
+    quality; a robust predictor has low variance across samples.
+    """
+    from qpp_fusion_rag_tpu.config import config
+    from qpp_fusion_rag_tpu.evaluation.ir_evaluator import per_query_metric
+    from qpp_fusion_rag_tpu.qpp.correlation import CORRELATION_METRICS
+    from qpp_fusion_rag_tpu.qpp.engine import compute_qpp_for_runtensor
+
+    corr_fn = CORRELATION_METRICS[correlation]
+    method_names = list(config.qpp.methods)
+    quality = per_query_metric(rt, qrels, metric=target_metric)   # [R, Q]
+    judged = np.array([q in qrels for q in rt.qids])
+    rng = np.random.default_rng(seed)
+
+    out: Dict = {}
+    for cutoff in cutoffs:
+        per_method: Dict[str, list] = {m: [] for m in method_names}
+        for _s in range(n_samples):
+            noisy = perturb_scores(rt.scores, delta=delta, rng=rng)
+            rt_s = RunTensor(rt.doc_ids, noisy.astype(np.float32), rt.qids,
+                             rt.retrievers, rt.vocab)
+            qpp = compute_qpp_for_runtensor(rt_s, query_texts=query_texts,
+                                            cutoff=cutoff)
+            for mi, mname in enumerate(method_names):
+                cs = [
+                    corr_fn(qpp[r, judged, mi], quality[r][judged])
+                    for r in range(rt.R)
+                ]
+                per_method[mname].append(float(np.mean(cs)))
+        out[cutoff] = {
+            m: {
+                "mean": float(np.mean(v)),
+                "std": float(np.std(v)),
+                "samples": v,
+            }
+            for m, v in per_method.items()
+        }
+    return out
