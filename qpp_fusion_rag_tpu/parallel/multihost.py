@@ -1,0 +1,50 @@
+"""Multi-host (DCN) initialization helpers.
+
+Single-host meshes come from `parallel.mesh.build_mesh`; for pods the JAX
+distributed runtime must initialize first so `jax.devices()` spans all
+hosts. Corpus sharding then works unchanged: rows split over the global
+`corpus` axis (DCN between hosts, ICI within), and each host feeds its
+local corpus shard via `host_local_corpus_slice`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialize jax.distributed (no-op on single-process runs).
+
+    With no arguments, relies on the cluster environment (TPU pod metadata
+    / JAX_COORDINATOR_ADDRESS etc.) per jax.distributed.initialize().
+    """
+    if jax.process_count() > 1:
+        return  # already initialized
+    kwargs = {}
+    if coordinator_address:
+        kwargs = dict(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (ValueError, RuntimeError):
+        # single-process / already-initialized environments
+        pass
+
+
+def host_local_corpus_slice(n_docs: int) -> Tuple[int, int]:
+    """Row range [start, stop) of the global corpus this host should load
+    and place into its shard of a corpus-sharded array."""
+    p = jax.process_index()
+    n = jax.process_count()
+    per = -(-n_docs // n)
+    start = min(p * per, n_docs)
+    return start, min(start + per, n_docs)

@@ -29,6 +29,19 @@ def iter_corpus_jsonl(path):
             yield str(d["_id"]), f"{title} {text}".strip()
 
 
+def iter_corpus_tsv(path):
+    """MS MARCO-style `docid\\ttext` TSV (reference indexing/MsMarcoIndexer)."""
+    with open(path) as f:
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) >= 2:
+                yield parts[0], " ".join(parts[1:])
+
+
+def iter_corpus(path):
+    return iter_corpus_tsv(path) if str(path).endswith(".tsv") else iter_corpus_jsonl(path)
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description="Build a sparse (BM25) index")
     ap.add_argument("--corpus", required=True, help="BEIR corpus.jsonl")
@@ -40,7 +53,7 @@ def main(argv=None) -> int:
     from qpp_fusion_rag_tpu.index.sparse import SparseIndex
 
     t0 = time.time()
-    idx = SparseIndex.build_bm25(iter_corpus_jsonl(args.corpus), k1=args.k1, b=args.b)
+    idx = SparseIndex.build_bm25(iter_corpus(args.corpus), k1=args.k1, b=args.b)
     build_s = time.time() - t0
     idx.save(args.output)
     print(
