@@ -5,6 +5,13 @@ retrieve → QPP → fuse path over an NQ-scale corpus (2.68M passages × 768
 dims, reference data/nq: BGE embedding matrix) on one chip. Target
 ≥ 10,000 fused queries/sec/chip; `vs_baseline` is value / 10k.
 
+Speed-of-light framing (measured on this v5e): the batch does
+2·R·B·N·D ≈ 20.6 TFLOP; sustained bf16 matmul peak measured via a chained
+4096³ matmul is ~139-172 TF/s (v5e bf16 peak is 197 TF/s), so the zero-
+overhead bound is ~104 ms/batch ≈ 9.8k q/s — the 10k target is parity with
+the hardware roofline. Current: Pallas group-max kernel at 151 TF/s (77%
+of peak) + ~42 ms approx merge + ~11 ms QPP/fusion.
+
 Everything (corpus, queries, projections) is generated on device; the
 timed region is the jitted pipeline step with a final device sync.
 Prints exactly one JSON line on stdout.

@@ -233,3 +233,35 @@ def test_qa_metrics_cli(tmp_path, rag_world, monkeypatch):
     data = json.loads(results_path.read_text())
     assert data["metrics_by_k"]["1"]["em"] == 0.5   # q1 exact, q2 wrong
     assert data["results"]["1"]["by_k"]["1"]["metrics"]["em"] == 1.0
+
+
+def test_qa_metrics_cli_semantic_and_judge(tmp_path, rag_world):
+    """--semantic and --judge paths with the fake transport injected."""
+    from unittest import mock
+
+    from qpp_fusion_rag_tpu.generation.client import GenerationOperation, QAGenerator
+    from qpp_fusion_rag_tpu.generation.rag_harness import RAGEvaluationHarness
+    from qpp_fusion_rag_tpu.pipeline import qa_metrics as qm
+
+    corpus, queries, qrels, run = rag_world
+    g = QAGenerator(GenerationOperation(transport=fake_transport_factory("fact1")))
+    h = RAGEvaluationHarness(g, corpus, qrels, k_shots=[1])
+    out = h.run(queries, run)
+    results_path = tmp_path / "f__m.json"
+    results_path.write_text(json.dumps(out))
+    gold_path = tmp_path / "gold.json"
+    gold_path.write_text(json.dumps({"1": ["fact1"], "2": ["fact2"]}))
+
+    fake = fake_transport_factory("4")
+    with mock.patch(
+        "qpp_fusion_rag_tpu.generation.client._default_transport", fake
+    ):
+        rc = qm.main([
+            "--results", str(results_path), "--gold-answers", str(gold_path),
+            "--semantic", "--judge",
+        ])
+    assert rc == 0
+    data = json.loads(results_path.read_text())
+    m = data["metrics_by_k"]["1"]
+    assert "semantic" in m and -1.0 - 1e-9 <= m["semantic"] <= 1.0 + 1e-9
+    assert m["llm_judge"] == 4.0

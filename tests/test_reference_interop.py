@@ -1,0 +1,74 @@
+"""Interop with REAL reference artifacts (skipped when not mounted).
+
+The reference checkout ships real scifact QPP files (300 queries × 5
+retrievers × 13 scores), queries.jsonl and qrels; run files are git-LFS
+stubs. These tests validate our file-format layer and weighted fusion
+against the genuine artifacts.
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REF = Path("/root/reference/data/scifact")
+
+pytestmark = pytest.mark.skipif(not REF.exists(), reason="reference data not mounted")
+
+
+def test_load_real_qpp_files():
+    from qpp_fusion_rag_tpu.data.loaders import load_qpp_scores
+
+    qpp = load_qpp_scores(REF / "qpp", suffix=".mmnorm.qpp")
+    # 5 retrievers, ~300 scifact test queries, 13 scores each
+    assert len(qpp) >= 200
+    any_q = next(iter(qpp.values()))
+    assert len(any_q) == 5
+    for scores in any_q.values():
+        assert len(scores) == 13
+        assert all(0.0 <= s <= 1.0 + 1e-6 for s in scores)  # min-max normalized
+
+
+def test_real_qrels_and_queries():
+    from qpp_fusion_rag_tpu.data.loaders import load_qrels, load_queries
+
+    qrels = load_qrels(REF / "BEIR-scifact" / "qrels" / "test.tsv")
+    assert len(qrels) == 300
+    queries = load_queries(REF / "BEIR-scifact")
+    assert len(queries) == 300           # split-filtered to qrels
+    assert all(isinstance(t, str) and t for t in queries.values())
+
+
+def test_weighted_fusion_with_real_qpp():
+    """QPP-weighted fusion over synthetic runs keyed by the REAL scifact
+    qids/retrievers/QPP weights — exercises get_qpp_weight + method_index
+    against genuine artifact content."""
+    from qpp_fusion_rag_tpu.data.loaders import load_qpp_scores
+    from qpp_fusion_rag_tpu.data.runtensor import RunTensor
+    from qpp_fusion_rag_tpu.data.vocab import DocVocab
+    from qpp_fusion_rag_tpu.fusion.engine import run_fusion, weights_from_qpp
+
+    qpp = load_qpp_scores(REF / "qpp", suffix=".mmnorm.qpp")
+    qids = sorted(qpp.keys(), key=lambda x: int(x))[:50]
+    retrievers = sorted(next(iter(qpp.values())).keys())
+
+    W = weights_from_qpp(qpp, qids, retrievers, qpp_index=5)  # RSD
+    assert W.shape == (5, 50)
+    assert np.all(W >= 0) and np.all(W <= 1 + 1e-6)
+    assert W.std() > 0  # real signal, not constant
+
+    rng = np.random.default_rng(0)
+    vocab = DocVocab()
+    K = 20
+    doc_ids = rng.integers(0, 500, (5, 50, K)).astype(np.int32)
+    for d in range(500):
+        vocab.add(f"doc{d}")
+    scores = np.sort(rng.uniform(0, 1, (5, 50, K)).astype(np.float32))[..., ::-1]
+    rt = RunTensor(doc_ids, np.ascontiguousarray(scores), qids, retrievers, vocab)
+
+    fused = run_fusion("wcombsum", rt, qpp=qpp, qpp_model="RSD")
+    assert fused.Q == 50
+    assert fused.retrievers == ["wcombsum-rsd"]
+    s = fused.scores[0]
+    valid = fused.doc_ids[0] >= 0
+    assert np.isfinite(s[valid]).all()
