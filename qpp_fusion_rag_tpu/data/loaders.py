@@ -198,6 +198,17 @@ def load_run_as_dict(run_path: PathLike) -> Dict[str, Dict[str, float]]:
     return dict(runs)
 
 
+def qid_sort_key(q: str):
+    """Canonical qid ordering: numeric and 'test<N>' qids numerically first,
+    then everything else lexicographically. Type-stable for mixed qid sets
+    (BEIR hotpotqa mixes all-digit and hex qids)."""
+    if q.startswith("test") and q[4:].isdigit():
+        return (0, int(q[4:]), q)
+    if q.isdigit():
+        return (0, int(q), q)
+    return (1, 0, q)
+
+
 def write_run_file(
     run: Dict[str, List[Tuple[str, float]]],
     output_path: PathLike,
@@ -205,17 +216,10 @@ def write_run_file(
 ) -> None:
     """Write {qid: [(docid, score)]} as TREC, sorted by score desc, ranks 1..n
     (reference src/fusion.py:480-493 semantics incl. the 'test<N>' qid sort)."""
-    def qid_key(q: str):
-        if q.startswith("test") and q[4:].isdigit():
-            return (0, int(q[4:]), q)
-        if q.isdigit():
-            return (0, int(q), q)
-        return (1, 0, q)
-
     path = Path(output_path)
     path.parent.mkdir(parents=True, exist_ok=True)
     with open(path, "w") as fout:
-        for qid in sorted(run.keys(), key=qid_key):
+        for qid in sorted(run.keys(), key=qid_sort_key):
             ranked = sorted(run[qid], key=lambda x: x[1], reverse=True)
             for rank, (docid, score) in enumerate(ranked, start=1):
                 fout.write(f"{qid} Q0 {docid} {rank} {score:.6f} {tag}\n")
@@ -259,7 +263,7 @@ def write_qpp_file(results: Dict[str, List[float]], output_path: PathLike) -> No
     path = Path(output_path)
     path.parent.mkdir(parents=True, exist_ok=True)
     with open(path, "w") as f:
-        for qid in sorted(results.keys(), key=lambda x: int(x) if x.isdigit() else x):
+        for qid in sorted(results.keys(), key=qid_sort_key):
             score_str = "\t".join(f"{s:.6f}" for s in results[qid])
             f.write(f"{qid}\t{score_str}\n")
 

@@ -24,19 +24,11 @@ from typing import Dict, List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 
-from qpp_fusion_rag_tpu.data.loaders import load_run_file, write_run_file
+from qpp_fusion_rag_tpu.data.loaders import load_run_file, qid_sort_key, write_run_file
 from qpp_fusion_rag_tpu.data.vocab import PAD_ID, DocVocab
 
 NEG_INF = np.float32(-np.inf)
 PathLike = Union[str, os.PathLike]
-
-
-def _qid_sort_key(q: str):
-    if q.startswith("test") and q[4:].isdigit():
-        return (0, int(q[4:]), q)
-    if q.isdigit():
-        return (0, int(q), q)
-    return (1, 0, q)
 
 
 @dataclass
@@ -101,7 +93,7 @@ class RunTensor:
             qid_set = set()
             for run in runs.values():
                 qid_set.update(run.keys())
-            qids = sorted(qid_set, key=_qid_sort_key)
+            qids = sorted(qid_set, key=qid_sort_key)
         qids = list(qids)
 
         if k is None:

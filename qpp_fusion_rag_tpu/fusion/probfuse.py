@@ -38,25 +38,33 @@ class ProbFuse:
         """Estimate per-ranker segment probabilities on the given queries."""
         K = min(self.depth, rt.K)
         seg = _segment_index(K, self.x)                     # [K]
+        judged_q = np.array([q in qrels for q in rt.qids])
+        # judged-doc mask: retrieved doc has ANY judgment (rel or explicit
+        # non-rel) in qrels — the denominator of the "judged" variant.
+        judged_ids = {
+            qi: {rt.vocab.id_of(d) for d in qrels[q]}
+            for qi, q in enumerate(rt.qids) if q in qrels
+        }
         for r, name in enumerate(rt.retrievers):
             gains, _n_rel, _ideal = align_relevance(
                 rt.doc_ids[r][:, :K], rt.qids, qrels, rt.vocab
             )
-            rel = gains > 0                                  # [Q, K]
-            judged_q = np.array([q in qrels for q in rt.qids])
-            rel = rel[judged_q]
-            valid = rt.doc_ids[r][judged_q, :K] >= 0
+            rel = gains[judged_q] > 0                        # [Qj, K]
+            doc_ids = rt.doc_ids[r][judged_q, :K]
+            valid = doc_ids >= 0
+            judged_mask = np.zeros_like(valid)
+            for row, qi in enumerate(np.flatnonzero(judged_q)):
+                ids = judged_ids.get(int(qi), set())
+                judged_mask[row] = np.isin(doc_ids[row], list(ids))
             p = np.zeros(self.x, dtype=np.float64)
             for s in range(self.x):
                 cols = seg == s
                 if self.variant == "judged":
-                    # P = rel / judged-in-segment; unjudged docs are not
-                    # counted (reference "judged" variant). Without a
-                    # judgment pool, judged == retrieved ∩ qrels docs; we
-                    # approximate judged by rel+explicit-nonrel = all valid
-                    # docs of judged queries (BEIR qrels are positives-only).
-                    denom = valid[:, cols].sum()
+                    # P = rel / judged-in-segment (unjudged docs excluded,
+                    # reference "judged" variant)
+                    denom = judged_mask[:, cols].sum()
                 else:
+                    # "all": every retrieved doc counts in the denominator
                     denom = valid[:, cols].sum()
                 num = rel[:, cols].sum()
                 p[s] = num / denom if denom > 0 else 0.0

@@ -224,7 +224,7 @@ class Booster:
         best_val, best_ntrees, bad = np.inf, 0, 0
         min_leaf = int(p["min_data_in_leaf"])
         lam = float(p["lambda_l2"])
-        self.importance = np.zeros(F, dtype=np.float64)
+        per_tree_importance: List[np.ndarray] = []
         history = {"train_mse": [], "val_mse": []}
 
         for it in range(int(p["num_boost_round"])):
@@ -241,7 +241,7 @@ class Booster:
                 int(p["num_leaves"]), min_leaf, lam, feat_cols, n_bins,
             )
             self.trees.append(tree)
-            self.importance += imp
+            per_tree_importance.append(imp)
             pred += lr * _predict_tree_host(tree, X)
             history["train_mse"].append(float(np.mean((y - pred) ** 2)))
             if has_val:
@@ -255,6 +255,11 @@ class Booster:
                     if bad >= int(p["early_stopping_rounds"]):
                         self.trees = self.trees[:best_ntrees]
                         break
+        # importance only from trees kept after early stopping
+        kept = per_tree_importance[: len(self.trees)]
+        self.importance = (
+            np.sum(kept, axis=0) if kept else np.zeros(F, dtype=np.float64)
+        )
         self._ensemble = None
         return {
             "n_trees": len(self.trees),

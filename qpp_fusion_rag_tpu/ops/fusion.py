@@ -37,15 +37,17 @@ SENTINEL = jnp.int32(2**31 - 1)
 COMBSUM, COMBMNZ, RRF = 0, 1, 2
 
 
-def _row_minmax(scores: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
-    """Per-row min-max over valid entries; equal-score rows map to 0."""
+def _row_minmax(scores: jnp.ndarray, valid: jnp.ndarray, fill: float = 0.0) -> jnp.ndarray:
+    """Per-row min-max over valid entries; equal-score rows map to 0.
+    Invalid entries become `fill` (0 for fusion contributions, -inf for the
+    .norm.res score contract used by the pipeline engine)."""
     s = jnp.where(valid, scores, jnp.inf)
     mn = jnp.min(s, axis=-1, keepdims=True)
     s2 = jnp.where(valid, scores, -jnp.inf)
     mx = jnp.max(s2, axis=-1, keepdims=True)
     rng = jnp.where(mx > mn, mx - mn, 1.0)
     out = (scores - jnp.where(jnp.isfinite(mn), mn, 0.0)) / rng
-    return jnp.where(valid, out, 0.0)
+    return jnp.where(valid, out, fill)
 
 
 def _fuse_one_query(

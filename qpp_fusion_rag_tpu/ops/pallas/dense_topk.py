@@ -34,34 +34,63 @@ from jax.experimental.pallas import tpu as pltpu
 GROUP = 128  # docs per emitted candidate (VPU lane width)
 
 
-def _kernel(q_ref, c_ref, vals_ref, ids_ref):
-    # q_ref [TM, D] bf16, c_ref [TN, D] bf16 -> scores [TM, TN] f32 (VMEM only)
-    scores = jax.lax.dot_general(
-        q_ref[:], c_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    TM, TN = scores.shape
-    g = TN // GROUP
-    s3 = scores.reshape(TM, g, GROUP)
-    vals_ref[0] = jnp.max(s3, axis=-1)
-    arg = jnp.argmax(s3, axis=-1).astype(jnp.int32)          # [TM, g] in-group
-    j = pl.program_id(0)  # n-tile index (outer grid axis)
-    base = j * TN + jax.lax.broadcasted_iota(jnp.int32, (TM, g), 1) * GROUP
-    ids_ref[0] = base + arg
+def _make_kernel(n_real: int):
+    """Kernel factory closing over the real (unpadded) corpus length so
+    zero-vector pad docs are masked to -inf INSIDE the kernel — scores are
+    VMEM-resident there, so the mask is free, whereas pad docs left at
+    score 0 would displace negative-scoring real docs from their group's
+    argmax (losing up to GROUP-1 real candidates in the boundary tile)."""
+
+    def _kernel(q_ref, c_ref, vals_ref, ids_ref):
+        # q_ref [TM, D] bf16, c_ref [TN, D] bf16 -> scores [TM, TN] f32 (VMEM)
+        scores = jax.lax.dot_general(
+            q_ref[:], c_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        TM, TN = scores.shape
+        j = pl.program_id(0)  # n-tile index (outer grid axis)
+        col = j * TN + jax.lax.broadcasted_iota(jnp.int32, (TM, TN), 1)
+        scores = jnp.where(col < n_real, scores, -jnp.inf)
+        g = TN // GROUP
+        s3 = scores.reshape(TM, g, GROUP)
+        vals_ref[0] = jnp.max(s3, axis=-1)
+        arg = jnp.argmax(s3, axis=-1).astype(jnp.int32)      # [TM, g] in-group
+        base = j * TN + jax.lax.broadcasted_iota(jnp.int32, (TM, g), 1) * GROUP
+        ids_ref[0] = base + arg
+
+    def _kernel_nomask(q_ref, c_ref, vals_ref, ids_ref):
+        scores = jax.lax.dot_general(
+            q_ref[:], c_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        TM, TN = scores.shape
+        g = TN // GROUP
+        s3 = scores.reshape(TM, g, GROUP)
+        vals_ref[0] = jnp.max(s3, axis=-1)
+        arg = jnp.argmax(s3, axis=-1).astype(jnp.int32)
+        j = pl.program_id(0)
+        base = j * TN + jax.lax.broadcasted_iota(jnp.int32, (TM, g), 1) * GROUP
+        ids_ref[0] = base + arg
+
+    return _kernel, _kernel_nomask
 
 
-@partial(jax.jit, static_argnames=("tm", "tn"))
+@partial(jax.jit, static_argnames=("tm", "tn", "n_real"))
 def group_max_scores(
     q: jnp.ndarray,        # [M, D] (cast to corpus dtype)
     corpus: jnp.ndarray,   # [N, D], N % tn == 0
     tm: int = 256,         # VMEM-validated on v5e with tn=2048, D=768
     tn: int = 2048,
+    n_real: int = 0,       # real corpus length; 0 means "no padding"
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """-> (vals [M, N/GROUP] f32, ids [M, N/GROUP] i32 global doc ids)."""
     M, D = q.shape
     N = corpus.shape[0]
     assert N % tn == 0 and tn % GROUP == 0, (N, tn)
+    masked_kernel, nomask_kernel = _make_kernel(n_real)
+    kernel = nomask_kernel if (n_real == 0 or n_real == N) else masked_kernel
     pad_m = (-M) % tm
     if pad_m:
         q = jnp.pad(q, ((0, pad_m), (0, 0)))
@@ -79,7 +108,7 @@ def group_max_scores(
     # specs need the last dim to be 128-divisible OR the full array dim —
     # g_out (e.g. 16) is small, so it must be the full trailing dim.
     vals, ids = pl.pallas_call(
-        _kernel,
+        kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((tm, D), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
@@ -122,9 +151,8 @@ def pallas_dense_topk(
     pad_n = (-n) % tn
     if pad_n:
         corpus = jnp.pad(corpus, ((0, pad_n), (0, 0)))
-    vals, ids = group_max_scores(queries, corpus, tm=tm, tn=tn)
-    if pad_n:
-        vals = jnp.where(ids < n, vals, -jnp.inf)
+    vals, ids = group_max_scores(queries, corpus, tm=tm, tn=tn,
+                                 n_real=n if pad_n else 0)
     kk = min(k, vals.shape[-1])
     if exact_merge or vals.shape[-1] <= max(kk * 4, 256):
         top_vals, top_idx = jax.lax.top_k(vals, kk)

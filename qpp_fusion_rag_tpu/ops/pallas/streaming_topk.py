@@ -33,57 +33,68 @@ SUPER = 16 * SUB     # docs per grid step (output tile: SUPER/GROUP = 128 cols)
 MSLAB = 512          # query rows per inner matmul
 
 
-def _kernel(q_ref, corpus_ref, vals_ref, ids_ref, c_scratch, sems):
-    sup = pl.program_id(0)
-    M = q_ref.shape[0]
-    base_doc = sup * SUPER
+def _make_kernel(n_real: int):
+    """Kernel factory closing over the real corpus length: zero-vector pad
+    docs (score 0) must rank as -inf inside the kernel or they displace
+    negative-scoring real docs from their group's argmax."""
 
-    def dma(slot, sub):
-        return pltpu.make_async_copy(
-            corpus_ref.at[pl.ds(base_doc + sub * SUB, SUB), :],
-            c_scratch.at[slot],
-            sems.at[slot],
-        )
+    def _kernel(q_ref, corpus_ref, vals_ref, ids_ref, c_scratch, sems):
+        sup = pl.program_id(0)
+        M = q_ref.shape[0]
+        base_doc = sup * SUPER
 
-    dma(0, 0).start()
-    n_sub = SUPER // SUB
-
-    for sub in range(n_sub):                      # static unroll (16)
-        slot = sub % 2
-        if sub + 1 < n_sub:
-            dma((sub + 1) % 2, sub + 1).start()
-        dma(slot, sub).wait()
-        block = c_scratch[slot]                   # [SUB, D]
-
-        def m_body(mi, _):
-            q = q_ref[pl.ds(mi * MSLAB, MSLAB), :]
-            s = jax.lax.dot_general(
-                q, block, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                      # [MSLAB, SUB]
-            g = SUB // GROUP
-            s3 = s.reshape(MSLAB, g, GROUP)
-            vals_ref[0, pl.ds(mi * MSLAB, MSLAB), pl.ds(sub * g, g)] = jnp.max(s3, -1)
-            arg = jnp.argmax(s3, -1).astype(jnp.int32)
-            base = (
-                base_doc + sub * SUB
-                + jax.lax.broadcasted_iota(jnp.int32, (MSLAB, g), 1) * GROUP
+        def dma(slot, sub):
+            return pltpu.make_async_copy(
+                corpus_ref.at[pl.ds(base_doc + sub * SUB, SUB), :],
+                c_scratch.at[slot],
+                sems.at[slot],
             )
-            ids_ref[0, pl.ds(mi * MSLAB, MSLAB), pl.ds(sub * g, g)] = base + arg
-            return 0
 
-        jax.lax.fori_loop(0, M // MSLAB, m_body, 0)
+        dma(0, 0).start()
+        n_sub = SUPER // SUB
+
+        for sub in range(n_sub):                  # static unroll (16)
+            slot = sub % 2
+            if sub + 1 < n_sub:
+                dma((sub + 1) % 2, sub + 1).start()
+            dma(slot, sub).wait()
+            block = c_scratch[slot]               # [SUB, D]
+
+            def m_body(mi, _, sub=sub):
+                q = q_ref[pl.ds(mi * MSLAB, MSLAB), :]
+                s = jax.lax.dot_general(
+                    q, block, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                  # [MSLAB, SUB]
+                if n_real:
+                    col = (base_doc + sub * SUB
+                           + jax.lax.broadcasted_iota(jnp.int32, (MSLAB, SUB), 1))
+                    s = jnp.where(col < n_real, s, -jnp.inf)
+                g = SUB // GROUP
+                s3 = s.reshape(MSLAB, g, GROUP)
+                vals_ref[0, pl.ds(mi * MSLAB, MSLAB), pl.ds(sub * g, g)] = jnp.max(s3, -1)
+                arg = jnp.argmax(s3, -1).astype(jnp.int32)
+                base = (
+                    base_doc + sub * SUB
+                    + jax.lax.broadcasted_iota(jnp.int32, (MSLAB, g), 1) * GROUP
+                )
+                ids_ref[0, pl.ds(mi * MSLAB, MSLAB), pl.ds(sub * g, g)] = base + arg
+                return 0
+
+            jax.lax.fori_loop(0, M // MSLAB, m_body, 0)
+
+    return _kernel
 
 
-@partial(jax.jit, static_argnames=())
-def _streaming_group_max(q: jnp.ndarray, corpus: jnp.ndarray):
-    """q [M, D] (M % 256 == 0), corpus [N, D] (N % SUPER == 0)
+@partial(jax.jit, static_argnames=("n_real",))
+def _streaming_group_max(q: jnp.ndarray, corpus: jnp.ndarray, n_real: int = 0):
+    """q [M, D] (M % MSLAB == 0), corpus [N, D] (N % SUPER == 0)
     -> (vals [M, N/128] f32, ids [M, N/128] i32)."""
     M, D = q.shape
     N = corpus.shape[0]
     n_super = N // SUPER
     vals, ids = pl.pallas_call(
-        _kernel,
+        _make_kernel(0 if n_real == N else n_real),
         grid=(n_super,),
         in_specs=[
             pl.BlockSpec((M, D), lambda j: (0, 0), memory_space=pltpu.VMEM),
@@ -139,14 +150,13 @@ def streaming_dense_topk(
     outs_v, outs_i = [], []
     for start in range(0, q.shape[0], rb):
         v, i = _streaming_group_max(
-            jax.lax.dynamic_slice_in_dim(q, start, rb, 0), corpus
+            jax.lax.dynamic_slice_in_dim(q, start, rb, 0), corpus,
+            n_real=n if pad_n else 0,
         )
         outs_v.append(v)
         outs_i.append(i)
     vals = jnp.concatenate(outs_v, axis=0)[:B]
     ids = jnp.concatenate(outs_i, axis=0)[:B]
-    if pad_n:
-        vals = jnp.where(ids < n, vals, -jnp.inf)
     kk = min(k, vals.shape[-1])
     tv, tx = jax.lax.approx_max_k(vals, kk, recall_target=0.95)
     ti = jnp.take_along_axis(ids, tx, axis=-1)

@@ -19,13 +19,13 @@ def init_distributed(
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
 ) -> None:
-    """Initialize jax.distributed (no-op on single-process runs).
+    """Initialize jax.distributed. MUST run before any other JAX call —
+    touching the backend first (even jax.process_count()) makes
+    initialize() raise unconditionally, so no backend probe happens here.
 
     With no arguments, relies on the cluster environment (TPU pod metadata
     / JAX_COORDINATOR_ADDRESS etc.) per jax.distributed.initialize().
     """
-    if jax.process_count() > 1:
-        return  # already initialized
     kwargs = {}
     if coordinator_address:
         kwargs = dict(
@@ -35,9 +35,16 @@ def init_distributed(
         )
     try:
         jax.distributed.initialize(**kwargs)
-    except (ValueError, RuntimeError):
-        # single-process / already-initialized environments
-        pass
+    except RuntimeError as e:
+        # Tolerate double-initialization; surface everything else (silently
+        # running single-host on a pod corrupts corpus sharding).
+        if "already" in str(e).lower():
+            return
+        raise
+    except ValueError:
+        # No cluster environment detected -> single-process run.
+        if jax.process_count() > 1:
+            raise
 
 
 def host_local_corpus_slice(n_docs: int) -> Tuple[int, int]:

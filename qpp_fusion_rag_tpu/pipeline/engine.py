@@ -34,14 +34,23 @@ from qpp_fusion_rag_tpu.models.mlp import init_mlp_params, mlp_apply, soft_cross
 
 def _row_minmax_scores(vals: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     """Per-(retriever, query) min-max — the .norm.res contract on device
-    (reference src/retrievers/base.py:60-73)."""
-    s = jnp.where(valid, vals, jnp.inf)
-    mn = jnp.min(s, axis=-1, keepdims=True)
-    s2 = jnp.where(valid, vals, -jnp.inf)
-    mx = jnp.max(s2, axis=-1, keepdims=True)
-    rng = jnp.where(mx > mn, mx - mn, 1.0)
-    out = (vals - jnp.where(jnp.isfinite(mn), mn, 0.0)) / rng
-    return jnp.where(valid, out, -jnp.inf)
+    (reference src/retrievers/base.py:60-73); shares ops.fusion's kernel."""
+    return F._row_minmax(vals, valid, fill=-jnp.inf)
+
+
+def _retrieve_qpp_norm(q_emb, view_proj, corpus, text_feats, k, chunk, use_pallas):
+    """Shared pipeline front half: retrieval + QPP + .norm.res scores.
+    Both the QPP-weighted and learned serving paths build on this, so
+    kernel-path fixes apply to every flagship step at once."""
+    if use_pallas:
+        from qpp_fusion_rag_tpu.ops.pallas.dense_topk import pallas_multi_view_topk
+
+        vals, ids = pallas_multi_view_topk(q_emb, view_proj, corpus, k=k)
+    else:
+        vals, ids = D.multi_view_topk(q_emb, view_proj, corpus, k=k, chunk=chunk)
+    qpp = qpp_from_runs(vals, ids, text_feats)
+    norm = _row_minmax_scores(vals, ids >= 0)
+    return vals, ids, qpp, norm
 
 
 def qpp_from_runs(
@@ -82,17 +91,39 @@ def fused_retrieval_step(
     fused_scores [B, k_out], qpp [R, B, 13]). Multi-chip execution comes
     from jit sharding propagation over pre-sharded inputs (see
     __graft_entry__.dryrun_multichip)."""
-    if use_pallas:
-        from qpp_fusion_rag_tpu.ops.pallas.dense_topk import pallas_multi_view_topk
-
-        vals, ids = pallas_multi_view_topk(q_emb, view_proj, corpus, k=k)
-    else:
-        vals, ids = D.multi_view_topk(q_emb, view_proj, corpus, k=k, chunk=chunk)
-    qpp = qpp_from_runs(vals, ids, text_feats)
+    _vals, ids, qpp, norm = _retrieve_qpp_norm(
+        q_emb, view_proj, corpus, text_feats, k, chunk, use_pallas
+    )
     weights = qpp[..., qpp_index]                                  # [R, B]
-    norm = _row_minmax_scores(vals, ids >= 0)
     fused_ids, fused_scores = F.fuse_kernel(
         ids, norm, weights, method=method, minmax_norm=False, k_out=k_out
+    )
+    return fused_ids, fused_scores, qpp
+
+
+@partial(jax.jit, static_argnames=("k", "chunk", "k_out", "use_pallas"))
+def learned_fused_retrieval_step(
+    mlp_params,
+    q_emb: jnp.ndarray,       # [B, D]
+    view_proj: jnp.ndarray,   # [R, D, Dv]
+    corpus: jnp.ndarray,      # [N, Dv]
+    text_feats: jnp.ndarray,  # [B, 4]
+    k: int = 100,
+    chunk: int = 16384,
+    k_out: int = 100,
+    use_pallas: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Learned-fusion forward: retrieval → QPP features → MLP softmax
+    weights → weighted CombSUM, one compiled program (serving-path analogue
+    of reference learned_fusion, src/fusion.py:387-448)."""
+    _vals, ids, qpp, norm = _retrieve_qpp_norm(
+        q_emb, view_proj, corpus, text_feats, k, chunk, use_pallas
+    )
+    R, B, M = qpp.shape
+    feats = jnp.transpose(qpp, (1, 0, 2)).reshape(B, R * M)
+    weights = jax.nn.softmax(mlp_apply(mlp_params, feats), axis=-1).T  # [R, B]
+    fused_ids, fused_scores = F.fuse_kernel(
+        ids, norm, weights, method=F.COMBSUM, minmax_norm=False, k_out=k_out
     )
     return fused_ids, fused_scores, qpp
 

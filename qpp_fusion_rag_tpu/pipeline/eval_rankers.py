@@ -32,7 +32,7 @@ def to_latex(results, metrics, dataset) -> str:
     rows = []
     for name, r in sorted(results.items(), key=lambda kv: -kv[1]["metrics"][metrics[0]]):
         vals = " & ".join(f"{r['metrics'][m]:.4f}" for m in metrics)
-        rows.append(f"{name.replace('_', r'\\_')} & {r['category']} & {vals} \\\\")
+        rows.append(f"{name.replace('_', r'\_')} & {r['category']} & {vals} \\\\")
     body = "\n".join(rows)
     return (
         f"\\begin{{table}}[t]\n\\centering\n\\caption{{Retriever quality on {dataset}}}\n"

@@ -16,7 +16,7 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 
 from qpp_fusion_rag_tpu.config import config
-from qpp_fusion_rag_tpu.data.loaders import write_qpp_file
+from qpp_fusion_rag_tpu.data.loaders import qid_sort_key, write_qpp_file
 from qpp_fusion_rag_tpu.data.runtensor import RunTensor
 from qpp_fusion_rag_tpu.ops import qpp as Q
 
@@ -40,7 +40,7 @@ def compute_qpp(
     cutoff = cutoff or config.qpp.cutoff_k
     query_texts = query_texts or {}
 
-    qids = sorted(scores_by_qid.keys(), key=lambda x: int(x) if x.isdigit() else x)
+    qids = sorted(scores_by_qid.keys(), key=qid_sort_key)
     rows = [sorted(scores_by_qid[q], reverse=True)[:top_k] for q in qids]
     K = max((len(r) for r in rows), default=1)
     mat = np.zeros((len(qids), K), dtype=np.float32)

@@ -67,12 +67,14 @@ def sampled_uef(
     base_qpp: Callable[[np.ndarray], float] = _base_nqc,
     seed: int = 0,
 ) -> float:
-    """UEF = (N / avg rank distance under perturbation-rerank) · baseQPP.
+    """UEF = baseQPP / (1 + avg rank distance under perturbation-rerank).
 
     The reference reranks samples with a relevance model and measures rank
     distance to the original (UEFSpecificity.java:24-65); without an index
-    the rerank is modeled as score perturbation — stable rankings (low
-    rank distance) inflate confidence in the base predictor.
+    the rerank is modeled as score perturbation — a stable ranking (low
+    rank distance) keeps the base predictor's value, an unstable one
+    attenuates it. rank_distance is already length-normalized, so no
+    additional N scaling applies.
     """
     s = np.asarray(scores, np.float64)
     n = len(s)
@@ -86,4 +88,4 @@ def sampled_uef(
         reranked = [int(i) for i in np.argsort(-noisy)]
         dists.append(rank_distance(full, reranked))
     avg_dist = float(np.mean(dists))
-    return float(n / (1.0 + avg_dist) * base_qpp(s)) / n
+    return float(base_qpp(s) / (1.0 + avg_dist))

@@ -70,3 +70,19 @@ def test_pallas_multi_view(qc):
     for r in range(2):
         s = (q @ proj[r]) @ c.T
         np.testing.assert_array_equal(np.asarray(ids)[r, :, 0], np.argmax(s, axis=-1))
+
+
+def test_pallas_pad_docs_do_not_displace_negative_scores():
+    """Zero-vector pad docs score 0; with all-negative real scores they must
+    not steal group-argmax slots (regression: the post-hoc ids<n mask used
+    to drop whole boundary groups)."""
+    rng = np.random.default_rng(9)
+    q = rng.standard_normal((4, 32)).astype(np.float32)
+    c = -np.abs(rng.standard_normal((100, 32))).astype(np.float32)
+    # make all inner products negative: q positive, c negative
+    q = np.abs(q)
+    vals, ids = pallas_dense_topk(jnp.asarray(q), jnp.asarray(c), k=5, tm=8, tn=256)
+    ids = np.asarray(ids)
+    assert np.all(ids[:, 0] >= 0), ids[:, 0]
+    s = q @ c.T
+    np.testing.assert_array_equal(ids[:, 0], np.argmax(s, axis=-1))

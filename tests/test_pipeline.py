@@ -98,3 +98,20 @@ def test_graft_entry_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_learned_fused_retrieval_step():
+    import jax
+    from qpp_fusion_rag_tpu.models.mlp import init_mlp_params
+    from qpp_fusion_rag_tpu.pipeline.engine import learned_fused_retrieval_step
+
+    q, proj, c, tf = _inputs()
+    params = init_mlp_params(jax.random.PRNGKey(0), [3 * 13, 16, 3])
+    ids, scores, qpp = learned_fused_retrieval_step(
+        params, jnp.asarray(q), jnp.asarray(proj), jnp.asarray(c), jnp.asarray(tf),
+        k=20, chunk=128, k_out=10,
+    )
+    assert ids.shape == (8, 10)
+    s = np.asarray(scores)
+    assert np.all(np.diff(s, axis=-1) <= 1e-6)
+    assert np.isfinite(s[:, 0]).all()

@@ -36,3 +36,14 @@ def test_streaming_topk_row_and_corpus_padding():
     assert np.asarray(i).max() < SUPER + 100
     s = q @ c.T
     np.testing.assert_array_equal(np.asarray(i)[:, 0], np.argmax(s, -1))
+
+
+def test_streaming_pad_docs_do_not_displace_negative_scores():
+    rng = np.random.default_rng(9)
+    q = np.abs(rng.standard_normal((3, 32))).astype(np.float32)
+    c = -np.abs(rng.standard_normal((SUPER - 500, 32))).astype(np.float32)
+    v, i = streaming_dense_topk(jnp.asarray(q), jnp.asarray(c), k=5)
+    i = np.asarray(i)
+    assert np.all(i[:, 0] >= 0)
+    s = q @ c.T
+    np.testing.assert_array_equal(i[:, 0], np.argmax(s, axis=-1))
