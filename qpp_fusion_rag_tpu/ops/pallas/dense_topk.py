@@ -34,12 +34,20 @@ from jax.experimental.pallas import tpu as pltpu
 GROUP = 128  # docs per emitted candidate (VPU lane width)
 
 
-def _make_kernel(n_real: int):
-    """Kernel factory closing over the real (unpadded) corpus length so
-    zero-vector pad docs are masked to -inf INSIDE the kernel — scores are
-    VMEM-resident there, so the mask is free, whereas pad docs left at
-    score 0 would displace negative-scoring real docs from their group's
-    argmax (losing up to GROUP-1 real candidates in the boundary tile)."""
+def _make_kernel(n_real: int, stride: int = 1):
+    """Kernel factory.
+
+    n_real > 0 masks zero-vector pad docs to -inf INSIDE the kernel —
+    scores are VMEM-resident there, so the mask is free, whereas pad docs
+    left at score 0 would displace negative-scoring real docs from their
+    group's argmax (losing up to GROUP-1 real candidates per boundary tile).
+
+    stride > 1 adds a second in-kernel reduction level: `stride` adjacent
+    128-doc group maxima collapse to one emitted candidate (per
+    stride·GROUP docs), shrinking both the output traffic and the phase-2
+    merge input by stride× at a small recall cost (collisions of top-k
+    docs within a coarse block).
+    """
 
     def _kernel(q_ref, c_ref, vals_ref, ids_ref):
         # q_ref [TM, D] bf16, c_ref [TN, D] bf16 -> scores [TM, TN] f32 (VMEM)
@@ -50,47 +58,51 @@ def _make_kernel(n_real: int):
         )
         TM, TN = scores.shape
         j = pl.program_id(0)  # n-tile index (outer grid axis)
-        col = j * TN + jax.lax.broadcasted_iota(jnp.int32, (TM, TN), 1)
-        scores = jnp.where(col < n_real, scores, -jnp.inf)
+        if n_real:
+            col = j * TN + jax.lax.broadcasted_iota(jnp.int32, (TM, TN), 1)
+            scores = jnp.where(col < n_real, scores, -jnp.inf)
         g = TN // GROUP
         s3 = scores.reshape(TM, g, GROUP)
-        vals_ref[0] = jnp.max(s3, axis=-1)
-        arg = jnp.argmax(s3, axis=-1).astype(jnp.int32)      # [TM, g] in-group
+        v1 = jnp.max(s3, axis=-1)                            # [TM, g]
+        arg = jnp.argmax(s3, axis=-1).astype(jnp.int32)      # in-group lane
         base = j * TN + jax.lax.broadcasted_iota(jnp.int32, (TM, g), 1) * GROUP
-        ids_ref[0] = base + arg
+        i1 = base + arg                                      # global doc ids
+        if stride == 1:
+            vals_ref[0] = v1
+            ids_ref[0] = i1
+        else:
+            # Unrolled elementwise max-select over contiguous column blocks
+            # (Mosaic supports neither 3D gather nor [TM, g] -> [TM, g2, s]
+            # shape casts; merging ANY disjoint group sets is equally valid
+            # since doc ids are tracked exactly).
+            g2 = g // stride
+            best_v, best_i = v1[:, :g2], i1[:, :g2]
+            for t in range(1, stride):
+                cv = v1[:, t * g2:(t + 1) * g2]
+                ci = i1[:, t * g2:(t + 1) * g2]
+                better = cv > best_v
+                best_v = jnp.where(better, cv, best_v)
+                best_i = jnp.where(better, ci, best_i)
+            vals_ref[0] = best_v
+            ids_ref[0] = best_i
 
-    def _kernel_nomask(q_ref, c_ref, vals_ref, ids_ref):
-        scores = jax.lax.dot_general(
-            q_ref[:], c_ref[:],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        TM, TN = scores.shape
-        g = TN // GROUP
-        s3 = scores.reshape(TM, g, GROUP)
-        vals_ref[0] = jnp.max(s3, axis=-1)
-        arg = jnp.argmax(s3, axis=-1).astype(jnp.int32)
-        j = pl.program_id(0)
-        base = j * TN + jax.lax.broadcasted_iota(jnp.int32, (TM, g), 1) * GROUP
-        ids_ref[0] = base + arg
-
-    return _kernel, _kernel_nomask
+    return _kernel
 
 
-@partial(jax.jit, static_argnames=("tm", "tn", "n_real"))
+@partial(jax.jit, static_argnames=("tm", "tn", "n_real", "stride"))
 def group_max_scores(
     q: jnp.ndarray,        # [M, D] (cast to corpus dtype)
     corpus: jnp.ndarray,   # [N, D], N % tn == 0
     tm: int = 256,         # VMEM-validated on v5e with tn=2048, D=768
     tn: int = 2048,
     n_real: int = 0,       # real corpus length; 0 means "no padding"
+    stride: int = 1,       # 2nd-level reduction: one candidate per stride*GROUP docs
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """-> (vals [M, N/GROUP] f32, ids [M, N/GROUP] i32 global doc ids)."""
+    """-> (vals [M, N/(GROUP·stride)] f32, ids ... i32 global doc ids)."""
     M, D = q.shape
     N = corpus.shape[0]
-    assert N % tn == 0 and tn % GROUP == 0, (N, tn)
-    masked_kernel, nomask_kernel = _make_kernel(n_real)
-    kernel = nomask_kernel if (n_real == 0 or n_real == N) else masked_kernel
+    assert N % tn == 0 and tn % (GROUP * stride) == 0, (N, tn, stride)
+    kernel = _make_kernel(0 if n_real == N else n_real, stride)
     pad_m = (-M) % tm
     if pad_m:
         q = jnp.pad(q, ((0, pad_m), (0, 0)))
@@ -102,7 +114,7 @@ def group_max_scores(
     # keeps it VMEM-resident instead of re-streaming the whole corpus once
     # per query tile (which costs m_tiles × corpus-size of HBM reads).
     grid = (N // tn, Mp // tm)
-    g_out = tn // GROUP
+    g_out = tn // (GROUP * stride)
     n_tiles = N // tn
     # Output is [n_tiles, Mp, g_out] with the n-tile axis leading: TPU block
     # specs need the last dim to be 128-divisible OR the full array dim —
@@ -129,12 +141,13 @@ def group_max_scores(
         ),
         interpret=jax.default_backend() != "tpu",  # CPU tests run interpreted
     )(q, corpus)
-    vals = jnp.moveaxis(vals, 0, 1).reshape(Mp, N // GROUP)
-    ids = jnp.moveaxis(ids, 0, 1).reshape(Mp, N // GROUP)
+    g_total = N // (GROUP * stride)
+    vals = jnp.moveaxis(vals, 0, 1).reshape(Mp, g_total)
+    ids = jnp.moveaxis(ids, 0, 1).reshape(Mp, g_total)
     return vals[:M], ids[:M]
 
 
-@partial(jax.jit, static_argnames=("k", "tm", "tn", "exact_merge"))
+@partial(jax.jit, static_argnames=("k", "tm", "tn", "exact_merge", "stride"))
 def pallas_dense_topk(
     queries: jnp.ndarray,   # [B, D]
     corpus: jnp.ndarray,    # [N, D]
@@ -142,17 +155,19 @@ def pallas_dense_topk(
     tm: int = 256,
     tn: int = 2048,
     exact_merge: bool = False,
+    stride: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused dense top-k -> (scores [B, k], ids [B, k]); approx at the same
-    one-per-128-group recall as the approx_max_k path. The phase-2 merge
-    over group maxima uses approx_max_k by default (exact top_k costs
-    ~25 ms more per 1024-query batch on v5e)."""
+    one-per-128-group recall as the approx_max_k path (stride > 1 coarsens
+    to one candidate per stride·128 docs for a faster phase-2 merge). The
+    phase-2 merge over group maxima uses approx_max_k by default (exact
+    top_k costs ~25 ms more per 1024-query batch on v5e)."""
     n = corpus.shape[0]
     pad_n = (-n) % tn
     if pad_n:
         corpus = jnp.pad(corpus, ((0, pad_n), (0, 0)))
     vals, ids = group_max_scores(queries, corpus, tm=tm, tn=tn,
-                                 n_real=n if pad_n else 0)
+                                 n_real=n if pad_n else 0, stride=stride)
     kk = min(k, vals.shape[-1])
     if exact_merge or vals.shape[-1] <= max(kk * 4, 256):
         top_vals, top_idx = jax.lax.top_k(vals, kk)
@@ -167,7 +182,7 @@ def pallas_dense_topk(
     return top_vals, top_ids
 
 
-@partial(jax.jit, static_argnames=("k", "tm", "tn", "exact_merge"))
+@partial(jax.jit, static_argnames=("k", "tm", "tn", "exact_merge", "stride"))
 def pallas_multi_view_topk(
     queries: jnp.ndarray,    # [B, D]
     view_proj: jnp.ndarray,  # [R, D, Dv]
@@ -176,6 +191,7 @@ def pallas_multi_view_topk(
     tm: int = 256,
     tn: int = 2048,
     exact_merge: bool = False,
+    stride: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """R-view fused dense top-k -> (scores [R, B, k], ids [R, B, k])."""
     qv = jnp.einsum(
@@ -183,6 +199,7 @@ def pallas_multi_view_topk(
     )
     R, B, Dv = qv.shape
     vals, ids = pallas_dense_topk(
-        qv.reshape(R * B, Dv), corpus, k=k, tm=tm, tn=tn, exact_merge=exact_merge
+        qv.reshape(R * B, Dv), corpus, k=k, tm=tm, tn=tn,
+        exact_merge=exact_merge, stride=stride,
     )
     return vals.reshape(R, B, k), ids.reshape(R, B, k)

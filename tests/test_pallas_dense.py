@@ -86,3 +86,17 @@ def test_pallas_pad_docs_do_not_displace_negative_scores():
     assert np.all(ids[:, 0] >= 0), ids[:, 0]
     s = q @ c.T
     np.testing.assert_array_equal(ids[:, 0], np.argmax(s, axis=-1))
+
+
+def test_pallas_stride_coarse_reduction():
+    rng = np.random.default_rng(5)
+    q = rng.standard_normal((8, 64)).astype(np.float32)
+    c = rng.standard_normal((16384, 64)).astype(np.float32)
+    v, i = pallas_dense_topk(jnp.asarray(q), jnp.asarray(c), k=10, tm=8, tn=2048, stride=4)
+    s = q @ c.T
+    got = np.asarray(i)
+    np.testing.assert_array_equal(got[:, 0], np.argmax(s, -1))  # top-1 exact
+    exact = np.argsort(-s, -1)[:, :10]
+    rec = np.mean([len(set(got[r].tolist()) & set(exact[r].tolist())) / 10 for r in range(8)])
+    assert rec >= 0.6, rec  # 32 coarse candidates for top-10 -> collisions expected
+    np.testing.assert_allclose(np.asarray(v), np.take_along_axis(s, got, -1), rtol=1e-4)
