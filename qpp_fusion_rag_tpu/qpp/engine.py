@@ -150,3 +150,25 @@ def compute_qpp_dir(
         compute_qpp_for_res_file(res, out, top_k=top_k, normalize=normalize, queries_path=queries_path)
         written.append(out)
     return written
+
+
+def _self_test() -> None:
+    """Fixed-input self test (reference `python src/qpp.py --test`,
+    src/qpp.py:393-404: compute QPP on a canned 10-score list)."""
+    scores = [0.95, 0.87, 0.82, 0.76, 0.71, 0.65, 0.58, 0.52, 0.47, 0.41]
+    out = compute_qpp({"q1": scores}, {"q1": "sample test query"}, normalize="none")
+    names = list(config.qpp.methods)
+    print("[qpp --test] 10-score fixed input:")
+    for name, val in zip(names, out["q1"]):
+        print(f"[qpp --test]   {name:12s} {val:.6f}")
+    assert all(abs(v) < 1e6 for v in out["q1"])
+    print("[qpp --test] OK")
+
+
+if __name__ == "__main__":
+    import sys
+
+    if "--test" in sys.argv:
+        _self_test()
+    else:
+        print(__doc__)
