@@ -30,6 +30,7 @@ from qpp_fusion_rag_tpu.pipeline.engine import (
     TrainState,
     _row_minmax_scores,
     qpp_from_runs,
+    weight_and_fuse,
 )
 
 
@@ -64,10 +65,9 @@ def make_distributed_forward(
     def forward(q_emb, view_proj, corpus, text_feats):
         vals, ids = retrieve(q_emb, view_proj, corpus)
         qpp = qpp_from_runs(vals, ids, text_feats)
-        weights = qpp[..., qpp_index]
         norm = _row_minmax_scores(vals, ids >= 0)
-        fused_ids, fused_scores = F.fuse_kernel(
-            ids, norm, weights, method=method, minmax_norm=False, k_out=k_out
+        fused_ids, fused_scores = weight_and_fuse(
+            ids, norm, qpp[..., qpp_index], method=method, k_out=k_out
         )
         return fused_ids, fused_scores, qpp
 

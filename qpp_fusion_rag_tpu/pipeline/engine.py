@@ -38,6 +38,13 @@ def _row_minmax_scores(vals: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     return F._row_minmax(vals, valid, fill=-jnp.inf)
 
 
+def weight_and_fuse(ids, norm, weights, method=F.COMBSUM, k_out=100):
+    """Shared back half: weighted segmented-aggregation fusion."""
+    return F.fuse_kernel(
+        ids, norm, weights, method=method, minmax_norm=False, k_out=k_out
+    )
+
+
 def _retrieve_qpp_norm(q_emb, view_proj, corpus, text_feats, k, chunk, use_pallas):
     """Shared pipeline front half: retrieval + QPP + .norm.res scores.
     Both the QPP-weighted and learned serving paths build on this, so
@@ -94,9 +101,8 @@ def fused_retrieval_step(
     _vals, ids, qpp, norm = _retrieve_qpp_norm(
         q_emb, view_proj, corpus, text_feats, k, chunk, use_pallas
     )
-    weights = qpp[..., qpp_index]                                  # [R, B]
-    fused_ids, fused_scores = F.fuse_kernel(
-        ids, norm, weights, method=method, minmax_norm=False, k_out=k_out
+    fused_ids, fused_scores = weight_and_fuse(
+        ids, norm, qpp[..., qpp_index], method=method, k_out=k_out
     )
     return fused_ids, fused_scores, qpp
 
@@ -122,9 +128,7 @@ def learned_fused_retrieval_step(
     R, B, M = qpp.shape
     feats = jnp.transpose(qpp, (1, 0, 2)).reshape(B, R * M)
     weights = jax.nn.softmax(mlp_apply(mlp_params, feats), axis=-1).T  # [R, B]
-    fused_ids, fused_scores = F.fuse_kernel(
-        ids, norm, weights, method=F.COMBSUM, minmax_norm=False, k_out=k_out
-    )
+    fused_ids, fused_scores = weight_and_fuse(ids, norm, weights, k_out=k_out)
     return fused_ids, fused_scores, qpp
 
 
