@@ -262,7 +262,10 @@ def pallas_dense_topk(
         corpus = jnp.pad(corpus, ((0, pad_n), (0, 0)))
 
     if packed and stride == 1:
-        vals = group_max_packed(queries, corpus, tm=tm, tn=tn,
+        # Without the ids output buffer the packed kernel fits tm=512 in
+        # VMEM, which halves corpus re-streaming (measured slightly faster).
+        tm_packed = 512 if tm == 256 and queries.shape[0] >= 512 else tm
+        vals = group_max_packed(queries, corpus, tm=tm_packed, tn=tn,
                                 n_real=n if pad_n else 0)
         kk = min(k, vals.shape[-1])
         if exact_merge or vals.shape[-1] <= max(kk * 4, 256):
