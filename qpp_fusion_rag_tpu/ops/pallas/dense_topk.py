@@ -67,9 +67,9 @@ def _make_kernel(n_real: int, stride: int = 1):
     left at score 0 would displace negative-scoring real docs from their
     group's argmax (losing up to GROUP-1 real candidates per boundary tile).
 
-    stride > 1 adds a second in-kernel reduction level: `stride` adjacent
-    128-doc group maxima collapse to one emitted candidate (per
-    stride·GROUP docs), shrinking both the output traffic and the phase-2
+    stride > 1 adds a second in-kernel reduction level: `stride` 128-doc
+    group maxima drawn from strided (non-adjacent) column blocks of the
+    tile collapse to one emitted candidate per stride·GROUP docs, shrinking both the output traffic and the phase-2
     merge input by stride× at a small recall cost (collisions of top-k
     docs within a coarse block).
     """
@@ -243,7 +243,7 @@ def pallas_dense_topk(
     queries: jnp.ndarray,   # [B, D]
     corpus: jnp.ndarray,    # [N, D]
     k: int = 100,
-    tm: int = 256,
+    tm: int = None,         # None = auto (512 packed / 256 unpacked, v5e-validated)
     tn: int = 2048,
     exact_merge: bool = False,
     stride: int = 1,
@@ -251,42 +251,43 @@ def pallas_dense_topk(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused dense top-k -> (scores [B, k], ids [B, k]); approx at the same
     one-per-128-group recall as the approx_max_k path (stride > 1 coarsens
-    to one candidate per stride·128 docs for a faster phase-2 merge). The
+    to one candidate per stride·128 docs — drawn from strided column
+    blocks, not contiguous spans — for a faster phase-2 merge). The
     phase-2 merge over group maxima uses approx_max_k by default (exact
     top_k costs ~25 ms more per 1024-query batch on v5e). `packed`
     (default) embeds the group argmax lane in the score's low mantissa bits
     — half the kernel output, no id gather, ≤2^-17 relative score error."""
+    if packed and stride != 1:
+        raise ValueError("packed=True supports stride=1 only; pass packed=False "
+                         "for stride coarsening")
     n = corpus.shape[0]
     pad_n = (-n) % tn
     if pad_n:
         corpus = jnp.pad(corpus, ((0, pad_n), (0, 0)))
 
-    if packed and stride == 1:
+    def merge(vals):
+        kk = min(k, vals.shape[-1])
+        if exact_merge or vals.shape[-1] <= max(kk * 4, 256):
+            return (*jax.lax.top_k(vals, kk), kk)
+        tv, tx = jax.lax.approx_max_k(vals, kk, recall_target=0.95)
+        return tv, tx, kk
+
+    if packed:
         # Without the ids output buffer the packed kernel fits tm=512 in
         # VMEM, which halves corpus re-streaming (measured slightly faster).
-        tm_packed = 512 if tm == 256 and queries.shape[0] >= 512 else tm
-        vals = group_max_packed(queries, corpus, tm=tm_packed, tn=tn,
+        tm_eff = tm if tm is not None else (512 if queries.shape[0] >= 512 else 256)
+        vals = group_max_packed(queries, corpus, tm=tm_eff, tn=tn,
                                 n_real=n if pad_n else 0)
-        kk = min(k, vals.shape[-1])
-        if exact_merge or vals.shape[-1] <= max(kk * 4, 256):
-            tv, tx = jax.lax.top_k(vals, kk)
-        else:
-            tv, tx = jax.lax.approx_max_k(vals, kk, recall_target=0.95)
+        tv, tx, kk = merge(vals)
         clean, lane = unpack_lane(tv)
+        top_vals = clean
         top_ids = tx.astype(jnp.int32) * GROUP + lane
-        valid = clean > NEG_FINITE / 2
-        top_vals = jnp.where(valid, clean, -jnp.inf)
-        top_ids = jnp.where(valid, top_ids, -1)
+        top_vals = jnp.where(clean > NEG_FINITE / 2, top_vals, -jnp.inf)
     else:
-        vals, ids = group_max_scores(queries, corpus, tm=tm, tn=tn,
+        vals, ids = group_max_scores(queries, corpus, tm=tm or 256, tn=tn,
                                      n_real=n if pad_n else 0, stride=stride)
-        kk = min(k, vals.shape[-1])
-        if exact_merge or vals.shape[-1] <= max(kk * 4, 256):
-            top_vals, top_idx = jax.lax.top_k(vals, kk)
-        else:
-            top_vals, top_idx = jax.lax.approx_max_k(vals, kk, recall_target=0.95)
+        top_vals, top_idx, kk = merge(vals)
         top_ids = jnp.take_along_axis(ids, top_idx, axis=-1)
-        top_ids = jnp.where(jnp.isfinite(top_vals), top_ids, -1)
 
     if kk < k:
         pad = ((0, 0), (0, k - kk))

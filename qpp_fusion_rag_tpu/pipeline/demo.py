@@ -92,10 +92,13 @@ def degrade_runs(runs_dir: Path, n_retrievers: int, n_queries: int, seed: int = 
 
 
 def inject_signal_into_qpp(qpp_dir: Path, n_retrievers: int, seed: int = 2) -> None:
-    """Make the RSD column (index 5) reflect each retriever's specialty so
-    weighted/learned fusion has signal to exploit (in real data this comes
-    from the score distributions themselves; the synthetic degradation
-    flattens them, so the demo injects it explicitly)."""
+    """Make the RSD column reflect each retriever's specialty so weighted/
+    learned fusion has signal to exploit (in real data this comes from the
+    score distributions themselves; the synthetic degradation flattens
+    them, so the demo injects it explicitly)."""
+    from qpp_fusion_rag_tpu.config import config
+
+    rsd_col = config.get_qpp_index("RSD")
     for r in range(n_retrievers):
         path = qpp_dir / f"r{r}.res.mmnorm.qpp"
         lines = []
@@ -103,7 +106,7 @@ def inject_signal_into_qpp(qpp_dir: Path, n_retrievers: int, seed: int = 2) -> N
             parts = line.split("\t")
             qid = parts[0]
             good = int(qid) % n_retrievers == r
-            parts[6] = f"{0.9 if good else 0.1:.6f}"  # col 5 (+1 for qid)
+            parts[rsd_col + 1] = f"{0.9 if good else 0.1:.6f}"  # +1 for qid col
             lines.append("\t".join(parts))
         path.write_text("\n".join(lines) + "\n")
 

@@ -102,6 +102,13 @@ def main(argv=None) -> int:
     (out_dir / f"ranker_eval_{dataset}.tex").write_text(
         to_latex(results, metrics, dataset)
     )
+    # spreadsheet-compatible output (reference 09 emits Excel; CSV here)
+    csv_lines = ["retriever,category," + ",".join(metrics)]
+    for name, r in sorted(results.items(), key=lambda kv: -kv[1]["metrics"][main_metric]):
+        csv_lines.append(
+            f"{name},{r['category']}," + ",".join(f"{r['metrics'][m]:.6f}" for m in metrics)
+        )
+    (out_dir / f"ranker_eval_{dataset}.csv").write_text("\n".join(csv_lines) + "\n")
 
     fig = bar_comparison(
         {n: r["metrics"][main_metric] for n, r in results.items()},

@@ -92,7 +92,7 @@ def test_pallas_stride_coarse_reduction():
     rng = np.random.default_rng(5)
     q = rng.standard_normal((8, 64)).astype(np.float32)
     c = rng.standard_normal((16384, 64)).astype(np.float32)
-    v, i = pallas_dense_topk(jnp.asarray(q), jnp.asarray(c), k=10, tm=8, tn=2048, stride=4)
+    v, i = pallas_dense_topk(jnp.asarray(q), jnp.asarray(c), k=10, tm=8, tn=2048, stride=4, packed=False)
     s = q @ c.T
     got = np.asarray(i)
     np.testing.assert_array_equal(got[:, 0], np.argmax(s, -1))  # top-1 exact

@@ -50,6 +50,11 @@ def test_eval_rankers_cli(runs_world):
     assert data["benchmark"]["BM25"] == 0.329
     assert (out / "ranker_eval_nq.md").exists()
     assert (out / "ranker_eval_nq.tex").exists()
+    csv = (out / "ranker_eval_nq.csv").read_text().splitlines()
+    assert csv[0].startswith("retriever,category,nDCG@10")
+    assert len(csv) == 3
+    tex = (out / "ranker_eval_nq.tex").read_text()
+    assert "\\\\_" not in tex  # no double-backslash underscore escapes
     assert (out / "rankers_nq.png").exists()
     assert (out / "beir_comparison_nq.pdf").exists()
 
