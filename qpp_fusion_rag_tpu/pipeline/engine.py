@@ -45,15 +45,19 @@ def weight_and_fuse(ids, norm, weights, method=F.COMBSUM, k_out=100):
     )
 
 
-def _retrieve_qpp_norm(q_emb, view_proj, corpus, text_feats, k, chunk, use_pallas):
+def _retrieve_qpp_norm(q_emb, view_proj, corpus, text_feats, k, chunk, use_pallas,
+                       corpus_transposed=False):
     """Shared pipeline front half: retrieval + QPP + .norm.res scores.
     Both the QPP-weighted and learned serving paths build on this, so
     kernel-path fixes apply to every flagship step at once."""
     if use_pallas:
         from qpp_fusion_rag_tpu.ops.pallas.dense_topk import pallas_multi_view_topk
 
-        vals, ids = pallas_multi_view_topk(q_emb, view_proj, corpus, k=k)
+        vals, ids = pallas_multi_view_topk(q_emb, view_proj, corpus, k=k,
+                                           transposed=corpus_transposed)
     else:
+        if corpus_transposed:
+            raise ValueError("transposed corpus requires use_pallas=True")
         vals, ids = D.multi_view_topk(q_emb, view_proj, corpus, k=k, chunk=chunk)
     qpp = qpp_from_runs(vals, ids, text_feats)
     norm = _row_minmax_scores(vals, ids >= 0)
@@ -80,12 +84,13 @@ def qpp_from_runs(
 
 @partial(
     jax.jit,
-    static_argnames=("k", "chunk", "k_out", "method", "qpp_index", "use_pallas"),
+    static_argnames=("k", "chunk", "k_out", "method", "qpp_index", "use_pallas",
+                     "corpus_transposed"),
 )
 def fused_retrieval_step(
     q_emb: jnp.ndarray,       # [B, D]
     view_proj: jnp.ndarray,   # [R, D, Dv]
-    corpus: jnp.ndarray,      # [N, Dv]
+    corpus: jnp.ndarray,      # [N, Dv] ([Dv, N] when corpus_transposed)
     text_feats: jnp.ndarray,  # [B, 4]
     k: int = 100,
     chunk: int = 16384,
@@ -93,13 +98,15 @@ def fused_retrieval_step(
     method: int = F.COMBSUM,
     qpp_index: int = 5,       # RSD (reference default weight source)
     use_pallas: bool = False,
+    corpus_transposed: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One fused-retrieval forward step -> (fused_ids [B, k_out],
     fused_scores [B, k_out], qpp [R, B, 13]). Multi-chip execution comes
     from jit sharding propagation over pre-sharded inputs (see
     __graft_entry__.dryrun_multichip)."""
     _vals, ids, qpp, norm = _retrieve_qpp_norm(
-        q_emb, view_proj, corpus, text_feats, k, chunk, use_pallas
+        q_emb, view_proj, corpus, text_feats, k, chunk, use_pallas,
+        corpus_transposed=corpus_transposed,
     )
     fused_ids, fused_scores = weight_and_fuse(
         ids, norm, qpp[..., qpp_index], method=method, k_out=k_out

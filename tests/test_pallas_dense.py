@@ -100,3 +100,14 @@ def test_pallas_stride_coarse_reduction():
     rec = np.mean([len(set(got[r].tolist()) & set(exact[r].tolist())) / 10 for r in range(8)])
     assert rec >= 0.6, rec  # 32 coarse candidates for top-10 -> collisions expected
     np.testing.assert_allclose(np.asarray(v), np.take_along_axis(s, got, -1), rtol=1e-4)
+
+
+def test_pallas_transposed_corpus_matches_rowmajor():
+    rng = np.random.default_rng(11)
+    q = rng.standard_normal((8, 64)).astype(np.float32)
+    c = rng.standard_normal((1000, 64)).astype(np.float32)  # forces padding too
+    v1, i1 = pallas_dense_topk(jnp.asarray(q), jnp.asarray(c), k=8, tm=8, tn=256)
+    v2, i2 = pallas_dense_topk(jnp.asarray(q), jnp.asarray(c.T), k=8, tm=8, tn=256,
+                               transposed=True)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-6)
