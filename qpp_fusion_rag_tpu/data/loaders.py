@@ -186,6 +186,14 @@ def load_run_file(run_path: PathLike) -> Dict[str, List[Tuple[str, float, int]]]
     return dict(runs)
 
 
+def load_run_pairs(run_path: PathLike) -> Dict[str, List[Tuple[str, float]]]:
+    """TREC run -> {qid: [(docid, score)]} rank-ordered (the evaluator's
+    input shape; drops the rank column of load_run_file)."""
+    return {
+        q: [(d, s) for d, s, _r in v] for q, v in load_run_file(run_path).items()
+    }
+
+
 def load_run_as_dict(run_path: PathLike) -> Dict[str, Dict[str, float]]:
     """TREC run -> {qid: {docid: score}} (reference src/data_utils.py:236-255)."""
     runs: Dict[str, Dict[str, float]] = defaultdict(dict)

@@ -16,19 +16,16 @@ import numpy as np
 from qpp_fusion_rag_tpu.encoders import bert as B
 
 
-class _TokenizedBatch:
-    """Host-side padding of pre-tokenized id sequences."""
-
-    @staticmethod
-    def pad(seqs: Sequence[Sequence[int]], max_len: int, pad_id: int = 0):
-        L = min(max((len(s) for s in seqs), default=1), max_len)
-        ids = np.full((len(seqs), L), pad_id, dtype=np.int32)
-        mask = np.zeros((len(seqs), L), dtype=np.int32)
-        for i, s in enumerate(seqs):
-            n = min(len(s), L)
-            ids[i, :n] = s[:n]
-            mask[i, :n] = 1
-        return ids, mask
+def pad_sequences(seqs: Sequence[Sequence[int]], max_len: int, pad_id: int = 0):
+    """Host-side padding of pre-tokenized id sequences -> (ids, mask) i32."""
+    L = min(max((len(s) for s in seqs), default=1), max_len)
+    ids = np.full((len(seqs), L), pad_id, dtype=np.int32)
+    mask = np.zeros((len(seqs), L), dtype=np.int32)
+    for i, s in enumerate(seqs):
+        n = min(len(s), L)
+        ids[i, :n] = s[:n]
+        mask[i, :n] = 1
+    return ids, mask
 
 
 class DenseEncoder:
@@ -64,7 +61,7 @@ class DenseEncoder:
         if self.tokenizer is None:
             raise RuntimeError("DenseEncoder needs a tokenizer for text input")
         seqs = [self.tokenizer(t) for t in texts]
-        ids, mask = _TokenizedBatch.pad(seqs, self.max_len, self.cfg.pad_token_id)
+        ids, mask = pad_sequences(seqs, self.max_len, self.cfg.pad_token_id)
         return self.encode_ids(ids, mask)
 
 
@@ -145,7 +142,7 @@ class CrossEncoderScorer:
             seq = [cls_id] + qi + [sep_id] + di + [sep_id]
             seqs.append(seq)
             types.append([0] * (len(qi) + 2) + [1] * (len(di) + 1))
-        ids, mask = _TokenizedBatch.pad(seqs, self.max_len, self.cfg.pad_token_id)
+        ids, mask = pad_sequences(seqs, self.max_len, self.cfg.pad_token_id)
         type_ids = np.zeros_like(ids)
         for i, t in enumerate(types):
             n = min(len(t), ids.shape[1])

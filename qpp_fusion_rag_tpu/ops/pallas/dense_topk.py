@@ -69,8 +69,8 @@ def _make_kernel(n_real: int, stride: int = 1):
 
     stride > 1 adds a second in-kernel reduction level: `stride` 128-doc
     group maxima drawn from strided (non-adjacent) column blocks of the
-    tile collapse to one emitted candidate per stride·GROUP docs, shrinking both the output traffic and the phase-2
-    merge input by stride× at a small recall cost (collisions of top-k
+    tile collapse to one emitted candidate per stride·GROUP docs,
+    shrinking both the output traffic and the phase-2 merge input by stride× at a small recall cost (collisions of top-k
     docs within a coarse block).
     """
 

@@ -51,7 +51,7 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
 
     from qpp_fusion_rag_tpu.config import config, detect_dataset
-    from qpp_fusion_rag_tpu.data.loaders import load_qrels, load_run_file
+    from qpp_fusion_rag_tpu.data.loaders import load_qrels, load_run_pairs
     from qpp_fusion_rag_tpu.evaluation.benchmark import (
         BEIR_BENCHMARK,
         CLOSEST_PUBLISHED,
@@ -78,8 +78,7 @@ def main(argv=None) -> int:
         if res.name.endswith(".norm.res"):
             continue
         name = res.stem
-        run = load_run_file(res)
-        run2 = {q: [(d, s) for d, s, _r in v] for q, v in run.items()}
+        run2 = load_run_pairs(res)
         scores = ev.evaluate(run2, qrels)
         results[name] = {
             "metrics": scores,

@@ -37,7 +37,7 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
 
     from qpp_fusion_rag_tpu.config import config
-    from qpp_fusion_rag_tpu.data.loaders import load_qrels, load_run_file
+    from qpp_fusion_rag_tpu.data.loaders import load_qrels, load_run_pairs
     from qpp_fusion_rag_tpu.evaluation.ir_evaluator import IREvaluator
 
     fused_dir = Path(args.fused_dir)
@@ -48,8 +48,7 @@ def main(argv=None) -> int:
     results = {}
     baseline_name, baseline = None, None
     for res in sorted(fused_dir.glob("*.res")):
-        run = load_run_file(res)
-        run2 = {q: [(d, s) for d, s, _r in v] for q, v in run.items()}
+        run2 = load_run_pairs(res)
         scores = ev.evaluate(run2, qrels)
         family = classify_method(res.stem)
         results[res.stem] = {"metrics": scores, "type": family}

@@ -34,7 +34,7 @@ def main(argv=None) -> int:
         LazyCorpus,
         load_qrels,
         load_queries,
-        load_run_file,
+        load_run_pairs,
     )
     from qpp_fusion_rag_tpu.evaluation.base import get_task_type
     from qpp_fusion_rag_tpu.generation.client import GenerationOperation, get_generator
@@ -45,8 +45,7 @@ def main(argv=None) -> int:
     queries = load_queries(ds_dir)
     qrels = load_qrels(ds_dir / "qrels" / "test.tsv")
     corpus = LazyCorpus(ds_dir / "corpus.jsonl")
-    run = load_run_file(args.fused_run)
-    run2 = {q: [(d, s) for d, s, _r in v] for q, v in run.items()}
+    run2 = load_run_pairs(args.fused_run)
 
     op = GenerationOperation(model=args.model_name)
     generator = get_generator(get_task_type(dataset), op)

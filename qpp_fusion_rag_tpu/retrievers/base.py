@@ -42,6 +42,16 @@ def normalize_scores(
     return [(d, (s - mn) / rng, r) for d, s, r in results]
 
 
+def rows_to_results(scores_row, rows_row, docno_of) -> List[Tuple[str, float, int]]:
+    """Device top-k output row -> [(docno, score, rank)] skipping -1 pads.
+    Shared by every device-backed retriever (bm25/dense/splade)."""
+    return [
+        (docno_of(int(r)), float(s), rank + 1)
+        for rank, (s, r) in enumerate(zip(scores_row, rows_row))
+        if r >= 0
+    ]
+
+
 class BaseRetriever(ABC):
     """Uniform retrieval contract over any index/model backend."""
 

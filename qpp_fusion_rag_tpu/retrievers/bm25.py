@@ -12,7 +12,7 @@ from typing import Dict, Iterable, Optional, Tuple
 
 from qpp_fusion_rag_tpu.config import config
 from qpp_fusion_rag_tpu.index.sparse import SparseIndex
-from qpp_fusion_rag_tpu.retrievers.base import BaseRetriever, RetrieverResult
+from qpp_fusion_rag_tpu.retrievers.base import BaseRetriever, RetrieverResult, rows_to_results
 
 
 class BM25Retriever(BaseRetriever):
@@ -33,11 +33,7 @@ class BM25Retriever(BaseRetriever):
     def retrieve(self, query: str, qid: str, top_k: int = 100) -> RetrieverResult:
         out, ms = self._timed(lambda: self.index.search([query], k=top_k, p_cap=self.p_cap))
         scores, rows = out
-        results = [
-            (self.index.docno(int(r)), float(s), rank + 1)
-            for rank, (s, r) in enumerate(zip(scores[0], rows[0]))
-            if r >= 0
-        ]
+        results = rows_to_results(scores[0], rows[0], self.index.docno)
         return RetrieverResult(qid, results, latency_ms=ms)
 
     def retrieve_batch(
@@ -55,10 +51,6 @@ class BM25Retriever(BaseRetriever):
             )
             per_query = ms / max(len(chunk), 1)
             for bi, qid in enumerate(chunk):
-                results = [
-                    (self.index.docno(int(r)), float(s), rank + 1)
-                    for rank, (s, r) in enumerate(zip(scores[bi], rows[bi]))
-                    if r >= 0
-                ]
+                results = rows_to_results(scores[bi], rows[bi], self.index.docno)
                 out[qid] = RetrieverResult(qid, results, latency_ms=per_query)
         return out

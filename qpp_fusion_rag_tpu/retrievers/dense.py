@@ -20,7 +20,7 @@ from typing import Callable, Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from qpp_fusion_rag_tpu.config import config
-from qpp_fusion_rag_tpu.retrievers.base import BaseRetriever, RetrieverResult
+from qpp_fusion_rag_tpu.retrievers.base import BaseRetriever, RetrieverResult, rows_to_results
 
 
 class DenseIndex:
@@ -127,11 +127,7 @@ class DenseRetriever(BaseRetriever):
     def retrieve(self, query: str, qid: str, top_k: int = 100) -> RetrieverResult:
         out, ms = self._timed(lambda: self.search_embeddings(self._encode([query]), k=top_k))
         scores, rows = out
-        results = [
-            (self.index.docnos[int(r)], float(s), rank + 1)
-            for rank, (s, r) in enumerate(zip(scores[0], rows[0]))
-            if r >= 0
-        ]
+        results = rows_to_results(scores[0], rows[0], self.index.docnos.__getitem__)
         return RetrieverResult(qid, results, latency_ms=ms)
 
     def retrieve_batch(
@@ -146,10 +142,6 @@ class DenseRetriever(BaseRetriever):
             (scores, rows), ms = self._timed(lambda e=emb: self.search_embeddings(e, k=top_k))
             per_query = ms / max(len(chunk), 1)
             for bi, qid in enumerate(chunk):
-                results = [
-                    (self.index.docnos[int(r)], float(s), rank + 1)
-                    for rank, (s, r) in enumerate(zip(scores[bi], rows[bi]))
-                    if r >= 0
-                ]
+                results = rows_to_results(scores[bi], rows[bi], self.index.docnos.__getitem__)
                 out[qid] = RetrieverResult(qid, results, latency_ms=per_query)
         return out

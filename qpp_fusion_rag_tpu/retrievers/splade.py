@@ -16,7 +16,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from qpp_fusion_rag_tpu.config import config
-from qpp_fusion_rag_tpu.retrievers.base import BaseRetriever, RetrieverResult
+from qpp_fusion_rag_tpu.retrievers.base import BaseRetriever, RetrieverResult, rows_to_results
 
 
 class SpladeIndex:
@@ -125,7 +125,7 @@ class SpladeRetriever(BaseRetriever):
               doc_top_terms: int = 256, batch_size: Optional[int] = None,
               **kw) -> "SpladeRetriever":
         """Encode the corpus and assemble the impact index."""
-        from qpp_fusion_rag_tpu.encoders.heads import _TokenizedBatch
+        from qpp_fusion_rag_tpu.encoders.heads import pad_sequences
 
         batch_size = batch_size or int(config.processing.batch_sizes.encoding)
         docnos = [d for d, _ in corpus]
@@ -134,7 +134,7 @@ class SpladeRetriever(BaseRetriever):
         for i in range(0, len(texts), batch_size):
             chunk = texts[i : i + batch_size]
             seqs = [encoder.tokenizer(t) for t in chunk]
-            ids, mask = _TokenizedBatch.pad(seqs, encoder.max_len, encoder.cfg.pad_token_id)
+            ids, mask = pad_sequences(seqs, encoder.max_len, encoder.cfg.pad_token_id)
             tid, tw = encoder.top_impacts(ids, mask, k=doc_top_terms)
             all_ids.append(tid)
             all_w.append(tw)
@@ -145,10 +145,10 @@ class SpladeRetriever(BaseRetriever):
         return cls(index, encoder=encoder, **kw)
 
     def _encode_queries(self, texts: Sequence[str]):
-        from qpp_fusion_rag_tpu.encoders.heads import _TokenizedBatch
+        from qpp_fusion_rag_tpu.encoders.heads import pad_sequences
 
         seqs = [self.encoder.tokenizer(t) for t in texts]
-        ids, mask = _TokenizedBatch.pad(seqs, self.encoder.max_len,
+        ids, mask = pad_sequences(seqs, self.encoder.max_len,
                                         self.encoder.cfg.pad_token_id)
         tid, tw = self.encoder.top_impacts(ids, mask, k=self.query_top_terms)
         tid = np.where(tw > 0, tid, -1)
@@ -160,11 +160,7 @@ class SpladeRetriever(BaseRetriever):
             return self.index.search_impacts(q_terms, q_weights, k=top_k, p_cap=self.p_cap)
 
         (scores, rows), ms = self._timed(run)
-        results = [
-            (self.index.docnos[int(r)], float(s), rank + 1)
-            for rank, (s, r) in enumerate(zip(scores[0], rows[0]))
-            if r >= 0
-        ]
+        results = rows_to_results(scores[0], rows[0], self.index.docnos.__getitem__)
         return RetrieverResult(qid, results, latency_ms=ms)
 
     def retrieve_batch(self, queries: Dict[str, str], top_k: int = 100,
@@ -182,10 +178,6 @@ class SpladeRetriever(BaseRetriever):
             )
             per_query = ms / max(len(chunk), 1)
             for bi, qid in enumerate(chunk):
-                results = [
-                    (self.index.docnos[int(r)], float(s), rank + 1)
-                    for rank, (s, r) in enumerate(zip(scores[bi], rows[bi]))
-                    if r >= 0
-                ]
+                results = rows_to_results(scores[bi], rows[bi], self.index.docnos.__getitem__)
                 out[qid] = RetrieverResult(qid, results, latency_ms=per_query)
         return out
