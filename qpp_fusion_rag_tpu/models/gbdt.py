@@ -222,7 +222,10 @@ class Booster:
             val_pred = np.full(len(X_val), self.base_score)
         lr = float(p["learning_rate"])
         best_val, best_ntrees, bad = np.inf, 0, 0
-        min_leaf = int(p["min_data_in_leaf"])
+        # LightGBM-style floor, auto-relaxed on tiny datasets (a split needs
+        # 2*min_leaf rows; with e.g. 36 training queries the default of 20
+        # would make every tree a stump and learned fusion degenerate)
+        min_leaf = min(int(p["min_data_in_leaf"]), max(1, n // 8))
         lam = float(p["lambda_l2"])
         per_tree_importance: List[np.ndarray] = []
         history = {"train_mse": [], "val_mse": []}

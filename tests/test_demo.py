@@ -16,4 +16,5 @@ def test_demo_pipeline(tmp_path):
 
     assert nd["wcombsum"] > nd["combsum"] + 0.2, nd
     assert nd["learned_mlp"] > nd["combsum"] + 0.2, nd
+    assert nd["learned_multioutput"] > nd["combsum"] + 0.2, nd
     assert oracle["oracle_metric"] >= max(nd.values()) - 0.05
