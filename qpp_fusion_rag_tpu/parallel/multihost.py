@@ -36,9 +36,10 @@ def init_distributed(
     try:
         jax.distributed.initialize(**kwargs)
     except RuntimeError as e:
-        # Tolerate double-initialization; surface everything else (silently
+        # Tolerate double-initialization and too-late init in a process that
+        # is genuinely single-host; surface everything else (silently
         # running single-host on a pod corrupts corpus sharding).
-        if "already" in str(e).lower():
+        if "already" in str(e).lower() or jax.process_count() == 1:
             return
         raise
     except ValueError:
