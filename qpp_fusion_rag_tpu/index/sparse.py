@@ -38,7 +38,9 @@ class SparseIndex:
     ):
         self.offsets = np.asarray(offsets, dtype=np.int32)
         self.docs = np.asarray(docs, dtype=np.int32)
-        self.weights = np.asarray(weights, dtype=np.float32)
+        weights = np.asarray(weights)
+        self.weights = weights if weights.dtype == np.uint8 else weights.astype(np.float32)
+        self.term_scales = None
         self.doc_lens = np.asarray(doc_lens, dtype=np.int32)
         self.docnos = list(docnos)
         self.vocab_dump = vocab_dump
@@ -96,15 +98,42 @@ class SparseIndex:
         idx._tok = builder  # reuse live vocab for query tokenization
         return idx
 
+    # -- quantization ----------------------------------------------------
+    def quantize(self, bits: int = 8) -> "SparseIndex":
+        """Quantize impacts to uint8 with a per-term scale (Anserini-style
+        quantized impact lists): 4x smaller postings + gather traffic, with
+        ≤0.4% relative weight error. Returns self (in-place)."""
+        if self.params.get("quantized"):
+            return self
+        assert bits == 8, "only 8-bit quantization is supported"
+        T = self.num_terms
+        scales = np.zeros(T, dtype=np.float32)
+        q = np.zeros(len(self.weights), dtype=np.uint8)
+        for t in range(T):
+            s, e = self.offsets[t], self.offsets[t + 1]
+            if e > s:
+                m = float(self.weights[s:e].max())
+                scales[t] = m / 255.0 if m > 0 else 1.0
+                q[s:e] = np.clip(
+                    np.round(self.weights[s:e] / max(scales[t], 1e-12)), 0, 255
+                ).astype(np.uint8)
+        self.weights = q
+        self.term_scales = scales
+        self.params["quantized"] = True
+        self._device = None
+        return self
+
     # -- persistence ---------------------------------------------------
     def save(self, path) -> None:
         path = Path(path)
         path.mkdir(parents=True, exist_ok=True)
-        np.savez_compressed(
-            path / "sparse.npz",
+        arrays = dict(
             offsets=self.offsets, docs=self.docs,
             weights=self.weights, doc_lens=self.doc_lens,
         )
+        if self.params.get("quantized"):
+            arrays["term_scales"] = self.term_scales
+        np.savez_compressed(path / "sparse.npz", **arrays)
         (path / "vocab.txt").write_text(self.vocab_dump)
         (path / "docnos.txt").write_text("\n".join(self.docnos) + "\n")
         (path / "params.json").write_text(json.dumps(self.params))
@@ -114,12 +143,15 @@ class SparseIndex:
         path = Path(path)
         arrs = np.load(path / "sparse.npz")
         params = json.loads((path / "params.json").read_text())
-        return cls(
+        idx = cls(
             arrs["offsets"], arrs["docs"], arrs["weights"], arrs["doc_lens"],
             (path / "docnos.txt").read_text().splitlines(),
             (path / "vocab.txt").read_text(),
             params=params,
         )
+        if params.get("quantized"):
+            idx.term_scales = np.asarray(arrs["term_scales"], dtype=np.float32)
+        return idx
 
     # -- query path ----------------------------------------------------
     def _tokenizer(self) -> NativeIndexBuilder:
@@ -154,6 +186,7 @@ class SparseIndex:
                 jnp.asarray(self.docs),
                 jnp.asarray(self.weights),
                 jnp.asarray(self.offsets),
+                jnp.asarray(self.term_scales) if self.term_scales is not None else None,
             )
         return self._device
 
@@ -169,7 +202,7 @@ class SparseIndex:
         cap it for impact-ordered pruning on large corpora.
         """
         q_terms, q_weights = self.encode_queries(queries)
-        flat_docs, flat_weights, offsets = self._device_arrays()
+        flat_docs, flat_weights, offsets, scales = self._device_arrays()
         from qpp_fusion_rag_tpu.ops.sparse import sparse_score_topk
 
         if p_cap is None:
@@ -177,7 +210,7 @@ class SparseIndex:
         p_cap = max(min(p_cap, self.max_df), 1)
         scores, ids = sparse_score_topk(
             flat_docs, flat_weights, offsets,
-            q_terms, q_weights, k=k, p_cap=p_cap,
+            q_terms, q_weights, k=k, p_cap=p_cap, term_scales=scales,
         )
         return np.asarray(scores), np.asarray(ids)
 

@@ -69,14 +69,20 @@ def segmented_topk(
 @partial(jax.jit, static_argnames=("k", "p_cap"))
 def sparse_score_topk(
     flat_docs: jnp.ndarray,     # [P_total] int32 CSR doc ids (impact-ordered per term)
-    flat_weights: jnp.ndarray,  # [P_total] f32 impacts
+    flat_weights: jnp.ndarray,  # [P_total] f32 impacts, or uint8 quantized
     offsets: jnp.ndarray,       # [T+1] int32 CSR term offsets
     q_terms: jnp.ndarray,       # [B, Tq] int32 term ids (-1 pad)
     q_weights: jnp.ndarray,     # [B, Tq] f32 per-term query weights (qtf / impacts)
     k: int = 100,
     p_cap: int = 1024,
+    term_scales: jnp.ndarray = None,  # [T] f32 dequant scales when weights are uint8
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """-> (scores [B, k] f32 desc, doc ids [B, k] i32, -1 padded)."""
+    """-> (scores [B, k] f32 desc, doc ids [B, k] i32, -1 padded).
+
+    With `term_scales`, impacts are stored uint8 (Anserini-style quantized
+    impact lists: 4x less postings memory and gather traffic); the per-term
+    scale folds into the query weight so dequantization costs nothing extra.
+    """
     P_total = flat_docs.shape[0]
     tq_valid = q_terms >= 0
     terms = jnp.where(tq_valid, q_terms, 0)
@@ -84,11 +90,15 @@ def sparse_score_topk(
     lens = offsets[terms + 1] - starts
     lens = jnp.where(tq_valid, lens, 0)
 
+    if term_scales is not None:
+        q_weights = q_weights * term_scales[terms]   # fold dequant scale in
+
     win = jnp.arange(p_cap, dtype=jnp.int32)
     gidx = jnp.clip(starts[..., None] + win, 0, max(P_total - 1, 0))  # [B, Tq, P]
     valid = win < lens[..., None]
     docs = jnp.where(valid, flat_docs[gidx], SENTINEL)
-    vals = jnp.where(valid, flat_weights[gidx] * q_weights[..., None], 0.0)
+    w = flat_weights[gidx].astype(jnp.float32)
+    vals = jnp.where(valid, w * q_weights[..., None], 0.0)
 
     B = q_terms.shape[0]
     docs = docs.reshape(B, -1)

@@ -48,12 +48,16 @@ def main(argv=None) -> int:
     ap.add_argument("--output", required=True, help="index output directory")
     ap.add_argument("--k1", type=float, default=None)
     ap.add_argument("--b", type=float, default=None)
+    ap.add_argument("--quantize", action="store_true",
+                    help="uint8 impact quantization (4x smaller postings)")
     args = ap.parse_args(argv)
 
     from qpp_fusion_rag_tpu.index.sparse import SparseIndex
 
     t0 = time.time()
     idx = SparseIndex.build_bm25(iter_corpus(args.corpus), k1=args.k1, b=args.b)
+    if args.quantize:
+        idx.quantize()
     build_s = time.time() - t0
     idx.save(args.output)
     print(

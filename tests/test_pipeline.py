@@ -115,3 +115,25 @@ def test_learned_fused_retrieval_step():
     s = np.asarray(scores)
     assert np.all(np.diff(s, axis=-1) <= 1e-6)
     assert np.isfinite(s[:, 0]).all()
+
+
+def test_graft_entry_multichip_16_devices():
+    """Driver may dry-run at other device counts; validate 16 via subprocess
+    (device count must be set before the interpreter touches the backend)."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    code = (
+        "import os;"
+        "os.environ['JAX_PLATFORMS']='cpu';"
+        "os.environ['XLA_FLAGS']='--xla_force_host_platform_device_count=16';"
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        f"import sys; sys.path.insert(0, {str(root)!r});"
+        "import __graft_entry__ as ge; ge.dryrun_multichip(16); print('OK16')"
+    )
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=420)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "OK16" in out.stdout

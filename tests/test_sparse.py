@@ -126,3 +126,24 @@ def test_bm25_retriever(index):
 def test_empty_and_oov_query(index):
     scores, rows = index.search(["zzzqqqxyz unknownterm", ""], k=3)
     assert np.all(rows == -1)
+
+
+def test_quantized_index_close_to_f32(tmp_path, index):
+    from qpp_fusion_rag_tpu.index.sparse import SparseIndex
+
+    s_full, r_full = index.search(["brown fox documents"], k=6)
+
+    qidx = SparseIndex.build_bm25(DOCS).quantize()
+    assert qidx.weights.dtype == np.uint8
+    s_q, r_q = qidx.search(["brown fox documents"], k=6)
+    # same ranking, scores within quantization error (~0.4% per weight)
+    np.testing.assert_array_equal(r_full, r_q)
+    np.testing.assert_allclose(s_q, s_full, rtol=0.02, atol=1e-3)
+
+    # save/load roundtrip preserves quantization
+    qidx.save(tmp_path / "qidx")
+    loaded = SparseIndex.load(tmp_path / "qidx")
+    assert loaded.params["quantized"] and loaded.weights.dtype == np.uint8
+    s_l, r_l = loaded.search(["brown fox documents"], k=6)
+    np.testing.assert_allclose(s_l, s_q, rtol=1e-6)
+    np.testing.assert_array_equal(r_l, r_q)
