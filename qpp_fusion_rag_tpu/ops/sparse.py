@@ -42,9 +42,9 @@ def segmented_topk(
     a prefix-scan segment sum, then top-k over the reduced table.
     """
     M = ids.shape[0]
-    order = jnp.argsort(ids)
-    sids = ids[order]
-    svals = vals[order]
+    # lax.sort with the values as payload: one fused sort instead of
+    # argsort + two gathers (the sort dominates sparse-scoring time)
+    sids, svals = jax.lax.sort((ids, vals), dimension=-1, num_keys=1)
     svalid = sids != SENTINEL
 
     first = jnp.concatenate([jnp.ones((1,), bool), sids[1:] != sids[:-1]])
