@@ -34,30 +34,49 @@ def segmented_topk(
     vals: jnp.ndarray,   # [M] f32 contributions (0 for invalid)
     k: int,
     count_bonus: bool = False,
+    exact_topk: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Sum contributions per unique id -> top-k (ids, sums, counts).
 
     The shared segmented-aggregation primitive behind both fusion
-    (ops.fusion) and sparse scoring: sort by id, reduce duplicate runs with
-    a prefix-scan segment sum, then top-k over the reduced table.
+    (ops.fusion) and sparse scoring. Scatter-free formulation: sort by id
+    (values as payload), then each run's total = cumsum difference between
+    its last position and the previous run's last position — prefix ops
+    only, no `segment_sum`/`.at[].set` scatters (XLA scatters are the
+    dominant cost of the naive form on TPU). Run totals land AT the run's
+    last position, so ids need no scatter either.
     """
     M = ids.shape[0]
-    # lax.sort with the values as payload: one fused sort instead of
-    # argsort + two gathers (the sort dominates sparse-scoring time)
     sids, svals = jax.lax.sort((ids, vals), dimension=-1, num_keys=1)
     svalid = sids != SENTINEL
+    last = jnp.concatenate([sids[1:] != sids[:-1], jnp.ones((1,), bool)])
 
-    first = jnp.concatenate([jnp.ones((1,), bool), sids[1:] != sids[:-1]])
-    seg = jnp.cumsum(first) - 1
-    sums = jax.ops.segment_sum(svals, seg, num_segments=M)
-    counts = jax.ops.segment_sum(svalid.astype(jnp.float32), seg, num_segments=M)
-    rep_ids = jnp.full((M,), SENTINEL, dtype=jnp.int32).at[seg].set(sids)
+    # shift values non-negative so the per-run cumsums are monotone and the
+    # "previous run's last cumsum" reduces to a masked running maximum
+    vmin = jnp.minimum(jnp.min(vals), 0.0)
+    sv = jnp.where(svalid, svals - vmin, 0.0)
+    c = jnp.cumsum(sv)
+    cnt = jnp.cumsum(svalid.astype(jnp.float32))
+
+    def prev_last(x):
+        marked = jnp.where(last, x, -jnp.inf)
+        shifted = jnp.concatenate([jnp.full((1,), -jnp.inf, x.dtype), marked[:-1]])
+        run = jax.lax.cummax(shifted)
+        return jnp.where(jnp.isneginf(run), 0.0, run)
+
+    counts = cnt - prev_last(cnt)
+    sums = (c - prev_last(c)) + vmin * counts   # undo the non-negativity shift
 
     scores = sums * counts if count_bonus else sums
-    scores = jnp.where((rep_ids != SENTINEL) & (counts > 0), scores, -jnp.inf)
+    scores = jnp.where(last & svalid, scores, -jnp.inf)
     k = min(k, M)
-    top_vals, top_idx = jax.lax.top_k(scores, k)
-    top_ids = rep_ids[top_idx]
+    if exact_topk or M <= max(4 * k, 256):
+        top_vals, top_idx = jax.lax.top_k(scores, k)
+    else:
+        # approx final selection (exact lax.top_k costs tens of ms on wide
+        # rows); -inf non-last positions never win over real candidates
+        top_vals, top_idx = jax.lax.approx_max_k(scores, k, recall_target=0.95)
+    top_ids = sids[top_idx]
     ok = jnp.isfinite(top_vals)
     return (
         jnp.where(ok, top_ids, -1),
@@ -66,7 +85,7 @@ def segmented_topk(
     )
 
 
-@partial(jax.jit, static_argnames=("k", "p_cap"))
+@partial(jax.jit, static_argnames=("k", "p_cap", "exact_topk"))
 def sparse_score_topk(
     flat_docs: jnp.ndarray,     # [P_total] int32 CSR doc ids (impact-ordered per term)
     flat_weights: jnp.ndarray,  # [P_total] f32 impacts, or uint8 quantized
@@ -76,6 +95,7 @@ def sparse_score_topk(
     k: int = 100,
     p_cap: int = 1024,
     term_scales: jnp.ndarray = None,  # [T] f32 dequant scales when weights are uint8
+    exact_topk: bool = False,         # approx final selection by default (see below)
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """-> (scores [B, k] f32 desc, doc ids [B, k] i32, -1 padded).
 
@@ -105,7 +125,7 @@ def sparse_score_topk(
     vals = vals.reshape(B, -1)
 
     def one(d, v):
-        ids, scores, _ = segmented_topk(d, v, k)
+        ids, scores, _ = segmented_topk(d, v, k, exact_topk=exact_topk)
         return scores, ids
 
     return jax.vmap(one)(docs, vals)
