@@ -31,7 +31,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-SENTINEL = jnp.int32(2**31 - 1)
+from qpp_fusion_rag_tpu.ops.segment import SENTINEL, segmented_topk
 
 # method codes (static)
 COMBSUM, COMBMNZ, RRF = 0, 1, 2
@@ -73,28 +73,10 @@ def _fuse_one_query(
 
     flat_ids = jnp.where(valid, ids, SENTINEL).reshape(M)
     flat_vals = contrib.reshape(M)
-    flat_valid = valid.reshape(M)
-
-    order = jnp.argsort(flat_ids)
-    sids = flat_ids[order]
-    svals = flat_vals[order]
-    svalid = flat_valid[order]
-
-    first = jnp.concatenate([jnp.ones((1,), bool), sids[1:] != sids[:-1]])
-    seg = jnp.cumsum(first) - 1  # dense segment index
-
-    sums = jax.ops.segment_sum(svals, seg, num_segments=M)
-    counts = jax.ops.segment_sum(svalid.astype(jnp.float32), seg, num_segments=M)
-    rep_ids = jnp.full((M,), SENTINEL, dtype=jnp.int32).at[seg].set(sids)
-
-    fused = sums * counts if method == COMBMNZ else sums
-    fused = jnp.where((rep_ids != SENTINEL) & (counts > 0), fused, -jnp.inf)
-
-    k_out = min(k_out, M)
-    top_vals, top_idx = jax.lax.top_k(fused, k_out)
-    top_ids = rep_ids[top_idx]
-    top_ids = jnp.where(jnp.isfinite(top_vals), top_ids, -1)
-    top_vals = jnp.where(jnp.isfinite(top_vals), top_vals, -jnp.inf)
+    top_ids, top_vals, _counts = segmented_topk(
+        flat_ids, flat_vals, min(k_out, M),
+        count_bonus=(method == COMBMNZ), exact_topk=True,
+    )
     return top_ids, top_vals
 
 

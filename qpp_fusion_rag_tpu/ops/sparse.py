@@ -26,63 +26,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-SENTINEL = jnp.int32(2**31 - 1)
-
-
-def segmented_topk(
-    ids: jnp.ndarray,    # [M] int32 doc ids (SENTINEL = invalid)
-    vals: jnp.ndarray,   # [M] f32 contributions (0 for invalid)
-    k: int,
-    count_bonus: bool = False,
-    exact_topk: bool = True,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Sum contributions per unique id -> top-k (ids, sums, counts).
-
-    The shared segmented-aggregation primitive behind both fusion
-    (ops.fusion) and sparse scoring. Scatter-free formulation: sort by id
-    (values as payload), then each run's total = cumsum difference between
-    its last position and the previous run's last position — prefix ops
-    only, no `segment_sum`/`.at[].set` scatters (XLA scatters are the
-    dominant cost of the naive form on TPU). Run totals land AT the run's
-    last position, so ids need no scatter either.
-    """
-    M = ids.shape[0]
-    sids, svals = jax.lax.sort((ids, vals), dimension=-1, num_keys=1)
-    svalid = sids != SENTINEL
-    last = jnp.concatenate([sids[1:] != sids[:-1], jnp.ones((1,), bool)])
-
-    # shift values non-negative so the per-run cumsums are monotone and the
-    # "previous run's last cumsum" reduces to a masked running maximum
-    vmin = jnp.minimum(jnp.min(vals), 0.0)
-    sv = jnp.where(svalid, svals - vmin, 0.0)
-    c = jnp.cumsum(sv)
-    cnt = jnp.cumsum(svalid.astype(jnp.float32))
-
-    def prev_last(x):
-        marked = jnp.where(last, x, -jnp.inf)
-        shifted = jnp.concatenate([jnp.full((1,), -jnp.inf, x.dtype), marked[:-1]])
-        run = jax.lax.cummax(shifted)
-        return jnp.where(jnp.isneginf(run), 0.0, run)
-
-    counts = cnt - prev_last(cnt)
-    sums = (c - prev_last(c)) + vmin * counts   # undo the non-negativity shift
-
-    scores = sums * counts if count_bonus else sums
-    scores = jnp.where(last & svalid, scores, -jnp.inf)
-    k = min(k, M)
-    if exact_topk or M <= max(4 * k, 256):
-        top_vals, top_idx = jax.lax.top_k(scores, k)
-    else:
-        # approx final selection (exact lax.top_k costs tens of ms on wide
-        # rows); -inf non-last positions never win over real candidates
-        top_vals, top_idx = jax.lax.approx_max_k(scores, k, recall_target=0.95)
-    top_ids = sids[top_idx]
-    ok = jnp.isfinite(top_vals)
-    return (
-        jnp.where(ok, top_ids, -1),
-        jnp.where(ok, top_vals, -jnp.inf),
-        counts[top_idx],
-    )
+from qpp_fusion_rag_tpu.ops.segment import SENTINEL, segmented_topk
 
 
 @partial(jax.jit, static_argnames=("k", "p_cap", "exact_topk"))
