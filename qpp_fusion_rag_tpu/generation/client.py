@@ -36,10 +36,18 @@ class GenerationResult:
     usage: Dict = field(default_factory=dict)
 
 
+_session = None
+
+
 def _default_transport(url: str, payload: Dict, timeout: float) -> Dict:
+    """Pooled-connection POST (reference scripts/08 keeps a connection pool
+    for the batched embedding calls, :138-172)."""
+    global _session
     import requests
 
-    resp = requests.post(url, json=payload, timeout=timeout)
+    if _session is None:
+        _session = requests.Session()
+    resp = _session.post(url, json=payload, timeout=timeout)
     if resp.status_code != 200:
         raise GenerationError(f"LLM server returned {resp.status_code}: {resp.text[:500]}")
     return resp.json()
