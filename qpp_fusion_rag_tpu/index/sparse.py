@@ -106,17 +106,17 @@ class SparseIndex:
         if self.params.get("quantized"):
             return self
         assert bits == 8, "only 8-bit quantization is supported"
-        T = self.num_terms
-        scales = np.zeros(T, dtype=np.float32)
-        q = np.zeros(len(self.weights), dtype=np.uint8)
-        for t in range(T):
-            s, e = self.offsets[t], self.offsets[t + 1]
-            if e > s:
-                m = float(self.weights[s:e].max())
-                scales[t] = m / 255.0 if m > 0 else 1.0
-                q[s:e] = np.clip(
-                    np.round(self.weights[s:e] / max(scales[t], 1e-12)), 0, 255
-                ).astype(np.uint8)
+        counts = np.diff(self.offsets).astype(np.int64)
+        nonempty = counts > 0
+        maxima = np.zeros(self.num_terms, dtype=np.float32)
+        if len(self.weights):
+            # postings are impact-ordered desc per term -> max is the first
+            maxima[nonempty] = self.weights[self.offsets[:-1][nonempty]]
+        scales = np.where(maxima > 0, maxima / 255.0, 1.0).astype(np.float32)
+        per_posting_scale = np.repeat(scales, counts)
+        q = np.clip(
+            np.round(self.weights / np.maximum(per_posting_scale, 1e-12)), 0, 255
+        ).astype(np.uint8)
         self.weights = q
         self.term_scales = scales
         self.params["quantized"] = True
@@ -195,6 +195,7 @@ class SparseIndex:
         queries: Sequence[str],
         k: int = 100,
         p_cap: Optional[int] = None,
+        exact_topk: bool = True,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Batch search -> (scores [B, k], doc row indices [B, k], -1 pad).
 
@@ -211,6 +212,7 @@ class SparseIndex:
         scores, ids = sparse_score_topk(
             flat_docs, flat_weights, offsets,
             q_terms, q_weights, k=k, p_cap=p_cap, term_scales=scales,
+            exact_topk=exact_topk,
         )
         return np.asarray(scores), np.asarray(ids)
 

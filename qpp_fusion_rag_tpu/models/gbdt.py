@@ -193,6 +193,7 @@ class Booster:
         p = dict(config.training.gbdt.to_dict())
         p.update(params or {})
         self.p = p
+        self._user_min_leaf = "min_data_in_leaf" in (params or {})
         self.seed = seed
         self.trees: List[Dict[str, np.ndarray]] = []
         self.base_score = 0.0
@@ -222,10 +223,13 @@ class Booster:
             val_pred = np.full(len(X_val), self.base_score)
         lr = float(p["learning_rate"])
         best_val, best_ntrees, bad = np.inf, 0, 0
-        # LightGBM-style floor, auto-relaxed on tiny datasets (a split needs
-        # 2*min_leaf rows; with e.g. 36 training queries the default of 20
-        # would make every tree a stump and learned fusion degenerate)
-        min_leaf = min(int(p["min_data_in_leaf"]), max(1, n // 8))
+        # LightGBM-style floor, auto-relaxed on tiny datasets UNLESS the
+        # caller set it explicitly (a split needs 2*min_leaf rows; with e.g.
+        # 36 training queries the default of 20 would make every tree a
+        # stump and learned fusion degenerate)
+        min_leaf = int(p["min_data_in_leaf"])
+        if not self._user_min_leaf:
+            min_leaf = min(min_leaf, max(1, n // 8))
         lam = float(p["lambda_l2"])
         per_tree_importance: List[np.ndarray] = []
         history = {"train_mse": [], "val_mse": []}

@@ -39,7 +39,7 @@ def sparse_score_topk(
     k: int = 100,
     p_cap: int = 1024,
     term_scales: jnp.ndarray = None,  # [T] f32 dequant scales when weights are uint8
-    exact_topk: bool = False,         # approx final selection by default (see below)
+    exact_topk: bool = True,          # approx is opt-in: exact results by default
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """-> (scores [B, k] f32 desc, doc ids [B, k] i32, -1 padded).
 

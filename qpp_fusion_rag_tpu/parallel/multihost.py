@@ -33,18 +33,24 @@ def init_distributed(
             num_processes=num_processes,
             process_id=process_id,
         )
+    explicit_cluster = bool(kwargs)
     try:
         jax.distributed.initialize(**kwargs)
     except RuntimeError as e:
-        # Tolerate double-initialization and too-late init in a process that
-        # is genuinely single-host; surface everything else (silently
-        # running single-host on a pod corrupts corpus sharding).
-        if "already" in str(e).lower() or jax.process_count() == 1:
+        if "already" in str(e).lower():
+            return
+        if explicit_cluster:
+            # A configured multi-process launch that fails to initialize must
+            # surface — silently running single-host corrupts corpus sharding.
+            raise
+        # Ad-hoc single-process use (e.g. under a test harness that already
+        # touched the backend): benign only if we are truly single-host.
+        if jax.process_count() == 1:
             return
         raise
     except ValueError:
         # No cluster environment detected -> single-process run.
-        if jax.process_count() > 1:
+        if explicit_cluster or jax.process_count() > 1:
             raise
 
 

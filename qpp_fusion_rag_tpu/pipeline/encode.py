@@ -51,7 +51,6 @@ def main(argv=None) -> int:
 
     from qpp_fusion_rag_tpu.config import config
     from qpp_fusion_rag_tpu.encoders import DenseEncoder, load_hf_bert
-    from qpp_fusion_rag_tpu.encoders.heads import pad_sequences
 
     normalize = args.normalize if args.normalize is not None else (args.pooling == "cls")
     params, cfg = load_hf_bert(args.model)

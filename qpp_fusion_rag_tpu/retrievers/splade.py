@@ -97,6 +97,7 @@ class SpladeIndex:
         q_weights: np.ndarray,   # [B, Tq] f32
         k: int = 100,
         p_cap: Optional[int] = None,
+        exact_topk: bool = True,
     ) -> Tuple[np.ndarray, np.ndarray]:
         from qpp_fusion_rag_tpu.ops.sparse import sparse_score_topk
 
@@ -105,7 +106,7 @@ class SpladeIndex:
         scores, ids = sparse_score_topk(
             flat_docs, flat_weights, offsets,
             q_terms.astype(np.int32), q_weights.astype(np.float32),
-            k=k, p_cap=p_cap,
+            k=k, p_cap=p_cap, exact_topk=exact_topk,
         )
         return np.asarray(scores), np.asarray(ids)
 
