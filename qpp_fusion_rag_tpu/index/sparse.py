@@ -172,11 +172,21 @@ class SparseIndex:
         B = len(texts)
         ids = np.full((B, max_terms), -1, dtype=np.int32)
         wts = np.zeros((B, max_terms), dtype=np.float32)
+        n_max = 1
         for i, text in enumerate(texts):
             tids, counts = tok.query_terms(text, max_terms)
             ids[i, : len(tids)] = tids
             wts[i, : len(tids)] = counts
-        return ids, wts
+            n_max = max(n_max, len(tids))
+        # trim trailing all-invalid term columns: candidate count (and the
+        # dominant sort) scales with the column count, and typical queries
+        # use ~10 of the 64 slots. Round up to a power of two so the jitted
+        # scoring kernel sees a bounded set of shapes.
+        n_pad = 8
+        while n_pad < n_max:
+            n_pad *= 2
+        n_pad = min(n_pad, max_terms)
+        return ids[:, :n_pad], wts[:, :n_pad]
 
     def _device_arrays(self):
         import jax.numpy as jnp
