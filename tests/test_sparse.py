@@ -147,3 +147,52 @@ def test_quantized_index_close_to_f32(tmp_path, index):
     s_l, r_l = loaded.search(["brown fox documents"], k=6)
     np.testing.assert_allclose(s_l, s_q, rtol=1e-6)
     np.testing.assert_array_equal(r_l, r_q)
+
+
+def test_rescore_matches_sort_path(index):
+    """Sort-free rescore path agrees with the exact sort path."""
+    from qpp_fusion_rag_tpu.ops.sparse import sparse_rescore_topk, sparse_score_topk
+    import jax.numpy as jnp
+
+    q_terms, q_weights = index.encode_queries(["brown fox documents", "lazy dog"])
+    args = (jnp.asarray(index.docs), jnp.asarray(index.weights.astype(np.float32)),
+            jnp.asarray(index.offsets), jnp.asarray(q_terms), jnp.asarray(q_weights))
+    s1, i1 = sparse_score_topk(*args, k=6, p_cap=6, exact_topk=True)
+    s2, i2 = sparse_rescore_topk(*args, k=6, p_cap=6)
+    s1, i1, s2, i2 = map(np.asarray, (s1, i1, s2, i2))
+    for b in range(2):
+        a = {int(i): float(s) for s, i in zip(s1[b], i1[b]) if i >= 0}
+        c = {int(i): float(s) for s, i in zip(s2[b], i2[b]) if i >= 0}
+        assert set(a) == set(c)
+        for d in a:
+            assert abs(a[d] - c[d]) < 1e-4
+
+
+def test_rescore_random_fuzz():
+    from qpp_fusion_rag_tpu.ops.sparse import sparse_rescore_topk, sparse_score_topk
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    T, P = 50, 400
+    counts = rng.integers(1, 20, T)
+    offsets = np.zeros(T + 1, np.int32)
+    np.cumsum(counts, out=offsets[1:])
+    Pt = int(offsets[-1])
+    docs = rng.integers(0, 60, Pt).astype(np.int32)
+    w = rng.uniform(0.1, 5, Pt).astype(np.float32)
+    # impact-order within each term
+    for t in range(T):
+        s, e = offsets[t], offsets[t + 1]
+        o = np.argsort(-w[s:e])
+        docs[s:e], w[s:e] = docs[s:e][o], w[s:e][o]
+    qt = rng.integers(0, T, (4, 8)).astype(np.int32)
+    qw = np.ones((4, 8), np.float32)
+    args = (jnp.asarray(docs), jnp.asarray(w), jnp.asarray(offsets),
+            jnp.asarray(qt), jnp.asarray(qw))
+    s1, i1 = sparse_score_topk(*args, k=10, p_cap=20, exact_topk=True)
+    s2, i2 = sparse_rescore_topk(*args, k=10, p_cap=20, candidates=8)
+    s1, i1, s2, i2 = map(np.asarray, (s1, i1, s2, i2))
+    for b in range(4):
+        a = sorted(float(s) for s, i in zip(s1[b], i1[b]) if i >= 0)
+        c = sorted(float(s) for s, i in zip(s2[b], i2[b]) if i >= 0)
+        np.testing.assert_allclose(c, a, rtol=1e-4, atol=1e-4)
