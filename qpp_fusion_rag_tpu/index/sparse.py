@@ -209,15 +209,18 @@ class SparseIndex:
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Batch search -> (scores [B, k], doc row indices [B, k], -1 pad).
 
-        p_cap defaults to covering the largest posting list (exact scoring);
-        cap it for impact-ordered pruning on large corpora.
+        p_cap defaults to min(max_df, 8192): posting windows materialize as
+        [B, Tq, p_cap] device tensors, so covering a big corpus's largest
+        posting list exactly (p_cap=max_df, possibly millions) must be an
+        explicit choice. 8192 impact-ordered postings per term is exact for
+        every term with df <= 8192 and a strong approximation beyond.
         """
         q_terms, q_weights = self.encode_queries(queries)
         flat_docs, flat_weights, offsets, scales = self._device_arrays()
         from qpp_fusion_rag_tpu.ops.sparse import sparse_score_topk
 
         if p_cap is None:
-            p_cap = int(self.params.get("p_cap", 0)) or self.max_df
+            p_cap = int(self.params.get("p_cap", 0)) or min(self.max_df, 8192)
         p_cap = max(min(p_cap, self.max_df), 1)
         scores, ids = sparse_score_topk(
             flat_docs, flat_weights, offsets,

@@ -102,7 +102,7 @@ class SpladeIndex:
         from qpp_fusion_rag_tpu.ops.sparse import sparse_score_topk
 
         flat_docs, flat_weights, offsets = self._device_arrays()
-        p_cap = max(min(p_cap or self.max_df, self.max_df), 1)
+        p_cap = max(min(p_cap or min(self.max_df, 8192), self.max_df), 1)
         scores, ids = sparse_score_topk(
             flat_docs, flat_weights, offsets,
             q_terms.astype(np.int32), q_weights.astype(np.float32),
