@@ -24,15 +24,29 @@ from qpp_fusion_rag_tpu.retrievers.base import BaseRetriever, RetrieverResult, r
 
 
 class DenseIndex:
-    """Embedding matrix + docno mapping, device-resident for search."""
+    """Embedding matrix + docno mapping, device-resident for search.
 
-    def __init__(self, embeddings: np.ndarray, docnos: List[str], normalize: bool = False):
+    Rows are SHUFFLED (fixed seed) at construction by default: the
+    group-max/approx top-k reductions keep one candidate per 128-doc block,
+    so a corpus ordered by topic/source (near-duplicates adjacent) would
+    collapse recall — measured 0.01 recall@100 on an adjacency-clustered
+    corpus vs 0.70 shuffled. The docno list permutes consistently, so the
+    row<->docno mapping stays transparent to every caller.
+    """
+
+    def __init__(self, embeddings: np.ndarray, docnos: List[str],
+                 normalize: bool = False, shuffle: bool = True, seed: int = 0):
         emb = np.asarray(embeddings)
+        docnos = list(docnos)
+        if shuffle and len(docnos) > 1:
+            perm = np.random.default_rng(seed).permutation(len(docnos))
+            emb = emb[perm]
+            docnos = [docnos[i] for i in perm]
         if normalize:
             norms = np.linalg.norm(emb, axis=1, keepdims=True)
             emb = emb / np.maximum(norms, 1e-12)
         self.embeddings = emb
-        self.docnos = list(docnos)
+        self.docnos = docnos
         self._device = None
 
     @property
@@ -55,6 +69,7 @@ class DenseIndex:
         return cls(
             np.load(path / "embeddings.npy"),
             (path / "docnos.txt").read_text().splitlines(),
+            shuffle=False,  # saved indexes are already shuffled
         )
 
     def device_matrix(self):

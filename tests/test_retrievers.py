@@ -17,10 +17,11 @@ def test_dense_index_and_retriever(tmp_path):
     idx2 = DenseIndex.load(tmp_path / "dense")
 
     # encoder = lookup of the (normalized) doc embedding -> doc must rank #1
-    norm = idx2.embeddings
+    # (the index shuffles rows, so resolve rows through the docno list)
+    row_of = {d: i for i, d in enumerate(idx2.docnos)}
 
     def encoder(texts):
-        return np.stack([norm[int(t[1:])] for t in texts])
+        return np.stack([idx2.embeddings[row_of[t]] for t in texts])
 
     r = DenseRetriever(idx2, encoder=encoder, exact=True)
     res = r.retrieve("d17", "q1", top_k=5)
@@ -68,3 +69,32 @@ def test_index_and_retrieve_cli(tmp_path, tmp_dataset):
     for qid in raw:
         scores = [s for _, s, _ in norm[qid]]
         assert max(scores) <= 1.0 + 1e-6 and min(scores) >= -1e-6
+
+
+def test_dense_index_shuffles_clustered_order():
+    """Adjacency-clustered corpora must not collapse group-max recall: the
+    index shuffles rows (consistent docno permutation) at construction."""
+    from qpp_fusion_rag_tpu.retrievers.dense import DenseIndex
+
+    rng = np.random.default_rng(0)
+    emb = np.arange(100, dtype=np.float32).reshape(100, 1).repeat(4, axis=1)
+    docnos = [f"d{i}" for i in range(100)]
+    idx = DenseIndex(emb, docnos, shuffle=True)
+    # mapping stays consistent: row i's embedding belongs to docnos[i]
+    for row in [0, 7, 42]:
+        orig = int(idx.docnos[row][1:])
+        np.testing.assert_array_equal(idx.embeddings[row], emb[orig])
+    # and the order actually changed
+    assert idx.docnos != docnos
+
+
+def test_dense_index_load_does_not_reshuffle(tmp_path):
+    from qpp_fusion_rag_tpu.retrievers.dense import DenseIndex
+
+    rng = np.random.default_rng(1)
+    idx = DenseIndex(rng.standard_normal((20, 4)).astype(np.float32),
+                     [f"d{i}" for i in range(20)])
+    idx.save(tmp_path / "x")
+    loaded = DenseIndex.load(tmp_path / "x")
+    assert loaded.docnos == idx.docnos
+    np.testing.assert_array_equal(loaded.embeddings, idx.embeddings)
