@@ -210,3 +210,36 @@ def beir_comparison_plot(
         ax.legend()
         ax.grid(axis="x", visible=False)
     return fig
+
+
+def table_figure(
+    rows: Sequence[Sequence],
+    col_labels: Sequence[str],
+    row_labels: Optional[Sequence[str]] = None,
+    title: str = "",
+    figsize=None,
+):
+    """Render a table as a figure (reference visualization.py table render) —
+    for result grids embedded in papers/slides where text tables don't fit."""
+    n_rows = len(rows)
+    figsize = figsize or (0.9 * len(col_labels) + 1.5, 0.35 * n_rows + 1.2)
+    with FigureStyle():
+        fig, ax = plt.subplots(figsize=figsize)
+        ax.axis("off")
+        table = ax.table(
+            cellText=[[f"{v:.4f}" if isinstance(v, float) else str(v) for v in r]
+                      for r in rows],
+            colLabels=list(col_labels),
+            rowLabels=list(row_labels) if row_labels else None,
+            loc="center",
+            cellLoc="center",
+        )
+        table.auto_set_font_size(False)
+        table.set_fontsize(8)
+        for (r, c), cell in table.get_celld().items():
+            cell.set_edgecolor(GRID)
+            if r == 0:
+                cell.set_text_props(weight="bold", color=TEXT_PRIMARY)
+        if title:
+            ax.set_title(title, pad=10)
+    return fig

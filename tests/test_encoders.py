@@ -126,3 +126,22 @@ def test_dense_encoder_with_tokenizer():
     enc = DenseEncoder(params, cfg, tokenizer=tok)
     out = enc(["hello world", "ranking"])
     assert out.shape == (2, 32)
+
+
+def test_dense_encoder_bf16_compute(batch):
+    """bf16 compute path runs and stays close to f32 (serving precision)."""
+    import jax.numpy as jnp
+
+    ids, mask = batch
+    torch.manual_seed(5)
+    model = transformers.BertModel(_hf_config()).eval()
+    cfg = BertConfig.from_hf(model.config)
+    params = params_from_hf_state_dict(model.state_dict(), cfg)
+    f32 = DenseEncoder(params, cfg, pooling="mean", normalize=True)
+    b16 = DenseEncoder(params, cfg, pooling="mean", normalize=True,
+                       compute_dtype=jnp.bfloat16)
+    a = f32.encode_ids(ids, mask)
+    b = b16.encode_ids(ids, mask)
+    # normalized embeddings: cosine similarity near 1
+    cos = np.sum(a * b, axis=1)
+    assert np.all(cos > 0.99), cos

@@ -98,3 +98,15 @@ def test_visualization_primitives(tmp_path):
 
     with pytest.raises(ValueError):
         line_plot([1], {f"s{i}": [1] for i in range(9)})
+
+
+def test_table_figure(tmp_path):
+    from qpp_fusion_rag_tpu.utils.visualization import save_figure, table_figure
+
+    fig = table_figure(
+        [["combsum", 0.494], ["learned", 0.5759]],
+        col_labels=["method", "nDCG@10"],
+        title="NQ",
+    )
+    paths = save_figure(fig, tmp_path / "table", formats=("png",))
+    assert paths[0].exists()
