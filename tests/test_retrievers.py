@@ -98,3 +98,27 @@ def test_dense_index_load_does_not_reshuffle(tmp_path):
     loaded = DenseIndex.load(tmp_path / "x")
     assert loaded.docnos == idx.docnos
     np.testing.assert_array_equal(loaded.embeddings, idx.embeddings)
+
+
+def test_dense_retriever_clustered_corpus_recall():
+    """End-to-end: clustered corpus order + approx search keeps high recall
+    because DenseIndex shuffles rows (the regression this guards measured
+    recall@20 ~0.01 unshuffled on adjacency-clustered data)."""
+    from qpp_fusion_rag_tpu.retrievers.dense import DenseIndex
+
+    rng = np.random.default_rng(0)
+    D, n_clusters, per = 32, 64, 64
+    centers = rng.standard_normal((n_clusters, D)).astype(np.float32)
+    emb = (np.repeat(centers, per, axis=0)
+           + 0.05 * rng.standard_normal((n_clusters * per, D))).astype(np.float32)
+    docnos = [f"d{i}" for i in range(len(emb))]
+    idx = DenseIndex(emb, docnos, normalize=True)
+
+    q = centers[:4] / np.linalg.norm(centers[:4], axis=1, keepdims=True)
+    scores, rows = idx.search(q.astype(np.float32), k=20, exact=False)
+    exact_scores, exact_rows = idx.search(q.astype(np.float32), k=20, exact=True)
+    rec = np.mean([
+        len(set(rows[i].tolist()) & set(exact_rows[i].tolist())) / 20
+        for i in range(4)
+    ])
+    assert rec >= 0.85, rec
