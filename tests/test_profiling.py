@@ -30,3 +30,18 @@ def test_block_and_time():
     out, dt = block_and_time(lambda x: x * 2, jnp.ones((4,)))
     assert dt >= 0
     assert float(out[0]) == 2.0
+
+
+def test_device_trace(tmp_path):
+    import jax.numpy as jnp
+
+    from qpp_fusion_rag_tpu.utils.profiling import device_trace
+
+    with device_trace(tmp_path / "trace"):
+        (jnp.ones((64, 64)) @ jnp.ones((64, 64))).block_until_ready()
+    produced = list((tmp_path / "trace").rglob("*"))
+    assert produced, "no trace files written"
+
+    with device_trace(tmp_path / "off", enabled=False):
+        pass
+    assert not (tmp_path / "off").exists()
