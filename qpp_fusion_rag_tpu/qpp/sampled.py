@@ -89,3 +89,23 @@ def sampled_uef(
         dists.append(rank_distance(full, reranked))
     avg_dist = float(np.mean(dists))
     return float(base_qpp(s) / (1.0 + avg_dist))
+
+
+def odds_ratio(
+    scores: np.ndarray,
+    p: float = 0.2,
+    max_idf: float = 1.0,
+) -> float:
+    """OddsRatio QPP: mean(top-p scores) / mean(bottom-p scores) · maxIDF
+    (reference qpp/OddsRatioSpecificity.java:1-27 — without an index
+    maxIDF defaults to 1, matching the bridge's convention)."""
+    s = np.sort(np.asarray(scores, np.float64))[::-1]
+    n = len(s)
+    if n < 2:
+        return 0.0
+    m = max(int(round(p * n)), 1)
+    top = float(np.mean(s[:m]))
+    bottom = float(np.mean(s[-m:]))
+    if bottom == 0:
+        return 0.0
+    return top / bottom * max_idf

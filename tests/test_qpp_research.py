@@ -159,3 +159,13 @@ def test_sampled_uef_stability_signal():
     spread = np.array([10.0, 8.0, 6.0, 4.0, 2.0, 1.0])
     flat = np.array([1.01, 1.008, 1.006, 1.004, 1.002, 1.0])
     assert sampled_uef(spread, seed=3) > sampled_uef(flat, seed=3)
+
+
+def test_odds_ratio():
+    from qpp_fusion_rag_tpu.qpp.sampled import odds_ratio
+
+    peaked = np.array([10.0, 9.0, 1.0, 0.9, 0.8, 0.7, 0.6, 0.5, 0.4, 0.3])
+    flat = np.full(10, 2.0)
+    assert odds_ratio(peaked) > odds_ratio(flat)
+    assert odds_ratio(flat) == pytest.approx(1.0)
+    assert odds_ratio(np.array([1.0])) == 0.0
