@@ -7,18 +7,23 @@ throughput at ~92 TF/s on v5e. This kernel fuses the reduction into the
 matmul: scores live only in VMEM, and each 128-doc group emits (max,
 argmax), shrinking the matmul's output traffic by 128×.
 
-    phase 1 (this kernel): q [M, D] × corpus [N, D] -> group maxima
-        vals [M, N/128] f32, ids [M, N/128] i32   (global doc ids)
-    phase 2 (XLA, ops.dense.pallas_topk): top-k over the group maxima.
+    phase 1 (this kernel): q [M, D] × corpus -> packed group maxima
+        [M, N/128] f32 with the winning lane in the low mantissa bits
+        (default `packed` path; the unpacked kernel also emits ids)
+    phase 2 (XLA): approx/exact top-k over the group maxima; doc ids
+        derive arithmetically from (column, lane) — no gather.
 
 Group-max selection is the same reduction `lax.approx_max_k` performs
 (one candidate per 128-doc tile), so phase 1 + phase 2 matches the
-approx path's recall (~0.98 @ k=100 on random scores) while avoiding the
-score-tensor HBM traffic entirely.
+approx path's recall (~0.98 @ k=100 when corpus rows are order-shuffled —
+see DenseIndex) while avoiding the score-tensor HBM traffic entirely.
 
-Tiling: grid (M/TM, N/TN); per step the MXU computes [TM, D] × [D, TN] in
-one shot (D ≤ 1024 fits VMEM), the VPU reduces TN into TN/128 group maxima.
-Defaults TM=512, TN=2048 keep VMEM ≈ 12 MB including double buffering.
+Tiling: grid (N/TN outer, M/TM inner) so the corpus tile stays
+VMEM-resident across query tiles; per step the MXU computes [TM, D] ×
+[D, TN] in one shot (D ≤ 1024 fits VMEM), the VPU packs lane bits and
+reduces TN to TN/128 maxima. Defaults TM=512 (packed) / 256, TN=2048 —
+the only fast Mosaic-compilable point found on v5e (see
+docs/KERNEL_NOTES.md for the sweep).
 """
 
 from __future__ import annotations

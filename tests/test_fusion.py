@@ -169,3 +169,24 @@ def test_padding_ignored():
     fused = E.combsum(rt).to_run_dict(0)
     assert [d for d, _ in fused["2"]] == ["d9"]
     assert len(fused["1"]) == 1  # only d1
+
+
+def test_fuse_edge_shapes():
+    """K=1, R=1, and all-padding rows flow through the fusion kernel."""
+    import jax.numpy as jnp
+
+    from qpp_fusion_rag_tpu.ops import fusion as F
+
+    # R=1, K=1: identity fusion
+    ids = jnp.asarray([[[3]], [[5]]]).transpose(1, 0, 2)  # [R=1, Q=2, K=1]
+    scores = jnp.asarray([[[0.5]], [[0.7]]]).transpose(1, 0, 2)
+    fi, fs = F.fuse(ids, scores, method="combsum", k_out=1)
+    assert np.asarray(fi).tolist() == [[3], [5]]
+
+    # one query entirely padded
+    ids2 = np.full((2, 2, 3), -1, np.int32)
+    ids2[:, 0, :] = [[1, 2, 3], [2, 3, 4]]
+    sc2 = np.where(ids2 >= 0, 0.5, -np.inf).astype(np.float32)
+    fi2, fs2 = F.fuse(jnp.asarray(ids2), jnp.asarray(sc2), method="rrf", k_out=4)
+    assert np.all(np.asarray(fi2)[1] == -1)      # padded query -> no results
+    assert np.asarray(fi2)[0, 0] >= 0
