@@ -133,3 +133,13 @@ def test_hotpotqa_scale_pipeline(tmp_path):
     back = load_run_file(tmp_path / "fused.res")
     assert len(back) == 7405
     assert "5a8b57f25542995d1e6f1371" in back
+
+    # oracle + argmax-QPP selection also handle 7.4k-query scale
+    from qpp_fusion_rag_tpu.fusion.argmax_qpp import argmax_qpp_experiment
+    from qpp_fusion_rag_tpu.fusion.oracle import oracle_report
+
+    rep = oracle_report(rt, qrels)
+    assert rep["oracle_metric"] >= rep["best_single"] - 1e-9
+    assert sum(rep["selection_histogram"].values()) == 7405
+    sel = argmax_qpp_experiment(rt, qpp_dict, qrels, qpp_indices=[5])
+    assert "RSD" in sel and 0.0 <= sel["RSD"]["nDCG@10"] <= 1.0
