@@ -1,0 +1,18 @@
+"""LLM generation: client, task generators, RAG evaluation harness."""
+
+from qpp_fusion_rag_tpu.generation.client import (
+    EmbeddingOperation,
+    FactVerificationGenerator,
+    GenerationError,
+    GenerationOperation,
+    QAGenerator,
+    ValidateOperation,
+    get_generator,
+)
+from qpp_fusion_rag_tpu.generation.rag_harness import RAGEvaluationHarness
+
+__all__ = [
+    "GenerationOperation", "GenerationError", "EmbeddingOperation",
+    "QAGenerator", "FactVerificationGenerator", "get_generator",
+    "ValidateOperation", "RAGEvaluationHarness",
+]
