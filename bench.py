@@ -96,7 +96,7 @@ def main() -> None:
     print(json.dumps({
         "metric": "fused_retrieval_qps_per_chip",
         "value": round(qps, 1),
-        "unit": "queries/sec (5-retriever retrieve+qpp+fuse, 2.68M-doc corpus)",
+        "unit": f"queries/sec (5-retriever retrieve+qpp+fuse, {n_docs/1e6:.2f}M-doc corpus)",
         "vs_baseline": round(qps / NORTH_STAR_QPS, 4),
     }))
 
