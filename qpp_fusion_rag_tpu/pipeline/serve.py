@@ -1,0 +1,98 @@
+"""One-process fused retrieval: retrieve → QPP → fuse, no files between.
+
+`python -m qpp_fusion_rag_tpu.pipeline.serve --index-dir data/<ds>/index
+ --retrievers bm25 --queries data/<ds>/queries.jsonl --output fused.res
+ [--method wcombsum --qpp-model RSD]`
+
+The reference's pipeline IS its file boundaries (each stage a separate
+process, SURVEY §1); this CLI demonstrates the collapsed architecture:
+one process holds every index, runs batched retrieval on device, computes
+QPP and fuses in-memory, and reports per-stage timing (utils.profiling).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="Serve fused retrieval end-to-end")
+    ap.add_argument("--index-dir", required=True, help="per-retriever index subdirs")
+    ap.add_argument("--retrievers", nargs="+", default=["bm25"])
+    ap.add_argument("--queries", required=True, help="queries.jsonl")
+    ap.add_argument("--output", default=None, help="fused TREC output path")
+    ap.add_argument("--method", default="wcombsum")
+    ap.add_argument("--qpp-model", default=None)
+    ap.add_argument("--top-k", type=int, default=None)
+    ap.add_argument("--k-out", type=int, default=100)
+    ap.add_argument("--timing-jsonl", default=None)
+    args = ap.parse_args(argv)
+
+    from qpp_fusion_rag_tpu.config import config
+    from qpp_fusion_rag_tpu.data.runtensor import RunTensor
+    from qpp_fusion_rag_tpu.fusion.engine import run_fusion
+    from qpp_fusion_rag_tpu.qpp.engine import (
+        compute_qpp_for_runtensor,
+        qpp_tensor_to_dict,
+    )
+    from qpp_fusion_rag_tpu.retrievers import get_retriever
+    from qpp_fusion_rag_tpu.retrievers.base import normalize_scores
+    from qpp_fusion_rag_tpu.utils.profiling import StageTimer
+
+    top_k = args.top_k or int(config.processing.retrieval.top_k)
+    queries = {}
+    with open(args.queries) as f:
+        for line in f:
+            if line.strip():
+                q = json.loads(line)
+                queries[str(q["_id"])] = q["text"]
+
+    timer = StageTimer(jsonl_path=args.timing_jsonl)
+    needs_qpp = args.method.lower().replace("w-", "w") in (
+        "wcombsum", "wcombmnz", "wrrf", "learned",
+    )
+
+    with timer.stage("load_indexes"):
+        retrievers = {
+            name: get_retriever(name, index_dir=Path(args.index_dir) / name)
+            for name in args.retrievers
+        }
+
+    runs = {}
+    for name, retriever in retrievers.items():
+        with timer.stage(f"retrieve:{name}", items=len(queries)):
+            results = retriever.retrieve_batch(queries, top_k=top_k)
+        runs[name] = {
+            qid: [(d, s, r) for d, s, r in normalize_scores(res.results)]
+            for qid, res in results.items()
+        }
+
+    with timer.stage("tensorize"):
+        rt = RunTensor.from_run_dicts(runs, qids=list(queries.keys()))
+
+    qpp_dict = None
+    if needs_qpp:
+        with timer.stage("qpp", items=rt.Q * rt.R):
+            qpp = compute_qpp_for_runtensor(rt, query_texts=queries)
+            qpp_dict = qpp_tensor_to_dict(qpp, rt.qids, rt.retrievers)
+
+    with timer.stage("fuse", items=rt.Q):
+        fused = run_fusion(
+            args.method, rt, qpp=qpp_dict, qpp_model=args.qpp_model,
+            k_out=args.k_out, output_path=args.output,
+        )
+
+    total = sum(timer.summary().values())
+    print(f"[serve] {rt.Q} queries x {rt.R} retrievers -> "
+          f"{fused.retrievers[0]} in {total:.2f}s "
+          f"({rt.Q / max(total, 1e-9):.0f} q/s end-to-end)")
+    if args.output:
+        print(f"[serve] wrote {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

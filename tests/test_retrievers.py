@@ -122,3 +122,32 @@ def test_dense_retriever_clustered_corpus_recall():
         for i in range(4)
     ])
     assert rec >= 0.85, rec
+
+
+def test_serve_cli(tmp_path, tmp_dataset):
+    """One-process retrieve->QPP->fuse over the synthetic dataset."""
+    from qpp_fusion_rag_tpu.pipeline.index import main as index_main
+    from qpp_fusion_rag_tpu.pipeline.serve import main as serve_main
+
+    idx_dir = tmp_path / "index"
+    index_main(["--corpus", str(tmp_dataset / "corpus.jsonl"),
+                "--output", str(idx_dir / "bm25")])
+    out = tmp_path / "fused.res"
+    rc = serve_main([
+        "--index-dir", str(idx_dir),
+        "--retrievers", "bm25",
+        "--queries", str(tmp_dataset / "queries.jsonl"),
+        "--output", str(out),
+        "--method", "wcombsum",
+        "--top-k", "10",
+        "--timing-jsonl", str(tmp_path / "timing.jsonl"),
+    ])
+    assert rc == 0
+    assert out.exists()
+    from qpp_fusion_rag_tpu.data.loaders import load_run_file
+
+    fused = load_run_file(out)
+    assert len(fused) > 0
+    timing = (tmp_path / "timing.jsonl").read_text().splitlines()
+    stages = {json.loads(l)["stage"] for l in timing}
+    assert {"load_indexes", "retrieve:bm25", "tensorize", "qpp", "fuse"} <= stages
