@@ -28,13 +28,20 @@ import yaml
 _PLACEHOLDER = re.compile(r"\$\{([A-Za-z_][A-Za-z0-9_]*)(?::([^{}]*))?\}")
 
 PROJECT_ROOT = Path(__file__).resolve().parent.parent
-DEFAULT_CONFIG_PATH = PROJECT_ROOT / "config" / "defaults.yaml"
+# repo checkout layout first; wheel installs fall back to the packaged copy
+_REPO_CONFIG = PROJECT_ROOT / "config" / "defaults.yaml"
+_PACKAGED_CONFIG = Path(__file__).resolve().parent / "defaults.yaml"
+DEFAULT_CONFIG_PATH = _REPO_CONFIG if _REPO_CONFIG.exists() else _PACKAGED_CONFIG
 
 
 def _expand(value: str, env: Dict[str, str]) -> str:
-    """Expand ${VAR} / ${VAR:default} placeholders, innermost first."""
+    """Expand ${VAR} / ${VAR:default} placeholders, innermost first.
+    Capped at 10 rewrite passes: a self-referential env var (LOOP='x${LOOP}')
+    must fail loudly instead of hanging package import."""
     prev = None
-    while prev != value:
+    for _ in range(10):
+        if prev == value:
+            break
         prev = value
 
         def repl(m: "re.Match[str]") -> str:
@@ -46,6 +53,11 @@ def _expand(value: str, env: Dict[str, str]) -> str:
             return m.group(0)  # leave unresolved placeholders intact
 
         value = _PLACEHOLDER.sub(repl, value)
+    else:
+        if _PLACEHOLDER.search(value):
+            raise ValueError(
+                f"environment placeholder expansion did not converge for {value!r}"
+            )
     return value
 
 
@@ -166,11 +178,14 @@ def detect_dataset(path: os.PathLike, supported: Optional[List[str]] = None) -> 
     for name in supported:
         if any(name == p or f"beir-{name}" == p for p in parts):
             return name
+    # fallback: boundary-delimited substring, longest name wins (plain
+    # substring matching returned 'nq' for paths like /home/tanq/...)
     s = str(path).lower()
-    for name in supported:
-        if name in s:
-            return name
-    return None
+    hits = [
+        name for name in supported
+        if re.search(rf"(?<![a-z0-9]){re.escape(name)}(?![a-z0-9])", s)
+    ]
+    return max(hits, key=len) if hits else None
 
 
 config = Config.load()

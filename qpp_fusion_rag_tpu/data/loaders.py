@@ -15,6 +15,7 @@ be exchanged in either direction (reference src/data_utils.py):
 from __future__ import annotations
 
 import json
+import re
 import os
 from collections import defaultdict
 from pathlib import Path
@@ -38,22 +39,37 @@ class LazyCorpus:
     access stays sequential.
     """
 
+    _ID_RE = re.compile(rb'"_id"\s*:\s*"((?:[^"\\]|\\.)*)"')
+
     def __init__(self, corpus_path: PathLike):
         self.path = Path(corpus_path)
         self._offsets: Dict[str, int] = {}
+        self._fh = None  # persistent read handle (one seek per lookup)
         self._build_index()
 
     def _build_index(self) -> None:
         with open(self.path, "rb") as f:
             offset = 0
             for line in f:
-                # Cheap docno extraction: the _id field leads every BEIR line.
-                try:
-                    doc = json.loads(line)
-                    self._offsets[str(doc["_id"])] = offset
-                except (json.JSONDecodeError, KeyError):
-                    pass
+                # Cheap docno extraction: regex the _id field from the line
+                # prefix instead of json-parsing multi-KB document bodies
+                # (the _id leads every BEIR line; fall back to full parse
+                # for exotic escapes/ordering).
+                m = self._ID_RE.search(line[:256])
+                if m and b"\\" not in m.group(1):
+                    self._offsets[m.group(1).decode("utf-8")] = offset
+                else:
+                    try:
+                        doc = json.loads(line)
+                        self._offsets[str(doc["_id"])] = offset
+                    except (json.JSONDecodeError, KeyError):
+                        pass
                 offset += len(line)
+
+    def _handle(self):
+        if self._fh is None or self._fh.closed:
+            self._fh = open(self.path, "rb")
+        return self._fh
 
     def __len__(self) -> int:
         return len(self._offsets)
@@ -68,9 +84,9 @@ class LazyCorpus:
         off = self._offsets.get(str(docno))
         if off is None:
             return None
-        with open(self.path, "rb") as f:
-            f.seek(off)
-            return json.loads(f.readline())
+        f = self._handle()
+        f.seek(off)
+        return json.loads(f.readline())
 
     def get_text(self, docno: str, include_title: bool = True) -> str:
         doc = self.get(docno)
@@ -86,13 +102,13 @@ class LazyCorpus:
         wanted = [(self._offsets[d], d) for d in docnos if d in self._offsets]
         wanted.sort()
         out: Dict[str, str] = {}
-        with open(self.path, "rb") as f:
-            for off, docno in wanted:
-                f.seek(off)
-                doc = json.loads(f.readline())
-                title = doc.get("title", "") if include_title else ""
-                text = doc.get("text", "")
-                out[docno] = f"{title} {text}".strip() if title else text
+        f = self._handle()
+        for off, docno in wanted:
+            f.seek(off)
+            doc = json.loads(f.readline())
+            title = doc.get("title", "") if include_title else ""
+            text = doc.get("text", "")
+            out[docno] = f"{title} {text}".strip() if title else text
         return out
 
 
@@ -135,6 +151,11 @@ def load_queries(dataset_dir: PathLike, split: str = "test") -> Dict[str, str]:
                 parts = line.strip().split("\t")
                 if parts and parts[0]:
                     split_qids.add(parts[0])
+        if not split_qids:
+            raise ValueError(
+                f"{qrels_file} exists but contains no qids — refusing to "
+                "silently fall back to the unfiltered query set"
+            )
 
     queries: Dict[str, str] = {}
     with open(queries_file, encoding="utf-8") as f:
@@ -178,8 +199,8 @@ def load_run_file(run_path: PathLike) -> Dict[str, List[Tuple[str, float, int]]]
     with open(run_path) as f:
         for line in f:
             parts = line.split()
-            if len(parts) >= 6:
-                qid, _, docid, rank, score, _tag = parts[:6]
+            if len(parts) >= 5:  # trailing tag column is optional
+                qid, _, docid, rank, score = parts[:5]
                 runs[qid].append((docid, float(score), int(rank)))
     for qid in runs:
         runs[qid].sort(key=lambda x: x[2])
@@ -300,5 +321,5 @@ def get_gold_answer_for_query(query_id: str, query_text: str, gold_answers: Dict
     task_type = config.dataset(dataset).task_type
     if task_type == "qa":
         answers = gold_answers.get(query_text)
-        return {"answers": answers} if answers else None
+        return {"answers": answers} if answers is not None else None
     return gold_answers.get(query_id)

@@ -111,7 +111,11 @@ class RunTensor:
                 entries = run.get(qid)
                 if not entries:
                     continue
-                entries = sorted(entries, key=lambda x: x[2])[:k]
+                # rank order first, then enforce the documented score-desc
+                # contract (QPP statistics assume monotone rows; external
+                # .res files may order ranks differently on ties)
+                entries = sorted(entries, key=lambda x: x[2])
+                entries = sorted(entries, key=lambda x: -x[1])[:k]
                 n = len(entries)
                 doc_ids[r, qi, :n] = [vocab.add(d) for d, _, _ in entries]
                 scores[r, qi, :n] = [s for _, s, _ in entries]
@@ -157,9 +161,14 @@ class RunTensor:
         """Per-(retriever, query) min-max normalization — the ``.norm.res``
         contract (reference src/retrievers/base.py:60-73): (s - min)/(max - min),
         with range 1.0 when all scores are equal. Padding stays -inf."""
+        import warnings
+
         mask = self.valid_mask
         s = np.where(mask, self.scores, np.nan)
-        with np.errstate(all="ignore"):
+        with warnings.catch_warnings():
+            # fully-padded rows (qid missing from one retriever) are normal;
+            # suppress numpy's All-NaN slice warning for them
+            warnings.simplefilter("ignore", RuntimeWarning)
             mn = np.nanmin(s, axis=-1, keepdims=True)
             mx = np.nanmax(s, axis=-1, keepdims=True)
         rng = np.where(mx > mn, mx - mn, 1.0)

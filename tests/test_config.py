@@ -1,3 +1,4 @@
+import pytest
 import os
 
 from qpp_fusion_rag_tpu.config import Config, config, detect_dataset
@@ -62,3 +63,34 @@ def test_overrides():
     c = Config.load(overrides={"qpp": {"default_index": 3}})
     assert c.qpp.default_index == 3
     assert c.qpp.n_methods == 13
+
+
+def test_expand_cycle_raises(monkeypatch):
+    """Self-referential env placeholders must fail loudly, not hang import."""
+    from qpp_fusion_rag_tpu.config import _expand
+
+    with pytest.raises(ValueError, match="did not converge"):
+        _expand("${LOOPVAR}", {"LOOPVAR": "x${LOOPVAR}"})
+
+
+def test_packaged_defaults_in_sync():
+    """The wheel-packaged defaults.yaml must match the repo config copy."""
+    from pathlib import Path
+
+    import qpp_fusion_rag_tpu
+
+    pkg = Path(qpp_fusion_rag_tpu.__file__).parent / "defaults.yaml"
+    repo = Path(qpp_fusion_rag_tpu.__file__).parents[1] / "config" / "defaults.yaml"
+    if repo.exists():
+        assert pkg.read_text() == repo.read_text(), (
+            "config/defaults.yaml and qpp_fusion_rag_tpu/defaults.yaml drifted; "
+            "copy the repo file over the packaged one"
+        )
+
+
+def test_detect_dataset_no_substring_false_positive():
+    from qpp_fusion_rag_tpu.config import detect_dataset
+
+    assert detect_dataset("/home/tanq/scifact_runs.d") == "scifact"
+    assert detect_dataset("/home/tanq/other") is None
+    assert detect_dataset("/data/BEIR-nq/runs") == "nq"

@@ -1,3 +1,4 @@
+import pytest
 import numpy as np
 
 from qpp_fusion_rag_tpu.data import (
@@ -122,3 +123,47 @@ def test_runtensor_trec_dir(tmp_path):
     assert rt.retrievers == ["X", "Y"]
     assert rt.Q == 1 and rt.K == 2
     assert "zz" not in rt.vocab
+
+
+def test_load_run_file_accepts_tagless_lines(tmp_path):
+    p = tmp_path / "r.res"
+    p.write_text("q1 Q0 d1 1 2.5\nq1 Q0 d2 2 1.5 tagged\n")
+    from qpp_fusion_rag_tpu.data.loaders import load_run_file
+
+    run = load_run_file(p)
+    assert run["q1"] == [("d1", 2.5, 1), ("d2", 1.5, 2)]
+
+
+def test_load_queries_rejects_empty_qrels(tmp_path):
+    import json
+
+    (tmp_path / "qrels").mkdir()
+    (tmp_path / "queries.jsonl").write_text(json.dumps({"_id": "1", "text": "x"}) + "\n")
+    (tmp_path / "qrels" / "test.tsv").write_text("query-id\tcorpus-id\tscore\n")
+    from qpp_fusion_rag_tpu.data.loaders import load_queries
+
+    with pytest.raises(ValueError, match="no qids"):
+        load_queries(tmp_path)
+
+
+def test_runtensor_enforces_score_desc(tmp_path):
+    """Rows re-sort by score desc even if the rank column disagrees."""
+    from qpp_fusion_rag_tpu.data.runtensor import RunTensor
+
+    runs = {"r0": {"q1": [("a", 0.2, 1), ("b", 0.9, 2), ("c", 0.5, 3)]}}
+    rt = RunTensor.from_run_dicts(runs)
+    np.testing.assert_allclose(rt.scores[0, 0], [0.9, 0.5, 0.2])
+    assert rt.vocab.decode(rt.doc_ids[0, 0]) == ["b", "c", "a"]
+
+
+def test_minmax_no_warning_on_padded_rows(recwarn):
+    from qpp_fusion_rag_tpu.data.runtensor import RunTensor
+    from qpp_fusion_rag_tpu.data.vocab import DocVocab
+
+    vocab = DocVocab()
+    vocab.add("d0")
+    doc_ids = np.array([[[0, -1], [-1, -1]]], np.int32)   # second row all pad
+    scores = np.array([[[1.0, -np.inf], [-np.inf, -np.inf]]], np.float32)
+    rt = RunTensor(doc_ids, scores, ["q1", "q2"], ["r0"], vocab)
+    rt.minmax_normalized()
+    assert not [w for w in recwarn if "All-NaN" in str(w.message)]
