@@ -2,6 +2,7 @@
 
 from qpp_fusion_rag_tpu.data.loaders import (  # noqa: F401
     LazyCorpus,
+    doc_text,
     get_gold_answer_for_query,
     iter_corpus,
     load_corpus,

@@ -227,6 +227,15 @@ def load_run_as_dict(run_path: PathLike) -> Dict[str, Dict[str, float]]:
     return dict(runs)
 
 
+def doc_text(corpus, docno: str) -> str:
+    """Text for `docno` from any corpus backend (plain dict or LazyCorpus).
+    Shared by every consumer that takes a `corpus` mapping (two-stage
+    rerankers, the RAG harness)."""
+    if hasattr(corpus, "get_text"):
+        return corpus.get_text(docno)
+    return corpus.get(docno, "")
+
+
 def qid_sort_key(q: str):
     """Canonical qid ordering: numeric and 'test<N>' qids numerically first,
     then everything else lexicographically. Type-stable for mixed qid sets

@@ -232,6 +232,19 @@ def params_from_hf_state_dict(sd: Dict[str, Any], cfg: BertConfig) -> Dict[str, 
     return params
 
 
+def load_hf_tokenizer(model_name_or_path: str, max_length: int = 256):
+    """HF tokenizer -> plain `text -> List[int]` callable (what the encoder
+    heads consume). Requires the checkpoint locally, like load_hf_bert."""
+    import transformers
+
+    tok = transformers.AutoTokenizer.from_pretrained(model_name_or_path)
+
+    def tokenize(text: str):
+        return tok(text, truncation=True, max_length=max_length)["input_ids"]
+
+    return tokenize
+
+
 def load_hf_bert(model_name_or_path: str, with_mlm: bool = False,
                  with_classifier: bool = False):
     """Load a HF checkpoint into (params, BertConfig). Requires the weights

@@ -95,6 +95,8 @@ class GenerationOperation:
             text = data["choices"][0]["message"]["content"]
         except (KeyError, IndexError, TypeError) as e:
             raise GenerationError(f"Malformed LLM response: {data}") from e
+        if not isinstance(text, str):  # e.g. "content": null
+            raise GenerationError(f"LLM response has non-string content: {text!r}")
         return GenerationResult(
             text=text.strip(), latency_ms=ms,
             model=data.get("model", self.model), usage=data.get("usage", {}),

@@ -59,9 +59,9 @@ class RAGEvaluationHarness:
 
     # -- context ------------------------------------------------------
     def _doc_text(self, docno: str) -> str:
-        if hasattr(self.corpus, "get_text"):
-            return self.corpus.get_text(docno)
-        return self.corpus.get(docno, "")
+        from qpp_fusion_rag_tpu.data.loaders import doc_text
+
+        return doc_text(self.corpus, docno)
 
     def build_context(self, doc_ids: Sequence[str], k: int) -> List[str]:
         """Top-k passage texts (reference 07:74-90)."""
@@ -97,15 +97,21 @@ class RAGEvaluationHarness:
     ) -> Dict:
         qrels_q = self.qrels.get(qid, {})
         by_k = {}
+        # fetch the largest context once; each k is a prefix of it
+        max_context = self.build_context(run_docs, max(self.k_shots, default=0))
         for k in self.k_shots:
-            contexts = self.build_context(run_docs, k)
+            contexts = max_context[:k]
             t0 = time.perf_counter()
             try:
                 result = self.generator.generate(query, contexts)
                 answer = getattr(result, "text", None)
                 if answer is None:  # FVResult
-                    answer = result.label or ""
-                    extra = {"rationale": result.rationale}
+                    # An unparseable verdict (label=None) is a completed call,
+                    # not a transport failure: keep the raw text as the answer
+                    # so the retry queue (which keys on empty answers) does not
+                    # re-spend the query forever; record label separately.
+                    answer = result.label or result.raw.text
+                    extra = {"rationale": result.rationale, "label": result.label}
                 else:
                     extra = {}
                 error = None
@@ -130,8 +136,8 @@ class RAGEvaluationHarness:
     ) -> Dict:
         completed, _retry = self._load_checkpoint()
         pending = [q for q in queries if q not in completed]
-        if max_queries:
-            pending = pending[: max_queries]
+        if max_queries is not None:
+            pending = pending[:max_queries]
 
         for i, qid in enumerate(pending):
             entries = fused_run.get(qid, [])

@@ -29,10 +29,16 @@ def _dense(index_dir, model_name=None, pooling="cls", **kw):
 
     encoder = kw.pop("encoder", None)
     if encoder is None and model_name is not None:
-        from qpp_fusion_rag_tpu.encoders import DenseEncoder, load_hf_bert
+        from qpp_fusion_rag_tpu.encoders import (
+            DenseEncoder,
+            load_hf_bert,
+            load_hf_tokenizer,
+        )
 
         params, cfg = load_hf_bert(model_name)
-        encoder = DenseEncoder(params, cfg, pooling=pooling, normalize=(pooling == "cls"))
+        encoder = DenseEncoder(params, cfg, pooling=pooling,
+                               normalize=(pooling == "cls"),
+                               tokenizer=load_hf_tokenizer(model_name))
     return DenseRetriever.from_index_dir(index_dir, encoder=encoder, **kw)
 
 
@@ -55,10 +61,15 @@ def _splade(index_dir, encoder=None, **kw):
 
     if encoder is None:
         from qpp_fusion_rag_tpu.config import config
-        from qpp_fusion_rag_tpu.encoders import SpladeEncoder, load_hf_bert
+        from qpp_fusion_rag_tpu.encoders import (
+            SpladeEncoder,
+            load_hf_bert,
+            load_hf_tokenizer,
+        )
 
-        params, cfg = load_hf_bert(config.models.splade.name, with_mlm=True)
-        encoder = SpladeEncoder(params, cfg)
+        name = config.models.splade.name
+        params, cfg = load_hf_bert(name, with_mlm=True)
+        encoder = SpladeEncoder(params, cfg, tokenizer=load_hf_tokenizer(name))
     return SpladeRetriever(SpladeIndex.load(index_dir), encoder=encoder, **kw)
 
 
@@ -81,12 +92,21 @@ def _two_stage(index_dir, corpus=None, reranker=None, kind="cross", **kw):
             DenseReranker,
         )
 
+        from qpp_fusion_rag_tpu.encoders import load_hf_tokenizer
+
         if kind == "cross":
-            params, cfg = load_hf_bert(config.models.cross_encoder.name, with_classifier=True)
-            reranker = CrossEncoderReranker(CrossEncoderScorer(params, cfg))
+            name = config.models.cross_encoder.name
+            params, cfg = load_hf_bert(name, with_classifier=True)
+            reranker = CrossEncoderReranker(
+                CrossEncoderScorer(params, cfg, tokenizer=load_hf_tokenizer(name))
+            )
         else:
-            params, cfg = load_hf_bert(config.models.tct_colbert.name)
-            reranker = DenseReranker(DenseEncoder(params, cfg, pooling="mean"))
+            name = config.models.tct_colbert.name
+            params, cfg = load_hf_bert(name)
+            reranker = DenseReranker(
+                DenseEncoder(params, cfg, pooling="mean",
+                             tokenizer=load_hf_tokenizer(name))
+            )
     return TwoStageRetriever(first, reranker, corpus, **kw)
 
 

@@ -79,6 +79,33 @@ class BaseRetriever(ABC):
         out = fn()
         return out, (time.perf_counter() - t0) * 1000.0
 
+    def _batched_retrieve(
+        self,
+        queries: Dict[str, str],
+        batch_size: int,
+        search_chunk,          # (texts) -> (scores [B,k], rows [B,k])
+        docno_of,              # row index -> docno
+    ) -> Dict[str, RetrieverResult]:
+        """Shared batched-search loop for device-backed retrievers.
+
+        `search_chunk` must include ALL per-chunk work (query encoding plus
+        index search) so batch latency_ms is accounted the same way as the
+        single-query retrieve() path; the measured chunk time is amortized
+        per query.
+        """
+        qids = list(queries.keys())
+        out: Dict[str, RetrieverResult] = {}
+        for i in range(0, len(qids), batch_size):
+            chunk = qids[i : i + batch_size]
+            (scores, rows), ms = self._timed(
+                lambda c=chunk: search_chunk([queries[q] for q in c])
+            )
+            per_query = ms / max(len(chunk), 1)
+            for bi, qid in enumerate(chunk):
+                results = rows_to_results(scores[bi], rows[bi], docno_of)
+                out[qid] = RetrieverResult(qid, results, latency_ms=per_query)
+        return out
+
 
 def write_results_trec(
     results: Dict[str, RetrieverResult],

@@ -40,17 +40,8 @@ class BM25Retriever(BaseRetriever):
         self, queries: Dict[str, str], top_k: int = 100, batch_size: Optional[int] = None
     ) -> Dict[str, RetrieverResult]:
         batch_size = batch_size or int(config.processing.batch_sizes.retrieval)
-        qids = list(queries.keys())
-        out: Dict[str, RetrieverResult] = {}
-        for i in range(0, len(qids), batch_size):
-            chunk = qids[i : i + batch_size]
-            (scores, rows), ms = self._timed(
-                lambda c=chunk: self.index.search(
-                    [queries[q] for q in c], k=top_k, p_cap=self.p_cap
-                )
-            )
-            per_query = ms / max(len(chunk), 1)
-            for bi, qid in enumerate(chunk):
-                results = rows_to_results(scores[bi], rows[bi], self.index.docno)
-                out[qid] = RetrieverResult(qid, results, latency_ms=per_query)
-        return out
+        return self._batched_retrieve(
+            queries, batch_size,
+            lambda texts: self.index.search(texts, k=top_k, p_cap=self.p_cap),
+            self.index.docno,
+        )

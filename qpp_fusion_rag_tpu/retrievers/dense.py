@@ -149,14 +149,8 @@ class DenseRetriever(BaseRetriever):
         self, queries: Dict[str, str], top_k: int = 100, batch_size: Optional[int] = None
     ) -> Dict[str, RetrieverResult]:
         batch_size = batch_size or int(config.processing.batch_sizes.retrieval)
-        qids = list(queries.keys())
-        out: Dict[str, RetrieverResult] = {}
-        for i in range(0, len(qids), batch_size):
-            chunk = qids[i : i + batch_size]
-            emb = self._encode([queries[q] for q in chunk])
-            (scores, rows), ms = self._timed(lambda e=emb: self.search_embeddings(e, k=top_k))
-            per_query = ms / max(len(chunk), 1)
-            for bi, qid in enumerate(chunk):
-                results = rows_to_results(scores[bi], rows[bi], self.index.docnos.__getitem__)
-                out[qid] = RetrieverResult(qid, results, latency_ms=per_query)
-        return out
+        return self._batched_retrieve(
+            queries, batch_size,
+            lambda texts: self.search_embeddings(self._encode(texts), k=top_k),
+            self.index.docnos.__getitem__,
+        )

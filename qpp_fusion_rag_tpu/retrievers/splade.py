@@ -148,6 +148,11 @@ class SpladeRetriever(BaseRetriever):
     def _encode_queries(self, texts: Sequence[str]):
         from qpp_fusion_rag_tpu.encoders.heads import pad_sequences
 
+        if self.encoder is None:
+            raise RuntimeError(
+                "SpladeRetriever has no query encoder; pass encoder= or use "
+                "index.search_impacts() with precomputed query impacts"
+            )
         seqs = [self.encoder.tokenizer(t) for t in texts]
         ids, mask = pad_sequences(seqs, self.encoder.max_len,
                                         self.encoder.cfg.pad_token_id)
@@ -167,18 +172,11 @@ class SpladeRetriever(BaseRetriever):
     def retrieve_batch(self, queries: Dict[str, str], top_k: int = 100,
                        batch_size: Optional[int] = None) -> Dict[str, RetrieverResult]:
         batch_size = batch_size or int(config.processing.batch_sizes.retrieval)
-        qids = list(queries.keys())
-        out: Dict[str, RetrieverResult] = {}
-        for i in range(0, len(qids), batch_size):
-            chunk = qids[i : i + batch_size]
-            q_terms, q_weights = self._encode_queries([queries[q] for q in chunk])
-            (scores, rows), ms = self._timed(
-                lambda t=q_terms, w=q_weights: self.index.search_impacts(
-                    t, w, k=top_k, p_cap=self.p_cap
-                )
-            )
-            per_query = ms / max(len(chunk), 1)
-            for bi, qid in enumerate(chunk):
-                results = rows_to_results(scores[bi], rows[bi], self.index.docnos.__getitem__)
-                out[qid] = RetrieverResult(qid, results, latency_ms=per_query)
-        return out
+
+        def search_chunk(texts):
+            q_terms, q_weights = self._encode_queries(texts)
+            return self.index.search_impacts(q_terms, q_weights, k=top_k, p_cap=self.p_cap)
+
+        return self._batched_retrieve(
+            queries, batch_size, search_chunk, self.index.docnos.__getitem__
+        )

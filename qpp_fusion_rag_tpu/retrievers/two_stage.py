@@ -70,9 +70,9 @@ class TwoStageRetriever(BaseRetriever):
             self.name = name
 
     def _doc_text(self, docno: str) -> str:
-        if hasattr(self.corpus, "get_text"):
-            return self.corpus.get_text(docno)
-        return self.corpus.get(docno, "")
+        from qpp_fusion_rag_tpu.data.loaders import doc_text
+
+        return doc_text(self.corpus, docno)
 
     def retrieve(self, query: str, qid: str, top_k: int = 100) -> RetrieverResult:
         def run():

@@ -80,7 +80,6 @@ def train_fusion_models(
     X, Y, quality, qids = build_training_data(rt, qpp_data, qrels, target_metric)
     n = len(qids)
     n_train = int(n * train_ratio)          # sequential split (:246-250)
-    tr = slice(0, n_train)
     te = slice(n_train, n)
     test_qids = qids[n_train:]
 
@@ -94,11 +93,19 @@ def train_fusion_models(
         "n_test": len(test_qids),
     }
 
+    # Early-stopping validation comes out of the TRAIN portion (last 20%);
+    # the test slice is never seen before final evaluation. (The reference
+    # validates on its test slice, scripts/04_train_fusion.py:252-260 — that
+    # leaks model selection into the reported metric, so we deviate here.)
+    n_val = max(int(n_train * 0.2), 1) if n_train >= 5 else 0
+    fit = slice(0, n_train - n_val)
+    va = slice(n_train - n_val, n_train) if n_val else slice(0, n_train)
+
     results: Dict[str, Dict] = {"_baselines": baselines}
     for mtype in model_types:
         cls = get_model_class(mtype)
         model: BaseFusionModel = cls(rt.retrievers, seed=seed)
-        train_info = model.train(X[tr], Y[tr], X[te], Y[te])
+        train_info = model.train(X[fit], Y[fit], X[va], Y[va])
         W = model.predict(X[te])
         fused_metric = evaluate_weights(rt, test_qids, W, qrels, target_metric)
         results[mtype] = {

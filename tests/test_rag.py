@@ -265,3 +265,75 @@ def test_qa_metrics_cli_semantic_and_judge(tmp_path, rag_world):
     m = data["metrics_by_k"]["1"]
     assert "semantic" in m and -1.0 - 1e-9 <= m["semantic"] <= 1.0 + 1e-9
     assert m["llm_judge"] == 4.0
+
+
+# -- regression: client/harness edge cases -------------------------------------
+
+def test_null_content_raises_generation_error():
+    """'content': null must surface as GenerationError, not AttributeError."""
+    from qpp_fusion_rag_tpu.generation.client import (
+        GenerationError,
+        GenerationOperation,
+    )
+
+    def null_content(url, payload, timeout):
+        return {"choices": [{"message": {"content": None}}]}
+
+    with pytest.raises(GenerationError):
+        GenerationOperation(transport=null_content).execute("s", "u")
+
+
+def test_unparseable_fv_verdict_not_retried_forever(tmp_path, rag_world):
+    """An FV reply with no parseable verdict is a completed call: the raw
+    text is kept as the answer (so the empty-answer retry queue skips it)
+    and the parse failure is visible as label=None."""
+    from qpp_fusion_rag_tpu.generation.client import (
+        FactVerificationGenerator,
+        GenerationOperation,
+    )
+    from qpp_fusion_rag_tpu.generation.rag_harness import RAGEvaluationHarness
+
+    corpus, queries, qrels, run = rag_world
+    g = FactVerificationGenerator(
+        GenerationOperation(transport=fake_transport_factory("no idea at all"))
+    )
+    ckpt = tmp_path / "fv.json"
+    h = RAGEvaluationHarness(g, corpus, qrels, k_shots=[1], checkpoint_path=ckpt)
+    out = h.run(queries, run)
+    rec = out["results"]["1"]["by_k"]["1"]
+    assert rec["answer"] == "no idea at all"
+    assert rec["label"] is None
+    # the checkpoint's retry queue must be empty -> a resume re-runs nothing
+    data = json.loads(ckpt.read_text())
+    assert data["retry"] == []
+
+
+def test_max_queries_zero_means_zero(rag_world):
+    from qpp_fusion_rag_tpu.generation.client import GenerationOperation, QAGenerator
+    from qpp_fusion_rag_tpu.generation.rag_harness import RAGEvaluationHarness
+
+    corpus, queries, qrels, run = rag_world
+    g = QAGenerator(GenerationOperation(transport=fake_transport_factory()))
+    out = RAGEvaluationHarness(g, corpus, qrels, k_shots=[1]).run(
+        queries, run, max_queries=0
+    )
+    assert out["n_queries"] == 0
+
+
+def test_build_context_fetched_once_per_query(rag_world):
+    """Each doc text is fetched once per query even with several k values."""
+    from qpp_fusion_rag_tpu.generation.client import GenerationOperation, QAGenerator
+    from qpp_fusion_rag_tpu.generation.rag_harness import RAGEvaluationHarness
+
+    corpus, queries, qrels, run = rag_world
+    fetches = []
+
+    class CountingCorpus(dict):
+        def get(self, key, default=""):
+            fetches.append(key)
+            return super().get(key, default)
+
+    g = QAGenerator(GenerationOperation(transport=fake_transport_factory()))
+    h = RAGEvaluationHarness(g, CountingCorpus(corpus), qrels, k_shots=[1, 2, 3])
+    h.run({"1": queries["1"]}, run)
+    assert len(fetches) == len(set(fetches)) == 3  # top-3 docs, once each

@@ -151,3 +151,40 @@ def test_serve_cli(tmp_path, tmp_dataset):
     timing = (tmp_path / "timing.jsonl").read_text().splitlines()
     stages = {json.loads(l)["stage"] for l in timing}
     assert {"load_indexes", "retrieve:bm25", "tensorize", "qpp", "fuse"} <= stages
+
+
+def test_batch_latency_includes_encoding(tiny_dense_retriever=None):
+    """retrieve_batch must time query encoding like retrieve() does."""
+    import time
+
+    import numpy as np
+
+    from qpp_fusion_rag_tpu.retrievers.dense import DenseIndex, DenseRetriever
+
+    rng = np.random.default_rng(0)
+    emb = rng.normal(size=(64, 16)).astype(np.float32)
+    idx = DenseIndex(emb, [f"d{i}" for i in range(64)])
+
+    def slow_encoder(texts):
+        time.sleep(0.03)
+        return rng.normal(size=(len(texts), 16)).astype(np.float32)
+
+    r = DenseRetriever(idx, encoder=slow_encoder, exact=True)
+    out = r.retrieve_batch({"a": "x", "b": "y"}, top_k=5)
+    # 30ms encode amortized over 2 queries -> >= ~15ms each
+    assert all(res.latency_ms >= 10.0 for res in out.values())
+
+
+def test_splade_retriever_without_encoder_raises():
+    import numpy as np
+    import pytest as _pytest
+
+    from qpp_fusion_rag_tpu.retrievers.splade import SpladeIndex, SpladeRetriever
+
+    idx = SpladeIndex.from_impacts(
+        np.array([[1, 2]], np.int32), np.array([[1.0, 0.5]], np.float32),
+        ["d0"], vocab_size=8,
+    )
+    r = SpladeRetriever(idx, encoder=None)
+    with _pytest.raises(RuntimeError, match="no query encoder"):
+        r.retrieve("hello", "q1")

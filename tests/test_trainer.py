@@ -82,3 +82,39 @@ def test_models_saved(tmp_path, synthetic_world):
     m = load_model(results["multioutput"]["path"])
     W = m.predict(np.zeros((2, 39), np.float32))
     assert W.shape == (2, 3)
+
+
+def test_no_test_leakage_into_early_stopping(synthetic_world, monkeypatch):
+    """The validation set passed to model.train must come from the train
+    portion; no test-slice row may be shown to the model before predict()."""
+    from qpp_fusion_rag_tpu.train import fusion_trainer
+
+    rt, qpp_data, qrels = synthetic_world
+    seen = {}
+
+    class SpyModel:
+        def __init__(self, retrievers, seed=0):
+            self.retrievers = retrievers
+
+        def train(self, X_tr, Y_tr, X_val, Y_val):
+            seen["tr"], seen["val"] = np.asarray(X_tr), np.asarray(X_val)
+            return {}
+
+        def predict(self, X):
+            seen["te"] = np.asarray(X)
+            R = len(self.retrievers)
+            return np.full((len(X), R), 1.0 / R, np.float32)
+
+    monkeypatch.setattr(fusion_trainer, "get_model_class", lambda name: SpyModel)
+    fusion_trainer.train_fusion_models(rt, qpp_data, qrels, model_types=("spy",))
+
+    X, _, _, _ = fusion_trainer.build_training_data(rt, qpp_data, qrels)
+    n_train = seen["tr"].shape[0] + seen["val"].shape[0]
+    assert seen["val"].shape[0] >= 1
+    assert n_train + seen["te"].shape[0] == len(X)
+    # fit + val together are exactly the first n_train rows, in order; the
+    # test slice is exactly the remainder -> no positional overlap
+    np.testing.assert_array_equal(
+        np.concatenate([seen["tr"], seen["val"]]), X[:n_train]
+    )
+    np.testing.assert_array_equal(seen["te"], X[n_train:])
