@@ -97,7 +97,15 @@ def parse_verdict(text: str) -> Optional[str]:
             if lab:
                 return lab
     up = text.upper()
-    for token in ("NOT_ENOUGH_INFO", "NOT ENOUGH INFO", "CONTRADICT", "SUPPORT"):
-        if token in up:
-            return FactVerificationGoldLabel.normalize_label(token)
+    if "NOT_ENOUGH_INFO" in up or "NOT ENOUGH INFO" in up:
+        return "NOT_ENOUGH_INFO"
+    # Negated support must not match the bare SUPPORT token below.
+    for neg in ("NOT SUPPORTED", "NOT SUPPORT", "DOES NOT SUPPORT",
+                "DOESN'T SUPPORT", "UNSUPPORTED", "CANNOT BE SUPPORTED"):
+        if neg in up:
+            return "CONTRADICT"
+    if "CONTRADICT" in up or "REFUTE" in up:
+        return "CONTRADICT"
+    if "SUPPORT" in up:
+        return "SUPPORT"
     return None

@@ -81,9 +81,12 @@ def rouge_l(prediction: str, references: Sequence[str]) -> float:
 
 
 def containment(prediction: str, references: Sequence[str]) -> float:
-    """1.0 if any normalized reference appears inside the prediction."""
+    """1.0 if any normalized reference appears inside the prediction.
+    References that normalize to the empty string (articles/punctuation
+    only) are skipped — '' is a substring of everything."""
     p = normalize_answer(prediction)
-    return float(any(normalize_answer(r) in p for r in references if r.strip()))
+    refs = [normalize_answer(r) for r in references]
+    return float(any(rn and rn in p for rn in refs))
 
 
 class QAEvaluator:

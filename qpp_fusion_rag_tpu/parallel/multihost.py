@@ -9,9 +9,33 @@ local corpus shard via `host_local_corpus_slice`.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import jax
+
+# Environment markers that indicate a multi-process launch. After a FAILED
+# jax.distributed.initialize(), jax.process_count() is always 1, so it cannot
+# distinguish "truly single-host" from "multi-host that failed to init" —
+# these env hints can.
+_CLUSTER_ADDR_VARS = (
+    "JAX_COORDINATOR_ADDRESS",
+    "COORDINATOR_ADDRESS",
+    "MEGASCALE_COORDINATOR_ADDRESS",
+)
+
+
+def _cluster_env_detected() -> bool:
+    if any(os.environ.get(v) for v in _CLUSTER_ADDR_VARS):
+        return True
+    # Set on every TPU VM (single-host: one name); multi-host iff several.
+    if "," in os.environ.get("TPU_WORKER_HOSTNAMES", ""):
+        return True
+    for v in ("SLURM_JOB_NUM_NODES", "OMPI_COMM_WORLD_SIZE", "PMI_SIZE"):
+        val = os.environ.get(v, "")
+        if val.isdigit() and int(val) > 1:
+            return True
+    return False
 
 
 def init_distributed(
@@ -39,18 +63,18 @@ def init_distributed(
     except RuntimeError as e:
         if "already" in str(e).lower():
             return
-        if explicit_cluster:
+        if explicit_cluster or _cluster_env_detected():
             # A configured multi-process launch that fails to initialize must
-            # surface — silently running single-host corrupts corpus sharding.
+            # surface — silently running single-host corrupts corpus sharding
+            # (every host would load the same host_local_corpus_slice).
             raise
         # Ad-hoc single-process use (e.g. under a test harness that already
-        # touched the backend): benign only if we are truly single-host.
-        if jax.process_count() == 1:
-            return
-        raise
+        # touched the backend): benign, nothing to initialize.
+        return
     except ValueError:
-        # No cluster environment detected -> single-process run.
-        if explicit_cluster or jax.process_count() > 1:
+        # initialize() found no cluster configuration. Benign only when the
+        # environment shows no multi-process launch markers.
+        if explicit_cluster or _cluster_env_detected():
             raise
 
 

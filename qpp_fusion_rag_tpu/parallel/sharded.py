@@ -37,20 +37,38 @@ def _merge_over_corpus(vals: jnp.ndarray, ids: jnp.ndarray, k: int):
     return merged, jnp.take_along_axis(all_ids, top, axis=-1)
 
 
+def _pad_corpus(corpus: jnp.ndarray, n_shards: int) -> Tuple[jnp.ndarray, int]:
+    """Zero-pad rows so N divides the corpus-axis size. Padded rows score 0
+    and are masked to (-inf, -1) by global id before the ICI merge — at most
+    n_shards-1 pad rows exist, all in the last shard, so they can displace at
+    most that many all-negative-score candidates from one local top-k."""
+    n_real = corpus.shape[0]
+    pad = (-n_real) % n_shards
+    if pad:
+        corpus = jnp.concatenate(
+            [corpus, jnp.zeros((pad, corpus.shape[1]), corpus.dtype)], axis=0
+        )
+    return corpus, n_real
+
+
 def sharded_dense_topk(
     queries: jnp.ndarray,   # [B, D]  sharded over data
-    corpus: jnp.ndarray,    # [N, D]  sharded over corpus (N divisible by shards)
+    corpus: jnp.ndarray,    # [N, D]  sharded over corpus (padded if needed)
     mesh: Mesh,
     k: int = 100,
     chunk: int = 8192,
     exact: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Distributed top-k -> (scores [B, k], global ids [B, k])."""
+    corpus, n_real = _pad_corpus(corpus, mesh.shape[CORPUS_AXIS])
 
     def local(q, c):
         vals, ids = dense.dense_topk(q, c, k=k, chunk=min(chunk, c.shape[0]), exact=exact)
         shard = jax.lax.axis_index(CORPUS_AXIS).astype(jnp.int32)
-        ids = jnp.where(ids >= 0, ids + shard * c.shape[0], -1)
+        gids = ids + shard * c.shape[0]
+        keep = (ids >= 0) & (gids < n_real)      # drop zero-pad rows
+        ids = jnp.where(keep, gids, -1)
+        vals = jnp.where(keep, vals, -jnp.inf)
         return _merge_over_corpus(vals, ids, k)
 
     fn = shard_map(
@@ -73,11 +91,15 @@ def sharded_multi_view_topk(
     exact: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Distributed R-view retrieval -> (scores [R, B, k], ids [R, B, k])."""
+    corpus, n_real = _pad_corpus(corpus, mesh.shape[CORPUS_AXIS])
 
     def local(q, proj, c):
         vals, ids = dense.multi_view_topk(q, proj, c, k=k, chunk=min(chunk, c.shape[0]), exact=exact)
         shard = jax.lax.axis_index(CORPUS_AXIS).astype(jnp.int32)
-        ids = jnp.where(ids >= 0, ids + shard * c.shape[0], -1)
+        gids = ids + shard * c.shape[0]
+        keep = (ids >= 0) & (gids < n_real)
+        ids = jnp.where(keep, gids, -1)
+        vals = jnp.where(keep, vals, -jnp.inf)
         return _merge_over_corpus(vals, ids, k)
 
     fn = shard_map(

@@ -150,6 +150,9 @@ def rank_distance(list_a: Sequence, list_b: Sequence) -> float:
     return total / n
 
 
+# Metrics where LOWER means a better predictor (errors, not correlations).
+LOWER_IS_BETTER = frozenset({"rmse", "smare"})
+
 CORRELATION_METRICS = {
     "pearson": pearson,
     "spearman": spearman,

@@ -25,18 +25,30 @@ def dense_qpp(
     query_emb: jnp.ndarray,   # [B, D]
     doc_embs: jnp.ndarray,    # [B, K, D] embeddings of each query's top docs
     k: int = 10,
+    valid: jnp.ndarray = None,  # [B, K] bool — False = pad slot (excluded)
 ) -> jnp.ndarray:
     """-> [B] specificity = 1 / (1 + mean pairwise distance of
-    {query} ∪ top-k docs) (DenseVecSpecificity's diameter formulation)."""
+    {query} ∪ top-k docs) (DenseVecSpecificity's diameter formulation).
+
+    Pad slots (valid=False) are excluded from the pairwise mean, so a query
+    with a short result list is scored on its real docs only — padding must
+    not shrink the apparent diameter."""
     pts = jnp.concatenate([query_emb[:, None, :], doc_embs[:, :k, :]], axis=1)
-    # mean pairwise L2 over the (k+1) points, computed via the Gram trick
+    if valid is None:
+        pt_valid = jnp.ones(pts.shape[:2], bool)
+    else:
+        pt_valid = jnp.concatenate(
+            [jnp.ones((pts.shape[0], 1), bool), valid[:, :k].astype(bool)], axis=1
+        )
+    # mean pairwise L2 over the valid points, computed via the Gram trick
     sq = jnp.sum(pts * pts, axis=-1)                                  # [B, P]
     gram = jnp.einsum("bpd,bqd->bpq", pts, pts,
                       preferred_element_type=jnp.float32)
     d2 = jnp.maximum(sq[:, :, None] + sq[:, None, :] - 2 * gram, 0.0)
-    P = pts.shape[1]
-    off_diag = P * (P - 1)
-    diameter = jnp.sum(jnp.sqrt(d2), axis=(1, 2)) / jnp.maximum(off_diag, 1)
+    pair = (pt_valid[:, :, None] & pt_valid[:, None, :]).astype(d2.dtype)
+    n = jnp.sum(pt_valid, axis=1).astype(d2.dtype)                    # [B]
+    off_diag = jnp.maximum(n * (n - 1), 1.0)
+    diameter = jnp.sum(jnp.sqrt(d2) * pair, axis=(1, 2)) / off_diag
     return 1.0 / (1.0 + diameter)
 
 
@@ -46,6 +58,7 @@ def dense_qpp_matryoshka(
     doc_embs: jnp.ndarray,    # [B, K, D]
     k: int = 10,
     n_levels: int = 4,
+    valid: jnp.ndarray = None,  # [B, K] bool — False = pad slot
 ) -> jnp.ndarray:
     """-> [B] log-weighted mean of dense_qpp over nested dimension prefixes
     D, D/2, D/4, ... (DenseVecMatryoskaSpecificity's shape: coarse prefixes
@@ -55,7 +68,8 @@ def dense_qpp_matryoshka(
     dim = D
     for level in range(n_levels):
         w = 1.0 / (level + 1.0)
-        total = total + w * dense_qpp(query_emb[:, :dim], doc_embs[:, :, :dim], k=k)
+        total = total + w * dense_qpp(query_emb[:, :dim], doc_embs[:, :, :dim],
+                                      k=k, valid=valid)
         weight_sum += w
         dim = max(dim // 2, 1)
     return total / weight_sum
@@ -69,8 +83,9 @@ def dense_qpp_from_index(
     matryoshka: bool = False,
 ) -> Tuple:
     """Convenience wrapper: gather top-doc embeddings from a dense index
-    (pad rows replicate the query itself — distance 0 contribution) and
-    compute both predictors."""
+    and compute both predictors. Pad rows (-1 ids) are masked out of the
+    pairwise mean entirely — short result lists are scored on their real
+    docs only."""
     import numpy as np
 
     q = jnp.asarray(np.asarray(query_emb, dtype=np.float32))
@@ -78,6 +93,5 @@ def dense_qpp_from_index(
     emb = jnp.asarray(np.asarray(index_embeddings, dtype=np.float32))
     safe = jnp.maximum(ids, 0)
     docs = emb[safe]                                           # [B, k, D]
-    docs = jnp.where((ids >= 0)[..., None], docs, q[:, None, :])
     fn = dense_qpp_matryoshka if matryoshka else dense_qpp
-    return fn(q, docs, k=k)
+    return fn(q, docs, k=k, valid=ids >= 0)

@@ -42,7 +42,7 @@ def compute_qpp(
 
     qids = sorted(scores_by_qid.keys(), key=qid_sort_key)
     rows = [sorted(scores_by_qid[q], reverse=True)[:top_k] for q in qids]
-    K = max((len(r) for r in rows), default=1)
+    K = max([len(r) for r in rows] + [1])  # >=1 even when all lists are empty
     mat = np.zeros((len(qids), K), dtype=np.float32)
     n_valid = np.zeros((len(qids),), dtype=np.int32)
     for i, r in enumerate(rows):
@@ -97,13 +97,19 @@ def compute_qpp_for_runtensor(
     query_texts: Optional[Dict[str, str]] = None,
     normalize: Optional[str] = None,
     cutoff: Optional[int] = None,
+    features: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """All-device path: RunTensor -> qpp [R, Q, 13] (normalized per retriever
-    across queries). Feeds weighted fusion without any file round-trip."""
+    across queries). Feeds weighted fusion without any file round-trip.
+
+    `features` lets callers that evaluate many perturbations of the same
+    query set (qpp.stochastic) hoist the host-side text-feature pass."""
     normalize = normalize if normalize is not None else config.qpp.normalization
     cutoff = cutoff or config.qpp.cutoff_k
     query_texts = query_texts or {}
-    feats = Q.text_features_batch([query_texts.get(q, q) for q in rt.qids])
+    feats = features if features is not None else Q.text_features_batch(
+        [query_texts.get(q, q) for q in rt.qids]
+    )
 
     # scores are already rank-ordered; treat -inf padding via n_valid
     scores = np.where(rt.valid_mask, rt.scores, 0.0).astype(np.float32)

@@ -18,7 +18,7 @@ import numpy as np
 from qpp_fusion_rag_tpu.config import config
 from qpp_fusion_rag_tpu.data.runtensor import RunTensor
 from qpp_fusion_rag_tpu.evaluation.ir_evaluator import per_query_metric
-from qpp_fusion_rag_tpu.qpp.correlation import evaluate_correlations
+from qpp_fusion_rag_tpu.qpp.correlation import LOWER_IS_BETTER, evaluate_correlations
 from qpp_fusion_rag_tpu.qpp.engine import compute_qpp_for_runtensor
 
 
@@ -58,6 +58,8 @@ def evaluate_qpp_methods(
 
 
 def best_predictor(report: Dict, correlation: str = "pearson") -> str:
-    """QPP method with the highest mean correlation across retrievers."""
+    """QPP method with the best mean score across retrievers — highest for
+    correlations, lowest for error metrics (smare/rmse)."""
     mean = report["_mean"]
-    return max(mean, key=lambda m: mean[m][correlation])
+    select = min if correlation in LOWER_IS_BETTER else max
+    return select(mean, key=lambda m: mean[m][correlation])

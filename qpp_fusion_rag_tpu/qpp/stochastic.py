@@ -57,47 +57,73 @@ def perturb_scores(
     return noisy
 
 
+def _relevance_mask(rt: RunTensor, qrels: Dict[str, Dict[str, int]]) -> np.ndarray:
+    """[R, Q, K] bool — doc at (r, q, k) is judged relevant for query q."""
+    mask = np.zeros(rt.doc_ids.shape, bool)
+    for qi, qid in enumerate(rt.qids):
+        rel_ids = [
+            rt.vocab.id_of(d) for d, rel in qrels.get(qid, {}).items()
+            if rel > 0 and d in rt.vocab
+        ]
+        if rel_ids:
+            mask[:, qi] = np.isin(rt.doc_ids[:, qi], rel_ids)
+    return mask
+
+
 def stochastic_qpp_evaluation(
     rt: RunTensor,
     qrels: Dict[str, Dict[str, int]],
     n_samples: int = 10,
     delta: float = 0.05,
+    swap_frac: float = 0.2,
     cutoffs: Sequence[int] = (10, 20, 50),
     target_metric: str = "nDCG@10",
     correlation: str = "pearson",
     seed: int = 0,
     query_texts: Optional[Dict[str, str]] = None,
 ) -> Dict:
-    """Correlation distribution of every QPP method under score
+    """Correlation distribution of every QPP method under ranking + score
     perturbations × cutoffs -> {cutoff: {method: {mean, std, samples}}}.
 
-    Reference semantics: StochasticQPPEvaluation.java — each sample
-    perturbs the rankings, recomputes QPP, and re-measures predictor
-    quality; a robust predictor has low variance across samples.
+    Reference semantics (StochasticQPPEvaluation.java): each sample perturbs
+    the RANKINGS (RankSwapper relevant/non-relevant swaps + score noise),
+    recomputes QPP, and RE-MEASURES predictor quality on the perturbed run;
+    a robust predictor has low variance across samples. Each cutoff is
+    seeded independently so cutoff results differ only by cutoff, not by
+    noise realization; the host-side text features are hoisted out of the
+    sample loop (they are perturbation-invariant).
     """
     from qpp_fusion_rag_tpu.config import config
     from qpp_fusion_rag_tpu.evaluation.ir_evaluator import per_query_metric
+    from qpp_fusion_rag_tpu.ops import qpp as Q
     from qpp_fusion_rag_tpu.qpp.correlation import CORRELATION_METRICS
     from qpp_fusion_rag_tpu.qpp.engine import compute_qpp_for_runtensor
 
     corr_fn = CORRELATION_METRICS[correlation]
     method_names = list(config.qpp.methods)
-    quality = per_query_metric(rt, qrels, metric=target_metric)   # [R, Q]
     judged = np.array([q in qrels for q in rt.qids])
-    rng = np.random.default_rng(seed)
+    rel_mask = _relevance_mask(rt, qrels)
+    texts = query_texts or {}
+    feats = Q.text_features_batch([texts.get(q, q) for q in rt.qids])
 
     out: Dict = {}
     for cutoff in cutoffs:
+        rng = np.random.default_rng([seed, cutoff])
         per_method: Dict[str, list] = {m: [] for m in method_names}
         for _s in range(n_samples):
+            swapped = np.stack([
+                swap_rank_pairs(rt.doc_ids[r], rt.scores[r], rel_mask[r],
+                                swap_frac=swap_frac, rng=rng)[0]
+                for r in range(rt.R)
+            ])
             noisy = perturb_scores(rt.scores, delta=delta, rng=rng)
-            rt_s = RunTensor(rt.doc_ids, noisy.astype(np.float32), rt.qids,
+            rt_s = RunTensor(swapped, noisy.astype(np.float32), rt.qids,
                              rt.retrievers, rt.vocab)
-            qpp = compute_qpp_for_runtensor(rt_s, query_texts=query_texts,
-                                            cutoff=cutoff)
+            quality_s = per_query_metric(rt_s, qrels, metric=target_metric)
+            qpp = compute_qpp_for_runtensor(rt_s, features=feats, cutoff=cutoff)
             for mi, mname in enumerate(method_names):
                 cs = [
-                    corr_fn(qpp[r, judged, mi], quality[r][judged])
+                    corr_fn(qpp[r, judged, mi], quality_s[r][judged])
                     for r in range(rt.R)
                 ]
                 per_method[mname].append(float(np.mean(cs)))

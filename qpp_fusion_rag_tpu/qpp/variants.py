@@ -32,7 +32,7 @@ def query_knn(
                            chunk=min(8192, len(q)), exact=exact)
     vals, ids = np.asarray(vals), np.asarray(ids)
     out_s = np.zeros((len(q), k), np.float32)
-    out_i = np.zeros((len(q), k), np.int64)
+    out_i = np.full((len(q), k), -1, np.int64)   # -1 = missing neighbor
     for i in range(len(q)):
         row = [(s, j) for s, j in zip(vals[i], ids[i]) if j != i and j >= 0][:k]
         for c, (s, j) in enumerate(row):
@@ -47,15 +47,22 @@ def variant_qpp(
     neighbor_sim: Optional[np.ndarray] = None,   # [Q, k] similarity weights
     lam: float = LAMBDA,
 ) -> np.ndarray:
-    """λ·base(q) + (1−λ)·sim-weighted mean of base over q's variants."""
+    """λ·base(q) + (1−λ)·sim-weighted mean of base over q's variants.
+
+    Indices < 0 mark missing neighbors (query_knn padding) and get zero
+    weight; a query with no valid neighbors keeps its base value."""
     base = np.asarray(base_qpp, np.float64)
-    nb = base[neighbor_idx]                       # [Q, k]
+    idx = np.asarray(neighbor_idx)
+    valid = idx >= 0
+    nb = base[np.maximum(idx, 0)]                 # [Q, k]
     if neighbor_sim is None:
-        w = np.ones_like(nb)
+        w = valid.astype(np.float64)
     else:
-        w = np.maximum(np.asarray(neighbor_sim, np.float64), 0.0)
-    denom = np.maximum(w.sum(axis=1), 1e-12)
-    smoothed = (w * nb).sum(axis=1) / denom
+        w = np.maximum(np.asarray(neighbor_sim, np.float64), 0.0) * valid
+    denom = w.sum(axis=1)
+    smoothed = np.where(
+        denom > 0, (w * nb).sum(axis=1) / np.maximum(denom, 1e-12), base
+    )
     return (lam * base + (1 - lam) * smoothed).astype(np.float32)
 
 

@@ -169,3 +169,157 @@ def test_odds_ratio():
     assert odds_ratio(peaked) > odds_ratio(flat)
     assert odds_ratio(flat) == pytest.approx(1.0)
     assert odds_ratio(np.array([1.0])) == 0.0
+
+
+# -- regression: review findings (qpp/evaluation/parallel) ----------------------
+
+def test_best_predictor_direction():
+    """For error metrics (smare/rmse) the best predictor has the LOWEST mean."""
+    from qpp_fusion_rag_tpu.qpp.evaluator import best_predictor
+
+    report = {"_mean": {
+        "good": {"pearson": 0.9, "smare": 0.1, "rmse": 0.2},
+        "bad": {"pearson": 0.1, "smare": 0.9, "rmse": 0.8},
+    }}
+    assert best_predictor(report, "pearson") == "good"
+    assert best_predictor(report, "smare") == "good"
+    assert best_predictor(report, "rmse") == "good"
+
+
+def test_stochastic_actually_perturbs_rankings(world_rt):
+    """Rank swaps must change measured quality across samples: with
+    swap_frac>0, a perturbed sample's correlation differs from the
+    unperturbed baseline (rankings move, quality is re-measured)."""
+    from qpp_fusion_rag_tpu.qpp.stochastic import (
+        _relevance_mask,
+        stochastic_qpp_evaluation,
+        swap_rank_pairs,
+    )
+
+    rt, qrels, _ = world_rt
+    mask = _relevance_mask(rt, qrels)
+    assert mask.any(), "fixture must place relevant docs in the runs"
+    swapped, _ = swap_rank_pairs(
+        rt.doc_ids[0], rt.scores[0], mask[0], swap_frac=1.0,
+        rng=np.random.default_rng(1),
+    )
+    assert (swapped != rt.doc_ids[0]).any()
+
+    out = stochastic_qpp_evaluation(
+        rt, qrels, n_samples=3, cutoffs=(10,), swap_frac=1.0, seed=3
+    )
+    stds = [v["std"] for v in out[10].values()]
+    # ranking perturbation + quality re-measurement -> nonzero spread somewhere
+    assert any(s > 0 for s in stds)
+
+
+def test_variant_qpp_ignores_padded_neighbors():
+    from qpp_fusion_rag_tpu.qpp.variants import query_knn, variant_qpp
+
+    # 3 queries, k=5 > Q-1: padding is unavoidable
+    rng = np.random.default_rng(0)
+    emb = rng.normal(size=(3, 8)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    sims, idx = query_knn(emb, k=5)
+    assert (idx == -1).any()                      # padded slots marked
+    base = np.array([10.0, 20.0, 30.0], np.float32)
+    out = variant_qpp(base, idx, sims)
+    # each smoothed value must stay inside the range of REAL base values —
+    # phantom neighbor 0 leaking in would drag values toward base[0]
+    lo, hi = base.min(), base.max()
+    assert (out >= lo - 1e-5).all() and (out <= hi + 1e-5).all()
+    # no-neighbor degenerate case: all-padding row keeps its base value
+    out2 = variant_qpp(base, np.full((3, 2), -1), None)
+    np.testing.assert_allclose(out2, base, rtol=1e-6)
+
+
+def test_compute_qpp_all_empty_lists():
+    from qpp_fusion_rag_tpu.qpp.engine import compute_qpp
+
+    out = compute_qpp({"q1": [], "q2": []})
+    assert set(out) == {"q1", "q2"}
+    assert len(out["q1"]) == 13
+
+
+def test_parse_verdict_negated_support():
+    from qpp_fusion_rag_tpu.evaluation.fact_verification import parse_verdict
+
+    assert parse_verdict("The claim is not supported by the evidence.") == "CONTRADICT"
+    assert parse_verdict("This is unsupported.") == "CONTRADICT"
+    assert parse_verdict("The evidence does not support the claim") == "CONTRADICT"
+    assert parse_verdict("The claim is supported.") == "SUPPORT"
+    assert parse_verdict("Verdict: SUPPORT") == "SUPPORT"
+
+
+def test_containment_empty_normalized_reference():
+    from qpp_fusion_rag_tpu.evaluation.qa_evaluator import containment
+
+    assert containment("any prediction", ["the"]) == 0.0   # normalizes to ""
+    assert containment("paris is nice", ["Paris", "the"]) == 1.0
+    assert containment("no match", ["Paris"]) == 0.0
+
+
+def test_dense_qpp_padding_excluded():
+    """Short result lists must score identically to the same docs without
+    padding — pad slots may not shrink the diameter."""
+    import jax.numpy as jnp
+
+    from qpp_fusion_rag_tpu.qpp.dense_qpp import dense_qpp, dense_qpp_from_index
+
+    rng = np.random.default_rng(0)
+    q = rng.normal(size=(1, 16)).astype(np.float32)
+    docs = rng.normal(size=(1, 4, 16)).astype(np.float32)
+    full = dense_qpp(jnp.asarray(q), jnp.asarray(docs), k=4)
+
+    emb = np.concatenate([docs[0], rng.normal(size=(10, 16)).astype(np.float32)])
+    ids = np.array([[0, 1, 2, 3, -1, -1, -1, -1]])
+    padded = dense_qpp_from_index(q, ids, emb, k=8)
+    np.testing.assert_allclose(np.asarray(padded), np.asarray(full), rtol=1e-5)
+
+
+def test_sharded_topk_indivisible_corpus():
+    """Corpus sizes not divisible by the corpus-axis shard count must work
+    and never return padded (out-of-range) ids."""
+    import jax
+    import jax.numpy as jnp
+
+    from qpp_fusion_rag_tpu.parallel.mesh import build_mesh
+    from qpp_fusion_rag_tpu.parallel.sharded import sharded_dense_topk
+
+    mesh = build_mesh(n_data=1, n_corpus=8, devices=jax.devices()[:8])
+    rng = np.random.default_rng(0)
+    N = 1003                                       # 1003 % 8 != 0
+    corpus = jnp.asarray(rng.normal(size=(N, 16)).astype(np.float32))
+    queries = jnp.asarray(rng.normal(size=(4, 16)).astype(np.float32))
+    vals, ids = sharded_dense_topk(queries, corpus, mesh, k=10, exact=True)
+    ids = np.asarray(ids)
+    assert ids.max() < N and (ids >= 0).all()
+    # exact parity vs single-device top-k
+    ref = np.asarray(corpus) @ np.asarray(queries).T
+    expect = np.sort(ref, axis=0)[::-1][:10].T
+    np.testing.assert_allclose(np.sort(np.asarray(vals))[:, ::-1], expect, rtol=1e-4)
+
+
+def test_init_distributed_raises_on_cluster_env(monkeypatch):
+    """A failed initialize with cluster env markers present must surface."""
+    import jax
+
+    from qpp_fusion_rag_tpu.parallel import multihost
+
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+
+    def boom(**kw):
+        raise RuntimeError("backend already initialized")
+
+    # "already initialized" is benign even on a cluster
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    multihost.init_distributed()
+
+    def fail(**kw):
+        raise ValueError("no cluster config detected")
+
+    monkeypatch.setattr(jax.distributed, "initialize", fail)
+    with pytest.raises(ValueError):
+        multihost.init_distributed()
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS")
+    multihost.init_distributed()   # no markers -> benign
