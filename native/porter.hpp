@@ -112,6 +112,7 @@ class Stemmer {
   }
 
   void step2() {
+    if (k < 1) return;  // step1ab can shrink to one char ("ies" -> "i")
     switch (b[k - 1]) {
       case 'a':
         if (ends("ational")) { r("ate"); break; }
@@ -174,6 +175,7 @@ class Stemmer {
   }
 
   void step4() {
+    if (k < 1) return;
     switch (b[k - 1]) {
       case 'a': if (ends("al")) break; return;
       case 'c': if (ends("ance")) break; if (ends("ence")) break; return;

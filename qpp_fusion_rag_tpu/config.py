@@ -142,18 +142,36 @@ class Config(ConfigDict):
 
     # -- domain helpers -------------------------------------------------
 
-    def get_qpp_index(self, model_name: str) -> int:
-        """Resolve a weighted-fusion QPP model name (e.g. 'RSD') to a feature
-        index via the method_index table; 'fusion' means average-all (-1).
+    # Reference-style weighted-fusion names -> this framework's kernel
+    # column names (ops/qpp.py METHOD_NAMES == qpp.methods order). The
+    # reference's method_index table (defaults.yaml:180-193) indexes ITS OWN
+    # .qpp column layout, which differs from this kernel's — resolving names
+    # through it would silently pick the wrong statistic for every name
+    # except RSD.
+    _QPP_NAME_ALIASES = {
+        "sigma_max": "sigmamax",
+        "sigma(%)": "sigmax",
+        "scnqc": "snqc",
+    }
 
-        Reference semantics: src/fusion.py:160-163 + defaults.yaml:180-193.
+    def get_qpp_index(self, model_name: str) -> int:
+        """Resolve a weighted-fusion QPP model name (e.g. 'RSD') to its
+        column in THIS framework's .qpp layout (the kernel's method order,
+        config qpp.methods); 'fusion' means average-all (-1).
+
+        Reference semantics: src/fusion.py:160-163 (name -> column), with
+        the column table remapped to the kernel layout.
         """
-        if model_name.lower() == "fusion":
+        key = model_name.lower()
+        if key == "fusion":
             return -1
-        table = self.qpp.method_index.to_dict()
-        if model_name not in table:
-            raise KeyError(f"Unknown QPP model {model_name!r}; known: {sorted(table)}")
-        return int(table[model_name])
+        key = self._QPP_NAME_ALIASES.get(key, key)
+        methods = [str(m).lower() for m in self.qpp.methods]
+        if key in methods:
+            return methods.index(key)
+        raise KeyError(
+            f"Unknown QPP model {model_name!r}; known: {sorted(set(methods))}"
+        )
 
     def dataset(self, name: str) -> ConfigDict:
         if name not in self.datasets.supported:

@@ -3,8 +3,9 @@
 Reference QPPrrf_argmax.py:9-172 — for each QPP method column, pick the
 ranker with the highest QPP score per query and output that ranker's full
 list as the fused run; evaluate every column to find which QPP signal
-selects best. The 13-column naming follows the reference's model map
-{0: SMV, ..., 12: BERTQPP} (the method_index table, config defaults).
+selects best. Columns are named in THIS framework's kernel layout
+(config qpp.methods, = ops/qpp.py METHOD_NAMES); the reference's
+method_index table names a different file layout.
 """
 
 from __future__ import annotations
@@ -21,8 +22,8 @@ from qpp_fusion_rag_tpu.fusion.oracle import oracle_run
 
 
 def qpp_index_names() -> Dict[int, str]:
-    """index -> QPP model name (inverse of the method_index table)."""
-    return {int(v): k for k, v in config.qpp.method_index.to_dict().items()}
+    """index -> QPP method name in this framework's column order."""
+    return {i: str(m) for i, m in enumerate(config.qpp.methods)}
 
 
 def argmax_qpp_run(

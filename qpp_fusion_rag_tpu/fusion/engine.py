@@ -1,7 +1,7 @@
 """Fusion engine: host API + method dispatcher over the device fuse kernel.
 
 Mirrors the reference's fusion surface (reference src/fusion.py:495-579):
-method names, QPP weight resolution (method_index table, fusion mode -1),
+method names, QPP weight resolution (kernel column order, fusion mode -1),
 TREC output tags — while the math runs in qpp_fusion_rag_tpu.ops.fusion.
 """
 
@@ -162,7 +162,7 @@ def run_fusion(
         method: combsum | combmnz | rrf | wcombsum | wcombmnz | wrrf | learned
         runs: runs directory (``*.norm.res``) or a RunTensor
         qpp: qpp directory or preloaded {qid: {retriever: [scores]}}
-        qpp_model: QPP model name for weighting (method_index table)
+        qpp_model: QPP model name for weighting (kernel column order)
         model / model_path: learned-fusion weight model
     """
     qpp_model = qpp_model or config.qpp.default_method

@@ -71,11 +71,18 @@ class NativeIndexBuilder:
         self.lib = load_library()
         self.h = self.lib.qpp_idx_new(k1, b, int(stem), int(stopwords))
 
+    @staticmethod
+    def _to_bytes(text: str) -> bytes:
+        # NUL is the C-side document separator (and c_char_p terminator):
+        # an embedded NUL would split one doc into two and misalign every
+        # subsequent docno->row mapping. Legal in JSON, so strip it here.
+        return text.replace("\x00", " ").encode("utf-8", "ignore")
+
     def add_doc(self, text: str) -> None:
-        self.lib.qpp_idx_add_doc(self.h, text.encode("utf-8", "ignore"))
+        self.lib.qpp_idx_add_doc(self.h, self._to_bytes(text))
 
     def add_docs(self, texts) -> None:
-        blob = b"\0".join(t.encode("utf-8", "ignore") for t in texts) + b"\0"
+        blob = b"\0".join(self._to_bytes(t) for t in texts) + b"\0"
         self.lib.qpp_idx_add_docs(self.h, blob, len(texts))
 
     def finalize(self, bm25_weights: bool = True) -> None:

@@ -36,7 +36,13 @@ class SparseIndex:
         vocab_dump: str,
         params: Optional[Dict] = None,
     ):
-        self.offsets = np.asarray(offsets, dtype=np.int32)
+        offsets = np.asarray(offsets)
+        if len(offsets) and int(offsets[-1]) >= 2**31:
+            raise OverflowError(
+                f"{int(offsets[-1])} postings exceed the int32 device-index "
+                "range; shard the corpus over multiple SparseIndex instances"
+            )
+        self.offsets = offsets.astype(np.int32)
         self.docs = np.asarray(docs, dtype=np.int32)
         weights = np.asarray(weights)
         self.weights = weights if weights.dtype == np.uint8 else weights.astype(np.float32)
@@ -95,7 +101,10 @@ class SparseIndex:
             offsets, docs, weights, doc_lens, docnos, builder.vocab_dump(),
             params={"kind": "bm25", "k1": k1, "b": b},
         )
-        idx._tok = builder  # reuse live vocab for query tokenization
+        # Don't keep the builder for query tokenization: its C++ postings
+        # rival the exported arrays in size. _tokenizer() rebuilds a
+        # vocab-only instance from vocab_dump on first query.
+        builder.close()
         return idx
 
     # -- quantization ----------------------------------------------------

@@ -78,7 +78,13 @@ def qpp_from_runs(
     kern = partial(Q.qpp_kernel, cutoff=cutoff)
     qpp = jax.vmap(kern, in_axes=(0, 0, None))(clean, n_valid, text_feats)
     if normalize:
-        qpp = jax.vmap(lambda x: Q.normalize_qpp(x, method="minmax"))(qpp)
+        # Degenerate columns (single-query batches, constant statistics) get
+        # 0.5 rather than minmax's 0: all-zero weights would make every
+        # fused contribution vanish (B=1 serving returned tie-break order).
+        vmin = jnp.min(qpp, axis=1, keepdims=True)
+        vmax = jnp.max(qpp, axis=1, keepdims=True)
+        normed = jax.vmap(lambda x: Q.normalize_qpp(x, method="minmax"))(qpp)
+        qpp = jnp.where(vmax > vmin, normed, 0.5)
     return qpp
 
 

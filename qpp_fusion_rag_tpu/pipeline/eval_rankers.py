@@ -32,7 +32,8 @@ def to_latex(results, metrics, dataset) -> str:
     rows = []
     for name, r in sorted(results.items(), key=lambda kv: -kv[1]["metrics"][metrics[0]]):
         vals = " & ".join(f"{r['metrics'][m]:.4f}" for m in metrics)
-        rows.append(f"{name.replace('_', r'\_')} & {r['category']} & {vals} \\\\")
+        tex_name = name.replace("_", "\\_")  # escaped outside the f-string: py<3.12
+        rows.append(f"{tex_name} & {r['category']} & {vals} \\\\")
     body = "\n".join(rows)
     return (
         f"\\begin{{table}}[t]\n\\centering\n\\caption{{Retriever quality on {dataset}}}\n"

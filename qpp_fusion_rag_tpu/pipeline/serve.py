@@ -26,10 +26,14 @@ def main(argv=None) -> int:
     ap.add_argument("--output", default=None, help="fused TREC output path")
     ap.add_argument("--method", default="wcombsum")
     ap.add_argument("--qpp-model", default=None)
+    ap.add_argument("--model-path", default=None,
+                    help="trained fusion model (required for --method learned)")
     ap.add_argument("--top-k", type=int, default=None)
     ap.add_argument("--k-out", type=int, default=100)
     ap.add_argument("--timing-jsonl", default=None)
     args = ap.parse_args(argv)
+    if args.method.lower() == "learned" and not args.model_path:
+        ap.error("--method learned requires --model-path")
 
     from qpp_fusion_rag_tpu.config import config
     from qpp_fusion_rag_tpu.data.runtensor import RunTensor
@@ -61,27 +65,33 @@ def main(argv=None) -> int:
             for name in args.retrievers
         }
 
-    runs = {}
+    # QPP must see RAW scores (stage-03 computes on *.res, not *.norm.res —
+    # per-query min-max would flatten the magnitude statistics WIG/NQC/Sigma);
+    # fusion consumes the min-max normalized scores, like the offline stages.
+    raw_runs, norm_runs = {}, {}
     for name, retriever in retrievers.items():
         with timer.stage(f"retrieve:{name}", items=len(queries)):
             results = retriever.retrieve_batch(queries, top_k=top_k)
-        runs[name] = {
+        raw_runs[name] = {qid: list(res.results) for qid, res in results.items()}
+        norm_runs[name] = {
             qid: [(d, s, r) for d, s, r in normalize_scores(res.results)]
             for qid, res in results.items()
         }
 
     with timer.stage("tensorize"):
-        rt = RunTensor.from_run_dicts(runs, qids=list(queries.keys()))
+        rt = RunTensor.from_run_dicts(norm_runs, qids=list(queries.keys()))
 
     qpp_dict = None
     if needs_qpp:
         with timer.stage("qpp", items=rt.Q * rt.R):
-            qpp = compute_qpp_for_runtensor(rt, query_texts=queries)
-            qpp_dict = qpp_tensor_to_dict(qpp, rt.qids, rt.retrievers)
+            rt_raw = RunTensor.from_run_dicts(raw_runs, qids=list(queries.keys()))
+            qpp = compute_qpp_for_runtensor(rt_raw, query_texts=queries)
+            qpp_dict = qpp_tensor_to_dict(qpp, rt_raw.qids, rt_raw.retrievers)
 
     with timer.stage("fuse", items=rt.Q):
         fused = run_fusion(
             args.method, rt, qpp=qpp_dict, qpp_model=args.qpp_model,
+            model_path=args.model_path,
             k_out=args.k_out, output_path=args.output,
         )
 

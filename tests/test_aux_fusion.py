@@ -81,7 +81,7 @@ def test_argmax_qpp(world):
             for r in range(2)
         }
     out = argmax_qpp_experiment(rt, qpp_data, qrels, qpp_indices=[5, 0])
-    names = qpp_index_names()
-    assert names[5] == "RSD"
+    names = qpp_index_names()                     # kernel column order
+    assert names[5] == "RSD" and names[0] == "nqc"
     assert out["RSD"]["nDCG@10"] > 0.95          # perfect selection signal
-    assert out["SMV"]["nDCG@10"] < out["RSD"]["nDCG@10"]  # ties -> argmax=r0 always
+    assert out["nqc"]["nDCG@10"] < out["RSD"]["nDCG@10"]  # ties -> argmax=r0 always

@@ -35,14 +35,18 @@ def test_nested_default_expansion(tmp_path, monkeypatch):
 
 
 def test_qpp_index_resolution():
+    # names resolve to the KERNEL column layout (qpp.methods order) — the
+    # reference's method_index table indexes a different file layout
     assert config.get_qpp_index("RSD") == 5
-    assert config.get_qpp_index("BERTQPP") == 12
+    assert config.get_qpp_index("UEF") == 6
+    assert config.get_qpp_index("NQC") == 0
     assert config.get_qpp_index("fusion") == -1
-    try:
-        config.get_qpp_index("nope")
-        assert False
-    except KeyError:
-        pass
+    for bad in ("nope", "BERTQPP"):   # BERTQPP: reference-only, no kernel column
+        try:
+            config.get_qpp_index(bad)
+            assert False
+        except KeyError:
+            pass
 
 
 def test_readonly():

@@ -137,3 +137,39 @@ def test_graft_entry_multichip_16_devices():
                          text=True, timeout=420)
     assert out.returncode == 0, out.stderr[-2000:]
     assert "OK16" in out.stdout
+
+
+def test_get_qpp_index_matches_kernel_columns():
+    """QPP model names must resolve to the KERNEL's column order (the layout
+    this framework writes into .qpp files), not the reference table."""
+    from qpp_fusion_rag_tpu.config import config
+    from qpp_fusion_rag_tpu.ops.qpp import METHOD_NAMES
+
+    assert config.get_qpp_index("RSD") == METHOD_NAMES.index("RSD")
+    assert config.get_qpp_index("UEF") == METHOD_NAMES.index("UEF")
+    assert config.get_qpp_index("NQC") == METHOD_NAMES.index("nqc")
+    assert config.get_qpp_index("SMV") == METHOD_NAMES.index("smv")
+    assert config.get_qpp_index("WIG") == METHOD_NAMES.index("wig")
+    assert config.get_qpp_index("Sigma_max") == METHOD_NAMES.index("SigmaMax")
+    assert config.get_qpp_index("fusion") == -1
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        config.get_qpp_index("BERTQPP")   # reference-only model, no kernel column
+
+
+def test_single_query_fused_step_nonzero():
+    """B=1 serving must not zero out all QPP weights (degenerate minmax)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from qpp_fusion_rag_tpu.pipeline.engine import fused_retrieval_step
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(1, 16)).astype(np.float32))
+    proj = jnp.asarray(rng.normal(size=(2, 16, 16)).astype(np.float32))
+    corpus = jnp.asarray(rng.normal(size=(256, 16)).astype(np.float32))
+    feats = jnp.zeros((1, 4), jnp.float32)
+    ids, scores, qpp = fused_retrieval_step(q, proj, corpus, feats,
+                                            k=10, chunk=256, k_out=10)
+    assert (np.asarray(scores) > 0).any()
+    np.testing.assert_allclose(np.asarray(qpp[..., 5]), 0.5)  # degenerate -> 0.5

@@ -58,13 +58,12 @@ def test_computed_qpp_weights_beat_unweighted(world):
     rt_norm = rt.minmax_normalized()
     base = ev.evaluate(run_fusion("combsum", rt_norm, qpp=qpp_dict), qrels)["nDCG@10"]
 
-    # weight by computed NQC (variance): peaked >> flat.
-    # NOTE the reference's naming trap: weighted fusion resolves names via
-    # the method_index table, where "SMV" -> column 0 == nqc in the methods
-    # order (config defaults, preserved verbatim from the reference).
-    assert config.get_qpp_index("SMV") == 0
+    # weight by computed NQC (variance): peaked >> flat. Names resolve to
+    # the kernel's column layout, so "NQC" selects the nqc column directly
+    # (the reference's method_index table indexed a different file layout).
+    assert config.get_qpp_index("NQC") == 0
     weighted = ev.evaluate(
-        run_fusion("wcombsum", rt_norm, qpp=qpp_dict, qpp_model="SMV"), qrels
+        run_fusion("wcombsum", rt_norm, qpp=qpp_dict, qpp_model="NQC"), qrels
     )["nDCG@10"]
 
     assert weighted > base + 0.1, (weighted, base)

@@ -196,3 +196,33 @@ def test_rescore_random_fuzz():
         a = sorted(float(s) for s, i in zip(s1[b], i1[b]) if i >= 0)
         c = sorted(float(s) for s, i in zip(s2[b], i2[b]) if i >= 0)
         np.testing.assert_allclose(c, a, rtol=1e-4, atol=1e-4)
+
+
+def test_stemmer_one_char_stems_and_nul_docs():
+    """Tokens that stem to one char ('ies', 'ied') must not crash the native
+    stemmer; embedded NUL bytes must not split documents."""
+    from qpp_fusion_rag_tpu.index.sparse import SparseIndex
+
+    corpus = [
+        ("d0", "ies ied sses agreed flies"),
+        ("d1", "before\x00after normal words here"),
+        ("d2", "plain document text"),
+    ]
+    idx = SparseIndex.build_bm25(corpus)
+    assert idx.num_docs == 3                      # NUL did not split d1
+    scores, rows = idx.search(["after words"], k=3)
+    assert idx.docno(int(rows[0][0])) == "d1"     # both halves indexed as d1
+
+
+def test_sparse_index_postings_overflow_guard():
+    import numpy as np
+    import pytest as _pytest
+
+    from qpp_fusion_rag_tpu.index.sparse import SparseIndex
+
+    with _pytest.raises(OverflowError):
+        SparseIndex(
+            offsets=np.array([0, 2**31], np.int64),
+            docs=np.zeros(1, np.int32), weights=np.zeros(1, np.float32),
+            doc_lens=np.zeros(1, np.int32), docnos=["d0"], vocab_dump="t\n",
+        )
