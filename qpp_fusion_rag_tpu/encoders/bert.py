@@ -15,7 +15,6 @@ matmuls run in bf16 on TPU via `compute_dtype`.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict, Optional
 
 import jax
@@ -90,6 +89,12 @@ def bert_encode(
 ) -> jnp.ndarray:
     """-> last hidden states [B, L, H] (f32)."""
     B, L = input_ids.shape
+    if L > cfg.max_position_embeddings:
+        raise ValueError(
+            f"sequence length {L} exceeds max_position_embeddings "
+            f"{cfg.max_position_embeddings}; JAX would silently clamp the "
+            "position gather and reuse the last embedding"
+        )
     H = cfg.hidden_size
     nh = cfg.num_attention_heads
     hd = H // nh

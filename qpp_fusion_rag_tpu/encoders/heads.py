@@ -6,7 +6,6 @@ exposing numpy-in/numpy-out encode/score APIs that retrievers consume.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional, Sequence, Tuple
 
 import jax
@@ -16,9 +15,19 @@ import numpy as np
 from qpp_fusion_rag_tpu.encoders import bert as B
 
 
-def pad_sequences(seqs: Sequence[Sequence[int]], max_len: int, pad_id: int = 0):
-    """Host-side padding of pre-tokenized id sequences -> (ids, mask) i32."""
-    L = min(max((len(s) for s in seqs), default=1), max_len)
+def pad_sequences(seqs: Sequence[Sequence[int]], max_len: int, pad_id: int = 0,
+                  bucket: bool = True):
+    """Host-side padding of pre-tokenized id sequences -> (ids, mask) i32.
+
+    With bucket=True the width rounds up to a power of two (capped at
+    max_len), so the jitted BERT forward compiles for O(log max_len) shapes
+    instead of once per distinct batch max length."""
+    L = min(max((len(s) for s in seqs), default=1), max_len) or 1
+    if bucket:
+        b = 16
+        while b < L:
+            b *= 2
+        L = min(b, max_len)
     ids = np.full((len(seqs), L), pad_id, dtype=np.int32)
     mask = np.zeros((len(seqs), L), dtype=np.int32)
     for i, s in enumerate(seqs):
@@ -131,14 +140,28 @@ class CrossEncoderScorer:
             self.params, jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(type_ids)
         ))
 
+    @staticmethod
+    def _strip_specials(ids, cls_id: int, sep_id: int):
+        """Remove the [CLS]/[SEP] a HF tokenizer adds to a single sequence —
+        score_pairs wraps the pair itself, and double specials plus shifted
+        token_type_ids silently corrupt every rerank score."""
+        ids = list(ids)
+        if ids and ids[0] == cls_id:
+            ids = ids[1:]
+        if ids and ids[-1] == sep_id:
+            ids = ids[:-1]
+        return ids
+
     def score_pairs(self, pairs: Sequence[Tuple[str, str]],
                     cls_id: int = 101, sep_id: int = 102) -> np.ndarray:
         if self.tokenizer is None:
             raise RuntimeError("CrossEncoderScorer needs a tokenizer for text input")
         seqs, types = [], []
         for q, d in pairs:
-            qi = self.tokenizer(q)[: self.max_len // 2 - 2]
-            di = self.tokenizer(d)[: self.max_len - len(qi) - 3]
+            qi = self._strip_specials(self.tokenizer(q), cls_id, sep_id)
+            di = self._strip_specials(self.tokenizer(d), cls_id, sep_id)
+            qi = qi[: self.max_len // 2 - 2]
+            di = di[: self.max_len - len(qi) - 3]
             seq = [cls_id] + qi + [sep_id] + di + [sep_id]
             seqs.append(seq)
             types.append([0] * (len(qi) + 2) + [1] * (len(di) + 1))

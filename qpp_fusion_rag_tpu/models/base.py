@@ -49,8 +49,8 @@ class BaseFusionModel(ABC):
         features = np.zeros(self.n_features, dtype=np.float32)
         for j, retriever in enumerate(self.retrievers):
             if retriever in qpp_scores:
-                s = qpp_scores[retriever]
-                features[j * self.n_qpp : (j + 1) * self.n_qpp] = s[: self.n_qpp]
+                s = list(qpp_scores[retriever])[: self.n_qpp]
+                features[j * self.n_qpp : j * self.n_qpp + len(s)] = s
         weights = self.predict(features.reshape(1, -1))[0]
         return dict(zip(self.retrievers, weights.tolist()))
 
@@ -102,8 +102,8 @@ def build_features(
         row = qpp_data.get(qid, {})
         for j, retriever in enumerate(retrievers):
             if retriever in row:
-                s = row[retriever]
-                X[i, j * n_qpp : (j + 1) * n_qpp] = s[:n_qpp]
+                s = list(row[retriever])[:n_qpp]
+                X[i, j * n_qpp : j * n_qpp + len(s)] = s  # short rows: rest stay 0
     return X, qids
 
 

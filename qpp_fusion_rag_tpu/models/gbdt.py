@@ -218,7 +218,7 @@ class Booster:
 
         self.base_score = float(y.mean()) if n else 0.0
         pred = np.full(n, self.base_score)
-        has_val = X_val is not None and len(X_val) > 0
+        has_val = X_val is not None and len(X_val) > 0 and y_val is not None
         if has_val:
             val_pred = np.full(len(X_val), self.base_score)
         lr = float(p["learning_rate"])
@@ -234,13 +234,18 @@ class Booster:
         per_tree_importance: List[np.ndarray] = []
         history = {"train_mse": [], "val_mse": []}
 
+        bag_rows: Optional[np.ndarray] = None
         for it in range(int(p["num_boost_round"])):
             grad = y - pred
             k_feat = max(1, int(round(float(p["feature_fraction"]) * F)))
             feat_cols = np.sort(rng.choice(F, size=k_feat, replace=False))
             if float(p["bagging_fraction"]) < 1.0 and int(p["bagging_freq"]) > 0:
-                m = max(2 * min_leaf, int(round(float(p["bagging_fraction"]) * n)))
-                rows = np.sort(rng.choice(n, size=min(m, n), replace=False))
+                # LightGBM semantics: re-draw the bag every bagging_freq
+                # iterations, reuse it in between
+                if bag_rows is None or it % int(p["bagging_freq"]) == 0:
+                    m = max(2 * min_leaf, int(round(float(p["bagging_fraction"]) * n)))
+                    bag_rows = np.sort(rng.choice(n, size=min(m, n), replace=False))
+                rows = bag_rows
             else:
                 rows = np.arange(n)
             tree, imp = grow_tree(
@@ -260,8 +265,12 @@ class Booster:
                 else:
                     bad += 1
                     if bad >= int(p["early_stopping_rounds"]):
-                        self.trees = self.trees[:best_ntrees]
                         break
+        # keep the best-validation prefix even when the round budget (not
+        # the patience counter) ended training mid-streak — otherwise the
+        # returned model and best_val_mse would disagree
+        if has_val and 0 < best_ntrees < len(self.trees):
+            self.trees = self.trees[:best_ntrees]
         # importance only from trees kept after early stopping
         kept = per_tree_importance[: len(self.trees)]
         self.importance = (

@@ -87,14 +87,23 @@ def device_trace(log_dir, enabled: bool = True) -> Iterator[None]:
 
 def block_and_time(fn, *args, sync_result: bool = True, **kw):
     """Time one call with a device sync (for async dispatch backends the
-    host must read a value back to observe completion)."""
+    host must observe completion). Syncs EVERY device leaf in the result —
+    a non-array first leaf or a second independent dispatch must not make
+    the measurement exclude in-flight device work — without copying any
+    array to the host."""
     import jax
+
     import numpy as np
 
     t0 = time.perf_counter()
     out = fn(*args, **kw)
     if sync_result:
-        leaves = jax.tree_util.tree_leaves(out)
-        if leaves and hasattr(leaves[0], "block_until_ready"):
-            np.asarray(leaves[0]).ravel()[:1]
+        jax.block_until_ready(out)  # no-op for non-array leaves
+        # Tunnel backends (axon) may return from block_until_ready before
+        # remote execution finishes; a 1-element host readback is the only
+        # reliable barrier there (and costs one RTT, not an array copy).
+        for leaf in jax.tree_util.tree_leaves(out):
+            if hasattr(leaf, "block_until_ready") and getattr(leaf, "size", 0):
+                np.asarray(leaf.ravel()[:1])
+                break
     return out, time.perf_counter() - t0

@@ -145,3 +145,65 @@ def test_dense_encoder_bf16_compute(batch):
     # normalized embeddings: cosine similarity near 1
     cos = np.sum(a * b, axis=1)
     assert np.all(cos > 0.99), cos
+
+
+# -- regression: review findings (encoders) ------------------------------------
+
+def test_pad_sequences_buckets_and_zero_guard():
+    from qpp_fusion_rag_tpu.encoders.heads import pad_sequences
+
+    ids, mask = pad_sequences([[1, 2, 3], [1] * 20], max_len=256)
+    assert ids.shape[1] == 32                   # power-of-two bucket
+    ids2, _ = pad_sequences([[1, 2, 3]], max_len=256)
+    assert ids2.shape[1] == 16                  # same bucket for short batches
+    ids0, mask0 = pad_sequences([[], []], max_len=256)
+    assert ids0.shape[1] >= 1                   # all-empty batch stays 2D
+
+def test_cross_encoder_strips_tokenizer_specials():
+    """A tokenizer that adds [CLS]/[SEP] must not produce doubled specials
+    inside the pair encoding."""
+    from qpp_fusion_rag_tpu.encoders.heads import CrossEncoderScorer
+
+    captured = {}
+
+    class Spy(CrossEncoderScorer):
+        def score_ids(self, ids, mask, type_ids=None):
+            captured["ids"] = ids
+            captured["types"] = type_ids
+            import numpy as _np
+            return _np.zeros(len(ids), _np.float32)
+
+    tok = lambda t: [101] + [1000 + len(w) for w in t.split()] + [102]
+    s = Spy.__new__(Spy)
+    s.tokenizer = tok
+    s.max_len = 64
+
+    class Cfg:
+        pad_token_id = 0
+
+    s.cfg = Cfg()
+    s.score_pairs([("a bb", "ccc dddd")])
+    row = list(captured["ids"][0])
+    # exactly one [CLS], exactly two [SEP], no internal duplicates
+    assert row.count(101) == 1 and row.count(102) == 2
+    assert row[:4] == [101, 1001, 1002, 102]
+    t = list(captured["types"][0])
+    assert t[:4] == [0, 0, 0, 0] and t[4] == 1  # doc segment starts after first SEP
+
+
+def test_bert_encode_rejects_overlong_sequences():
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from qpp_fusion_rag_tpu.encoders.bert import BertConfig, bert_encode
+
+    cfg = BertConfig(vocab_size=50, hidden_size=8, num_hidden_layers=0,
+                     num_attention_heads=2, intermediate_size=16,
+                     max_position_embeddings=4)
+    params = {"embeddings": {
+        "word": jnp.zeros((50, 8)), "position": jnp.zeros((4, 8)),
+        "token_type": jnp.zeros((2, 8)),
+        "ln_w": jnp.ones(8), "ln_b": jnp.zeros(8)}, "layers": []}
+    with _pytest.raises(ValueError, match="max_position_embeddings"):
+        bert_encode(params, cfg, jnp.zeros((1, 8), jnp.int32),
+                    jnp.ones((1, 8), jnp.int32))

@@ -118,3 +118,84 @@ def test_compute_targets_and_features():
     X, qids = build_features(qpp, ["a", "b"])
     assert X.shape == (1, 26) and qids == ["q1"]
     assert X[0, 0] == 1.0 and X[0, 13] == 2.0
+
+
+# -- regression: review findings (models) --------------------------------------
+
+def test_booster_truncates_to_best_on_budget_exhaustion():
+    """If the round budget ends during a bad validation streak (shorter than
+    the patience), the kept ensemble must still be the best-val prefix."""
+    from qpp_fusion_rag_tpu.models.gbdt import Booster
+
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(120, 5)).astype(np.float32)
+    y = X[:, 0] * 2 + rng.normal(scale=0.1, size=120)
+    # validation from a DIFFERENT distribution so late trees overfit
+    Xv = rng.normal(size=(40, 5)).astype(np.float32) + 3.0
+    yv = -Xv[:, 0] + rng.normal(scale=0.1, size=40)
+    b = Booster({"num_boost_round": 30, "early_stopping_rounds": 1000,
+                 "num_leaves": 8, "learning_rate": 0.3})
+    info = b.fit(X, y, Xv, yv)
+    vm = info["history"]["val_mse"]
+    best_round = int(np.argmin(vm)) + 1
+    assert info["n_trees"] == len(b.trees) == best_round
+    # reported best matches the kept ensemble's actual val error
+    pred = b.predict(Xv, device=False)
+    assert np.mean((yv - pred) ** 2) == pytest.approx(info["best_val_mse"], rel=1e-6)
+
+
+def test_booster_xval_without_yval_is_no_validation():
+    from qpp_fusion_rag_tpu.models.gbdt import Booster
+
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(60, 4)).astype(np.float32)
+    y = X[:, 0] + rng.normal(scale=0.1, size=60)
+    b = Booster({"num_boost_round": 5})
+    info = b.fit(X, y, X_val=X, y_val=None)     # must not crash
+    assert info["best_val_mse"] is None
+
+
+def test_build_features_short_qpp_rows_zero_padded():
+    from qpp_fusion_rag_tpu.models.base import build_features
+
+    qpp = {"q1": {"r0": [0.1, 0.2], "r1": [0.5] * 13}}
+    X, qids = build_features(qpp, ["r0", "r1"])
+    assert X.shape == (1, 26)
+    assert X[0, 0] == pytest.approx(0.1) and X[0, 1] == pytest.approx(0.2)
+    assert (X[0, 2:13] == 0).all()              # missing cells stay 0
+    assert (X[0, 13:] == 0.5).all()
+
+
+def test_bagging_freq_reuses_bag_between_redraws():
+    """bagging_freq=N must reuse the same bag for N iterations (LightGBM
+    semantics): with a fixed seed, freq=5 draws fewer distinct bags than
+    freq=1 over the same rounds."""
+    from qpp_fusion_rag_tpu.models import gbdt as G
+
+    draws = []
+    orig = np.random.default_rng
+
+    class SpyRng:
+        def __init__(self, rng):
+            self._r = rng
+
+        def choice(self, *a, **kw):
+            out = self._r.choice(*a, **kw)
+            if kw.get("size") and a[0] == 100:  # row bags only (n=100)
+                draws.append(1)
+            return out
+
+        def __getattr__(self, k):
+            return getattr(self._r, k)
+
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(100, 4)).astype(np.float32)
+    y = X[:, 0]
+    params = {"num_boost_round": 10, "bagging_fraction": 0.5, "bagging_freq": 5,
+              "feature_fraction": 1.0}
+    b = G.Booster(params)
+    import unittest.mock as mock
+    with mock.patch.object(np.random, "default_rng",
+                           lambda seed=None: SpyRng(orig(seed))):
+        b.fit(X, y)
+    assert len(draws) == 2                      # rounds 0 and 5 only
