@@ -102,3 +102,29 @@ def test_approx_topk_recall(qc):
     ei, ai = np.asarray(ei), np.asarray(ai)
     rec = np.mean([len(set(ei[i]) & set(ai[i])) / 20 for i in range(len(ei))])
     assert rec >= 0.9, rec
+
+
+def test_sharded_multi_view_indivisible_corpus():
+    """Multi-view sharded retrieval must also pad/mask non-divisible corpora."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from qpp_fusion_rag_tpu.parallel.mesh import build_mesh
+    from qpp_fusion_rag_tpu.parallel.sharded import sharded_multi_view_topk
+
+    mesh = build_mesh(n_data=1, n_corpus=8, devices=jax.devices()[:8])
+    rng = np.random.default_rng(0)
+    N, D, R = 333, 16, 3
+    corpus = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32))
+    queries = jnp.asarray(rng.normal(size=(2, D)).astype(np.float32))
+    proj = jnp.asarray(np.stack([np.eye(D, dtype=np.float32)] * R))
+    vals, ids = sharded_multi_view_topk(queries, proj, corpus, mesh, k=7, exact=True)
+    ids = np.asarray(ids)
+    assert ids.shape == (R, 2, 7)
+    assert (ids >= 0).all() and ids.max() < N
+    ref = np.asarray(corpus) @ np.asarray(queries).T          # same for all views
+    expect = np.sort(ref, axis=0)[::-1][:7].T
+    for r in range(R):
+        np.testing.assert_allclose(np.sort(np.asarray(vals[r]))[:, ::-1],
+                                   expect, rtol=1e-4)
