@@ -154,17 +154,26 @@ class Config(ConfigDict):
         "scnqc": "snqc",
     }
 
-    def get_qpp_index(self, model_name: str) -> int:
+    def get_qpp_index(self, model_name: str, layout: str = "kernel") -> int:
         """Resolve a weighted-fusion QPP model name (e.g. 'RSD') to its
-        column in THIS framework's .qpp layout (the kernel's method order,
-        config qpp.methods); 'fusion' means average-all (-1).
+        column; 'fusion' means average-all (-1).
 
-        Reference semantics: src/fusion.py:160-163 (name -> column), with
-        the column table remapped to the kernel layout.
+        layout="kernel" (default): THIS framework's .qpp layout (the
+        kernel's method order, config qpp.methods). layout="reference":
+        the reference's method_index table, for weighting by .qpp files
+        the REFERENCE produced (their columns differ; only RSD happens to
+        share index 5). Reference semantics: src/fusion.py:160-163.
         """
         key = model_name.lower()
         if key == "fusion":
             return -1
+        if layout == "reference":
+            table = self.qpp.method_index.to_dict()
+            if model_name not in table:
+                raise KeyError(
+                    f"Unknown reference QPP model {model_name!r}; known: {sorted(table)}"
+                )
+            return int(table[model_name])
         key = self._QPP_NAME_ALIASES.get(key, key)
         methods = [str(m).lower() for m in self.qpp.methods]
         if key in methods:

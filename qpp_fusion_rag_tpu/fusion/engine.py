@@ -155,6 +155,7 @@ def run_fusion(
     output_path: Optional[str] = None,
     rrf_k: Optional[int] = None,
     k_out: Optional[int] = None,
+    qpp_layout: str = "kernel",
 ) -> RunTensor:
     """Run one fusion method end-to-end.
 
@@ -163,6 +164,8 @@ def run_fusion(
         runs: runs directory (``*.norm.res``) or a RunTensor
         qpp: qpp directory or preloaded {qid: {retriever: [scores]}}
         qpp_model: QPP model name for weighting (kernel column order)
+        qpp_layout: "kernel" for this framework's .qpp files (default),
+            "reference" when weighting by reference-produced .qpp files
         model / model_path: learned-fusion weight model
     """
     qpp_model = qpp_model or config.qpp.default_method
@@ -176,6 +179,9 @@ def run_fusion(
     if needs_qpp and qpp_data is None:
         raise ValueError(f"qpp data required for method {method!r}")
 
+    def _idx(name):
+        return config.get_qpp_index(name, layout=qpp_layout)
+
     if method_l == "combsum":
         fused, tag = combsum(rt, k_out=k_out), "combsum"
     elif method_l == "combmnz":
@@ -183,13 +189,13 @@ def run_fusion(
     elif method_l == "rrf":
         fused, tag = rrf(rt, k=rrf_k, k_out=k_out), f"rrf-k{rrf_k}"
     elif method_l == "wcombsum":
-        idx = config.get_qpp_index(qpp_model)
+        idx = _idx(qpp_model)
         fused, tag = weighted_combsum(rt, qpp_data, idx, k_out=k_out), f"wcombsum-{qpp_model.lower()}"
     elif method_l == "wcombmnz":
-        idx = config.get_qpp_index(qpp_model)
+        idx = _idx(qpp_model)
         fused, tag = weighted_combmnz(rt, qpp_data, idx, k_out=k_out), f"wcombmnz-{qpp_model.lower()}"
     elif method_l == "wrrf":
-        idx = config.get_qpp_index(qpp_model)
+        idx = _idx(qpp_model)
         fused, tag = weighted_rrf(rt, qpp_data, idx, k=rrf_k, k_out=k_out), f"wrrf-{qpp_model.lower()}"
     elif method_l == "learned":
         if model is None:

@@ -24,6 +24,9 @@ def main(argv=None) -> int:
     ap.add_argument("--method", default="all",
                     help="all | combsum | combmnz | rrf | wcombsum | wcombmnz | wrrf | learned")
     ap.add_argument("--qpp-model", default=None, help="weight source (e.g. RSD)")
+    ap.add_argument("--qpp-layout", default="kernel", choices=["kernel", "reference"],
+                    help="column layout of the .qpp files: this framework's "
+                         "(kernel) or the reference's (reference)")
     ap.add_argument("--model-path", default=None, help="learned-fusion model pickle")
     ap.add_argument("--models-dir", default=None,
                     help="with --method all: fuse once per fusion_*.pkl found here")
@@ -47,6 +50,7 @@ def main(argv=None) -> int:
         t0 = time.time()
         run_fusion(
             args.method, rt, qpp=qpp_data, qpp_model=qpp_model,
+            qpp_layout=args.qpp_layout,
             model_path=args.model_path, rrf_k=args.rrf_k, k_out=args.k_out,
             output_path=out_dir / f"{args.method.lower()}.res",
         )
@@ -60,6 +64,7 @@ def main(argv=None) -> int:
     for method in methods:
         run_fusion(
             method, rt, qpp=qpp_data, qpp_model=qpp_model,
+            qpp_layout=args.qpp_layout,
             rrf_k=args.rrf_k, k_out=args.k_out,
             output_path=out_dir / f"{method}.res",
         )

@@ -98,3 +98,11 @@ def test_detect_dataset_no_substring_false_positive():
     assert detect_dataset("/home/tanq/scifact_runs.d") == "scifact"
     assert detect_dataset("/home/tanq/other") is None
     assert detect_dataset("/data/BEIR-nq/runs") == "nq"
+
+
+def test_qpp_index_reference_layout():
+    # reference-produced .qpp files keep the reference's column table
+    assert config.get_qpp_index("RSD", layout="reference") == 5
+    assert config.get_qpp_index("UEF", layout="reference") == 4
+    assert config.get_qpp_index("BERTQPP", layout="reference") == 12
+    assert config.get_qpp_index("fusion", layout="reference") == -1
