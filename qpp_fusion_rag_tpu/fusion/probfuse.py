@@ -20,9 +20,14 @@ from qpp_fusion_rag_tpu.ops.metrics import align_relevance
 
 
 def _segment_index(K: int, x: int) -> np.ndarray:
-    """rank position (0-based) -> segment id 0..x-1 (reference ProbFuse.py:33-42)."""
-    seg = (np.arange(K) * x) // K
-    return np.minimum(seg, x - 1)
+    """rank position (0-based) -> segment id 0..x-1.
+
+    Matches the reference's ceil(pos*x/L) on 1-based positions
+    (ProbFuse.py:33-42): seg = ceil((i+1)*x/K) - 1. Identical to the
+    floor formula when K % x == 0, but boundary ranks differ otherwise.
+    """
+    seg = -(-(np.arange(K) + 1) * x // K) - 1
+    return np.minimum(np.maximum(seg, 0), x - 1)
 
 
 class ProbFuse:
@@ -73,20 +78,22 @@ class ProbFuse:
 
     # -- fusion --------------------------------------------------------
     def fuse(self, rt: RunTensor, k_out: int = 100, name: str = "probfuse") -> RunTensor:
-        """Fused score(d) = sum_r P_r(rel | segment of d in r's list) / seg_len
-        (reference build-run step: summed segment probabilities)."""
+        """Fused score(d) = sum_r P_r(rel | segment of d in r's list) / k
+        where k is the 1-based segment number — the Lillis et al. rank
+        discount (reference ProbFuse.py:179, contribution = prob / float(k))."""
         if not self.probs:
             raise RuntimeError("ProbFuse.train() first")
         from qpp_fusion_rag_tpu.ops import fusion as F
-        import jax.numpy as jnp
 
         K = min(self.depth, rt.K)
         seg = _segment_index(K, self.x)
-        # per-(retriever, rank) contribution = P(rel | seg) — constant over
-        # queries, so feed it as the "scores" tensor with uniform weights.
+        # per-(retriever, rank) contribution = P(rel | seg) / (seg+1) —
+        # constant over queries, so feed it as the "scores" tensor with
+        # uniform weights.
         contrib = np.zeros((rt.R, rt.Q, K), dtype=np.float32)
+        discount = (seg + 1).astype(np.float64)
         for r, rname in enumerate(rt.retrievers):
-            contrib[r, :, :] = self.probs[rname][seg][None, :]
+            contrib[r, :, :] = (self.probs[rname][seg] / discount)[None, :]
         valid = rt.doc_ids[:, :, :K] >= 0
         contrib = np.where(valid, contrib, -np.inf).astype(np.float32)
 

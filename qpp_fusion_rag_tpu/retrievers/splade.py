@@ -23,7 +23,9 @@ class SpladeIndex:
     """CSR impact lists over the encoder's term (wordpiece) space."""
 
     def __init__(self, offsets, docs, weights, docnos: List[str], vocab_size: int):
-        self.offsets = np.asarray(offsets, dtype=np.int32)
+        # offsets stay int64: past ~2.15B postings an int32 cast would
+        # silently wrap and corrupt every posting window (ADVICE r1).
+        self.offsets = np.asarray(offsets, dtype=np.int64)
         self.docs = np.asarray(docs, dtype=np.int32)
         self.weights = np.asarray(weights, dtype=np.float32)
         self.docnos = list(docnos)
@@ -84,10 +86,15 @@ class SpladeIndex:
         import jax.numpy as jnp
 
         if self._device is None:
+            if len(self.offsets) and int(self.offsets[-1]) >= 2**31:
+                raise ValueError(
+                    f"{int(self.offsets[-1])} postings exceed the int32 "
+                    "device-index range; shard the corpus before indexing"
+                )
             self._device = (
                 jnp.asarray(self.docs),
                 jnp.asarray(self.weights),
-                jnp.asarray(self.offsets),
+                jnp.asarray(self.offsets.astype(np.int32)),
             )
         return self._device
 
