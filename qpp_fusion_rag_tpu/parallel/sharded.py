@@ -81,6 +81,106 @@ def sharded_dense_topk(
     return jax.jit(fn)(queries, corpus)
 
 
+def shard_sparse_csr(
+    offsets,                 # [T+1] int CSR term offsets (impact-ordered runs)
+    flat_docs,               # [P] int32 doc ids
+    flat_weights,            # [P] f32 impacts
+    n_docs: int,
+    n_shards: int,
+):
+    """Partition CSR impact lists by contiguous doc range into n_shards
+    stacked per-shard indexes (the sparse analogue of the dense corpus row
+    split; reference segmenting idea: src/indexing/hnsw.py:64-202).
+
+    Shard s owns docs [s*ceil(N/S), (s+1)*ceil(N/S)); each term's posting
+    run is split by that range WITHOUT re-sorting, so per-term impact order
+    is preserved shard-locally and p_cap pruning stays impact-correct.
+    Returns numpy arrays shaped for shard_map (leading shard axis):
+        offsets_s [S, T+1] int32 (local CSR),
+        docs_s    [S, Pmax] int32 LOCAL doc ids,
+        weights_s [S, Pmax] f32,
+        doc_base  [S] int32 global id of each shard's doc 0.
+    """
+    import numpy as np
+
+    offsets = np.asarray(offsets, dtype=np.int64)
+    flat_docs = np.asarray(flat_docs)
+    flat_weights = np.asarray(flat_weights)
+    T = len(offsets) - 1
+    per = -(-n_docs // n_shards)
+    doc_base = (np.arange(n_shards) * per).astype(np.int32)
+    shard_of = np.minimum(flat_docs // per, n_shards - 1).astype(np.int32)
+
+    # stable sort postings by (term, shard) keeping impact order within runs
+    term_of = np.repeat(np.arange(T, dtype=np.int64), np.diff(offsets))
+    order = np.argsort(term_of * n_shards + shard_of, kind="stable")
+    s_docs = flat_docs[order]
+    s_w = flat_weights[order]
+    s_shard = shard_of[order]
+    s_term = term_of[order]
+
+    counts = np.zeros((n_shards, T), dtype=np.int64)
+    np.add.at(counts, (s_shard, s_term), 1)
+    p_max = int(counts.sum(axis=1).max()) if len(s_docs) else 0
+    offsets_s = np.zeros((n_shards, T + 1), dtype=np.int32)
+    np.cumsum(counts, axis=1, out=offsets_s[:, 1:])
+    docs_s = np.zeros((n_shards, max(p_max, 1)), dtype=np.int32)
+    weights_s = np.zeros((n_shards, max(p_max, 1)), dtype=np.float32)
+    # postings of shard s are the subsequence with s_shard == s, already in
+    # (term, impact) order thanks to the stable sort
+    for s in range(n_shards):
+        m = s_shard == s
+        cnt = int(m.sum())
+        docs_s[s, :cnt] = s_docs[m] - doc_base[s]
+        weights_s[s, :cnt] = s_w[m]
+    return offsets_s, docs_s, weights_s, doc_base
+
+
+def sharded_sparse_topk(
+    q_terms,                 # [B, Tq] int32 (-1 pad)     sharded over data
+    q_weights,               # [B, Tq] f32                sharded over data
+    offsets_s,               # [S, T+1] int32             sharded over corpus
+    docs_s,                  # [S, Pmax] int32 local ids  sharded over corpus
+    weights_s,               # [S, Pmax] f32              sharded over corpus
+    doc_base,                # [S] int32                  sharded over corpus
+    mesh: Mesh,
+    n_docs: int,
+    k: int = 100,
+    p_cap: int = 1024,
+    exact_topk: bool = True,
+):
+    """Distributed sparse top-k -> (scores [B, k], GLOBAL doc ids [B, k]).
+
+    Each chip scores its doc-range partition with the shared CSR kernel
+    (ops.sparse.sparse_score_topk), then partials merge over the corpus
+    axis with the same tiled all_gather + top_k as the dense path."""
+    from qpp_fusion_rag_tpu.ops.sparse import sparse_score_topk
+
+    def local(qt, qw, off, docs, w, base):
+        vals, ids = sparse_score_topk(
+            docs[0], w[0], off[0], qt, qw, k=k, p_cap=p_cap,
+            exact_topk=exact_topk,
+        )
+        gids = ids + base[0]
+        keep = (ids >= 0) & (gids < n_docs)
+        ids = jnp.where(keep, gids, -1)
+        vals = jnp.where(keep, vals, -jnp.inf)
+        return _merge_over_corpus(vals, ids, k)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(DATA_AXIS, None), P(DATA_AXIS, None),
+            P(CORPUS_AXIS, None), P(CORPUS_AXIS, None),
+            P(CORPUS_AXIS, None), P(CORPUS_AXIS),
+        ),
+        out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None)),
+        check_rep=False,
+    )
+    return jax.jit(fn)(q_terms, q_weights, offsets_s, docs_s, weights_s, doc_base)
+
+
 def sharded_multi_view_topk(
     queries: jnp.ndarray,    # [B, D]   sharded over data
     view_proj: jnp.ndarray,  # [R, D, Dv] replicated
