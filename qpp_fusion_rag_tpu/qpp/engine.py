@@ -27,6 +27,7 @@ def compute_qpp(
     top_k: Optional[int] = None,
     normalize: Optional[str] = None,
     cutoff: Optional[int] = None,
+    index=None,
 ) -> Dict[str, List[float]]:
     """Compute the 13 statistics for {qid: [scores]} -> {qid: [13 floats]}.
 
@@ -34,6 +35,11 @@ def compute_qpp(
     min(50, n) cutoff, mirroring the reference driver (src/qpp.py:292-305).
     When a query's text is unavailable its qid string is used, matching the
     reference's batch-mode behavior (src/qpp.py:311-317).
+
+    ``index`` (a SparseIndex) opts into the index-aware column family: the
+    4 true-IDF columns (qpp.index_aware, reference NQCSpecificity.java:44-65,
+    BaseIDFSpecificity.java:59-105) are APPENDED after the 13 parity columns,
+    normalized the same way.
     """
     top_k = top_k or config.processing.retrieval.top_k
     normalize = normalize if normalize is not None else config.qpp.normalization
@@ -51,6 +57,14 @@ def compute_qpp(
 
     feats = Q.text_features_batch([query_texts.get(q, q) for q in qids])
     raw = np.asarray(Q.qpp_kernel(mat, n_valid, feats, cutoff=cutoff))
+    if index is not None:
+        from qpp_fusion_rag_tpu.qpp.index_aware import COLUMNS, IndexAwareQPP
+
+        ia = IndexAwareQPP(index, cutoff=cutoff)
+        cols = ia.compute([query_texts.get(q, q) for q in qids], mat, n_valid)
+        raw = np.concatenate(
+            [raw] + [cols[name][:, None] for name in COLUMNS], axis=1
+        ).astype(np.float32)
     if normalize and normalize != "none" and len(qids) > 0:
         raw = np.asarray(Q.normalize_qpp(raw, method=normalize))
     return {qid: raw[i].tolist() for i, qid in enumerate(qids)}
