@@ -6,11 +6,13 @@ dims, reference data/nq: BGE embedding matrix) on one chip. Target
 ≥ 10,000 fused queries/sec/chip; `vs_baseline` is value / 10k.
 
 Speed-of-light framing (measured on this v5e): the batch does
-2·R·B·N·D ≈ 20.6 TFLOP; sustained bf16 matmul peak measured via a chained
-4096³ matmul is ~139-172 TF/s (v5e bf16 peak is 197 TF/s), so the zero-
-overhead bound is ~104 ms/batch ≈ 9.8k q/s — the 10k target is parity with
-the hardware roofline. Current: Pallas group-max kernel at 151 TF/s (77%
-of peak) + ~42 ms approx merge + ~11 ms QPP/fusion.
+2·R·B·N·D ≈ 20.6 TFLOP. At the bf16 nominal peak (197 TF/s) the zero-
+overhead bound is ~105 ms/batch ≈ 9.8k q/s — BELOW the 10k target, so the
+production path stores the corpus index int8-quantized (symmetric per-doc
+scales, ScaNN-style) and contracts on the MXU's int8 mode: the packed
+group-max kernel measures 251 TOP/s (82 ms) vs 155 TF/s (133 ms) bf16.
+Quality: recall@100 vs f32 exact stays ≥0.97 of the bf16 path's (see
+docs/QUALITY_NOTES.md + tests/test_pallas_dense.py int8 tests).
 
 Everything (corpus, queries, projections) is generated on device; the
 timed region is the jitted pipeline step with a final device sync.
@@ -54,21 +56,36 @@ def main() -> None:
     key = jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(key, 3)
     # corpus stored [D, N] on TPU: the packed Pallas kernel contracts without
-    # an in-kernel transpose (~4% faster)
-    corpus = jax.random.normal(
-        k1, (DIM, n_docs) if on_tpu else (n_docs, DIM), dtype=jnp.bfloat16
-    )
+    # an in-kernel transpose; int8-quantized with per-doc scales (the
+    # production index format — quantization runs once at index build).
     q_emb = jax.random.normal(k2, (batch, DIM), dtype=jnp.float32)
     view_proj = jax.random.normal(k3, (R_VIEWS, DIM, DIM), dtype=jnp.float32) * 0.05
     text_feats = jnp.tile(jnp.asarray([6.0, 6.0, 9.0, 5.0], jnp.float32), (batch, 1))
-    jax.block_until_ready(corpus)
 
-    def step():
-        return fused_retrieval_step(
-            q_emb, view_proj, corpus, text_feats,
-            k=TOP_K, chunk=chunk, k_out=TOP_K, use_pallas=on_tpu,
-            corpus_transposed=on_tpu,
-        )
+    if on_tpu:
+        from qpp_fusion_rag_tpu.ops.pallas.dense_topk import quantize_rows
+
+        corpus_f = jax.random.normal(k1, (DIM, n_docs), dtype=jnp.float32)
+        corpus, corpus_scale = jax.jit(lambda c: quantize_rows(c, axis=0))(corpus_f)
+        corpus_scale = corpus_scale.reshape(1, n_docs)
+        del corpus_f
+        jax.block_until_ready(corpus)
+
+        def step():
+            return fused_retrieval_step(
+                q_emb, view_proj, corpus, text_feats,
+                k=TOP_K, chunk=chunk, k_out=TOP_K,
+                corpus_scale=corpus_scale,
+            )
+    else:
+        corpus = jax.random.normal(k1, (n_docs, DIM), dtype=jnp.bfloat16)
+        jax.block_until_ready(corpus)
+
+        def step():
+            return fused_retrieval_step(
+                q_emb, view_proj, corpus, text_feats,
+                k=TOP_K, chunk=chunk, k_out=TOP_K,
+            )
 
     # Warmup/compile
     t0 = time.perf_counter()

@@ -156,13 +156,18 @@ def l2_normalize(x: jnp.ndarray) -> jnp.ndarray:
 
 def mlm_logits(params, cfg: BertConfig, hidden: jnp.ndarray,
                compute_dtype=jnp.float32) -> jnp.ndarray:
-    """MLM head (SPLADE): transform + LN + tied decoder -> [B, L, V]."""
+    """MLM head (SPLADE): transform + LN + decoder -> [B, L, V].
+
+    The decoder is the word-embedding transpose when tied (the common
+    case); checkpoints with an untied ``cls.predictions.decoder.weight``
+    carry their own matrix in ``head["decoder"]``."""
     head = params["mlm"]
     h = _linear(hidden, head["transform"], compute_dtype)
     h = jax.nn.gelu(h, approximate=False)
     h = _layer_norm(h, head["ln_w"], head["ln_b"], cfg.layer_norm_eps)
+    decoder = head.get("decoder", params["embeddings"]["word"].T)
     logits = jnp.dot(h.astype(compute_dtype),
-                     params["embeddings"]["word"].T.astype(compute_dtype),
+                     jnp.asarray(decoder).astype(compute_dtype),
                      preferred_element_type=jnp.float32)
     return logits + head["decoder_bias"]
 
@@ -182,58 +187,111 @@ def _t(sd, key):
     return np.asarray(sd[key].detach().cpu().numpy() if hasattr(sd[key], "detach") else sd[key])
 
 
-def params_from_hf_state_dict(sd: Dict[str, Any], cfg: BertConfig) -> Dict[str, Any]:
+#: state-dict keys that are buffers/aux, never model weights
+_IGNORABLE_SUFFIXES = (
+    "position_ids",                 # registered buffer in older HF exports
+    "cls.seq_relationship.weight",  # NSP head (unused by any retriever)
+    "cls.seq_relationship.bias",
+)
+
+
+def params_from_hf_state_dict(
+    sd: Dict[str, Any], cfg: BertConfig, strict: bool = False
+) -> Dict[str, Any]:
     """Convert a HF BERT(-ForMaskedLM/-ForSequenceClassification) state_dict.
 
-    Handles the `bert.` prefix, linear-weight transposition, and the
-    optional MLM (`cls.predictions.*`) / classifier heads.
+    Handles real-checkpoint naming drift: the `bert.` prefix,
+    linear-weight transposition, `LayerNorm.gamma/beta` (TF-converted
+    checkpoints) vs `.weight/.bias`, the optional MLM
+    (`cls.predictions.*`, tied OR untied decoder) / classifier heads, and
+    buffer keys (`position_ids`). With ``strict=True`` any state-dict key
+    that was neither consumed nor known-ignorable raises — the guard that
+    makes silent key-mapping drift impossible when a real checkpoint
+    flows through (no real BEIR checkpoints ship in this environment, so
+    this accounting is the proof surface; reference loads the same
+    checkpoints via transformers, src/retrievers/bge.py:31-84).
     """
     keys = list(sd.keys())
     prefix = "bert." if any(k.startswith("bert.") for k in keys) else ""
+    consumed = set()
+
+    def take(key):
+        consumed.add(key)
+        return _t(sd, key)
 
     def lin(name):
         return {
-            "kernel": _t(sd, f"{name}.weight").T.astype(np.float32),
-            "bias": _t(sd, f"{name}.bias").astype(np.float32),
+            "kernel": take(f"{name}.weight").T.astype(np.float32),
+            "bias": take(f"{name}.bias").astype(np.float32),
         }
 
+    def ln(name):
+        """LayerNorm weights: `.weight/.bias`, or `.gamma/.beta` in
+        TF-converted checkpoints."""
+        if f"{name}.weight" in sd:
+            return (take(f"{name}.weight").astype(np.float32),
+                    take(f"{name}.bias").astype(np.float32))
+        return (take(f"{name}.gamma").astype(np.float32),
+                take(f"{name}.beta").astype(np.float32))
+
     e = f"{prefix}embeddings"
+    emb_ln_w, emb_ln_b = ln(f"{e}.LayerNorm")
     params: Dict[str, Any] = {
         "embeddings": {
-            "word": _t(sd, f"{e}.word_embeddings.weight").astype(np.float32),
-            "position": _t(sd, f"{e}.position_embeddings.weight").astype(np.float32),
-            "token_type": _t(sd, f"{e}.token_type_embeddings.weight").astype(np.float32),
-            "ln_w": _t(sd, f"{e}.LayerNorm.weight").astype(np.float32),
-            "ln_b": _t(sd, f"{e}.LayerNorm.bias").astype(np.float32),
+            "word": take(f"{e}.word_embeddings.weight").astype(np.float32),
+            "position": take(f"{e}.position_embeddings.weight").astype(np.float32),
+            "token_type": take(f"{e}.token_type_embeddings.weight").astype(np.float32),
+            "ln_w": emb_ln_w,
+            "ln_b": emb_ln_b,
         },
         "layers": [],
     }
     for i in range(cfg.num_hidden_layers):
         L = f"{prefix}encoder.layer.{i}"
+        attn_ln_w, attn_ln_b = ln(f"{L}.attention.output.LayerNorm")
+        ffn_ln_w, ffn_ln_b = ln(f"{L}.output.LayerNorm")
         params["layers"].append({
             "q": lin(f"{L}.attention.self.query"),
             "k": lin(f"{L}.attention.self.key"),
             "v": lin(f"{L}.attention.self.value"),
             "attn_out": lin(f"{L}.attention.output.dense"),
-            "attn_ln_w": _t(sd, f"{L}.attention.output.LayerNorm.weight").astype(np.float32),
-            "attn_ln_b": _t(sd, f"{L}.attention.output.LayerNorm.bias").astype(np.float32),
+            "attn_ln_w": attn_ln_w,
+            "attn_ln_b": attn_ln_b,
             "ffn_in": lin(f"{L}.intermediate.dense"),
             "ffn_out": lin(f"{L}.output.dense"),
-            "ffn_ln_w": _t(sd, f"{L}.output.LayerNorm.weight").astype(np.float32),
-            "ffn_ln_b": _t(sd, f"{L}.output.LayerNorm.bias").astype(np.float32),
+            "ffn_ln_w": ffn_ln_w,
+            "ffn_ln_b": ffn_ln_b,
         })
 
     if f"{prefix}pooler.dense.weight" in sd:
         params["pooler"] = lin(f"{prefix}pooler.dense")
-    if "cls.predictions.transform.dense.weight" in sd:
+    if ("cls.predictions.transform.dense.weight" in sd
+            or "cls.predictions.transform.dense.gamma" in sd):
+        mlm_ln_w, mlm_ln_b = ln("cls.predictions.transform.LayerNorm")
         params["mlm"] = {
             "transform": lin("cls.predictions.transform.dense"),
-            "ln_w": _t(sd, "cls.predictions.transform.LayerNorm.weight").astype(np.float32),
-            "ln_b": _t(sd, "cls.predictions.transform.LayerNorm.bias").astype(np.float32),
-            "decoder_bias": _t(sd, "cls.predictions.bias").astype(np.float32),
+            "ln_w": mlm_ln_w,
+            "ln_b": mlm_ln_b,
+            "decoder_bias": take("cls.predictions.bias").astype(np.float32),
         }
+        if "cls.predictions.decoder.weight" in sd:
+            dec = take("cls.predictions.decoder.weight")
+            consumed.add("cls.predictions.decoder.bias")  # == cls.predictions.bias
+            if not np.array_equal(dec, params["embeddings"]["word"]):
+                # untied decoder: keep its own matrix, [H, V] layout
+                params["mlm"]["decoder"] = dec.T.astype(np.float32)
     if "classifier.weight" in sd:
         params["classifier"] = lin("classifier")
+
+    leftovers = [
+        k for k in keys
+        if k not in consumed and not k.endswith(_IGNORABLE_SUFFIXES)
+    ]
+    if leftovers and strict:
+        raise ValueError(
+            f"unconsumed state-dict keys (naming drift?): {sorted(leftovers)[:8]}"
+            + (f" ... +{len(leftovers) - 8} more" if len(leftovers) > 8 else "")
+        )
     return params
 
 

@@ -150,6 +150,88 @@ def _make_packed_kernel(n_real: int, transposed: bool = False):
     return _kernel
 
 
+def _make_packed_kernel_int8(n_real: int):
+    """Quantized packed kernel: int8 queries [TM, D] × int8 corpus [D, TN]
+    contract on the MXU's int8 mode (2× the bf16 rate on v5e), then the VPU
+    rescales by the per-doc quantization scale, packs the lane and reduces.
+
+    Scores are s[m, n] = i32dot(q_int[m], c_int[n]) * d_scale[n]; the
+    per-QUERY scale q_scale[m] is deliberately NOT applied here — a positive
+    per-row factor never changes that row's ranking, so it is applied to the
+    k selected values after the merge (k ≪ N elementwise multiplies)."""
+
+    def _kernel(q_ref, c_ref, s_ref, vals_ref):
+        scores_i32 = jax.lax.dot_general(
+            q_ref[:], c_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        TM, TN = scores_i32.shape
+        scores = scores_i32.astype(jnp.float32) * s_ref[0][None, :]
+        j = pl.program_id(0)
+        if n_real:
+            col = j * TN + jax.lax.broadcasted_iota(jnp.int32, (TM, TN), 1)
+            scores = jnp.where(col < n_real, scores, NEG_FINITE)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (TM, TN), 1) & jnp.int32(0x7F)
+        packed = _pack_lane(scores, lane)
+        g = TN // GROUP
+        vals_ref[0] = jnp.max(packed.reshape(TM, g, GROUP), axis=-1)
+
+    return _kernel
+
+
+@partial(jax.jit, static_argnames=("tm", "tn", "n_real"))
+def group_max_packed_int8(
+    q_int: jnp.ndarray,      # [M, D] int8 (row-quantized queries)
+    corpus_int: jnp.ndarray, # [D, N] int8 (doc-quantized, transposed layout)
+    d_scale: jnp.ndarray,    # [1, N] f32 per-doc dequant scale
+    tm: int = 512,
+    tn: int = 2048,
+    n_real: int = 0,
+) -> jnp.ndarray:
+    """-> packed group maxima [M, N/GROUP] f32 over int8-MXU scores."""
+    M, D = q_int.shape
+    N = corpus_int.shape[1]
+    assert N % tn == 0 and tn % GROUP == 0, (N, tn)
+    pad_m = (-M) % tm
+    if pad_m:
+        q_int = jnp.pad(q_int, ((0, pad_m), (0, 0)))
+    Mp = q_int.shape[0]
+    grid = (N // tn, Mp // tm)
+    g_out = tn // GROUP
+    n_tiles = N // tn
+    vals = pl.pallas_call(
+        _make_packed_kernel_int8(0 if n_real == N else n_real),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, D), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, tn), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tm, g_out), lambda j, i: (j, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, Mp, g_out), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * N * D,
+            bytes_accessed=Mp * D + N * D + N * 4 + Mp * (N // GROUP) * 4,
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(q_int, corpus_int, d_scale)
+    return jnp.moveaxis(vals, 0, 1).reshape(Mp, N // GROUP)[:M]
+
+
+def quantize_rows(x: jnp.ndarray, axis: int = -1):
+    """Symmetric per-row int8 quantization -> (int8 values, f32 scales).
+
+    scale = max|x| / 127 along `axis`; zero rows get scale 1 (values all 0).
+    """
+    amax = jnp.max(jnp.abs(x), axis=axis, keepdims=True)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
 @partial(jax.jit, static_argnames=("tm", "tn", "n_real", "transposed"))
 def group_max_packed(
     q: jnp.ndarray,
@@ -314,6 +396,73 @@ def pallas_dense_topk(
         top_ids = jnp.pad(top_ids, pad, constant_values=-1)
     top_ids = jnp.where(jnp.isfinite(top_vals), top_ids, -1)
     return top_vals, top_ids
+
+
+@partial(jax.jit, static_argnames=("k", "tm", "tn", "exact_merge"))
+def pallas_dense_topk_int8(
+    queries: jnp.ndarray,     # [B, D] f32/bf16 (quantized per-row in here)
+    corpus_int: jnp.ndarray,  # [D, N] int8 (per-doc symmetric quantization)
+    d_scale: jnp.ndarray,     # [1, N] f32 per-doc dequant scales
+    k: int = 100,
+    tm: int = 512,
+    tn: int = 4096,           # v5e-validated best tile (82 ms vs 89 at 2048)
+    exact_merge: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Quantized fused dense top-k -> (scores [B, k], ids [B, k]).
+
+    The corpus matmul runs in the MXU's int8 mode — measured 251 TOP/s vs
+    155 TF/s for the bf16 packed kernel on v5e (1.6x) — with per-doc scales
+    applied in-kernel before the same pack+group-max reduction, so recall
+    semantics match the packed path up to int8 rounding. The per-QUERY
+    scale multiplies only the k winners after the merge (ranking-invariant
+    inside a row). Score error vs f32 exact is ~1e-2 relative (symmetric
+    127-level quantization both sides)."""
+    q_int, q_scale = quantize_rows(queries.astype(jnp.float32))
+    n = corpus_int.shape[1]
+    pad_n = (-n) % tn
+    if pad_n:
+        corpus_int = jnp.pad(corpus_int, ((0, 0), (0, pad_n)))
+        d_scale = jnp.pad(d_scale, ((0, 0), (0, pad_n)))
+    vals = group_max_packed_int8(q_int, corpus_int, d_scale, tm=tm, tn=tn,
+                                 n_real=n if pad_n else 0)
+    kk = min(k, vals.shape[-1])
+    if exact_merge or vals.shape[-1] <= max(kk * 4, 256):
+        tv, tx = jax.lax.top_k(vals, kk)
+    else:
+        tv, tx = jax.lax.approx_max_k(vals, kk, recall_target=0.95)
+    clean, lane = unpack_lane(tv)
+    top_ids = tx.astype(jnp.int32) * GROUP + lane
+    top_vals = clean * q_scale
+    top_vals = jnp.where(clean > NEG_FINITE / 2, top_vals, -jnp.inf)
+    if kk < k:
+        pad = ((0, 0), (0, k - kk))
+        top_vals = jnp.pad(top_vals, pad, constant_values=-jnp.inf)
+        top_ids = jnp.pad(top_ids, pad, constant_values=-1)
+    top_ids = jnp.where(jnp.isfinite(top_vals), top_ids, -1)
+    return top_vals, top_ids
+
+
+@partial(jax.jit, static_argnames=("k", "tm", "tn", "exact_merge"))
+def pallas_multi_view_topk_int8(
+    queries: jnp.ndarray,     # [B, D]
+    view_proj: jnp.ndarray,   # [R, D, Dv]
+    corpus_int: jnp.ndarray,  # [Dv, N] int8
+    d_scale: jnp.ndarray,     # [1, N] f32
+    k: int = 100,
+    tm: int = 512,
+    tn: int = 4096,
+    exact_merge: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """R-view quantized dense top-k -> (scores [R, B, k], ids [R, B, k])."""
+    qv = jnp.einsum(
+        "bd,rdv->rbv", queries.astype(jnp.float32), view_proj.astype(jnp.float32)
+    )
+    R, B, Dv = qv.shape
+    vals, ids = pallas_dense_topk_int8(
+        qv.reshape(R * B, Dv), corpus_int, d_scale, k=k, tm=tm, tn=tn,
+        exact_merge=exact_merge,
+    )
+    return vals.reshape(R, B, k), ids.reshape(R, B, k)
 
 
 @partial(jax.jit, static_argnames=("k", "tm", "tn", "exact_merge", "stride", "transposed"))

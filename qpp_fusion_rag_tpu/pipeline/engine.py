@@ -46,11 +46,21 @@ def weight_and_fuse(ids, norm, weights, method=F.COMBSUM, k_out=100):
 
 
 def _retrieve_qpp_norm(q_emb, view_proj, corpus, text_feats, k, chunk, use_pallas,
-                       corpus_transposed=False):
+                       corpus_transposed=False, corpus_scale=None):
     """Shared pipeline front half: retrieval + QPP + .norm.res scores.
     Both the QPP-weighted and learned serving paths build on this, so
-    kernel-path fixes apply to every flagship step at once."""
-    if use_pallas:
+    kernel-path fixes apply to every flagship step at once.
+
+    When ``corpus_scale`` is given, ``corpus`` is an int8 [Dv, N] quantized
+    matrix with per-doc scales and retrieval runs on the MXU's int8 mode
+    (1.6x the bf16 rate on v5e; see ops.pallas.pallas_dense_topk_int8)."""
+    if corpus_scale is not None:
+        from qpp_fusion_rag_tpu.ops.pallas.dense_topk import pallas_multi_view_topk_int8
+
+        vals, ids = pallas_multi_view_topk_int8(
+            q_emb, view_proj, corpus, corpus_scale, k=k
+        )
+    elif use_pallas:
         from qpp_fusion_rag_tpu.ops.pallas.dense_topk import pallas_multi_view_topk
 
         vals, ids = pallas_multi_view_topk(q_emb, view_proj, corpus, k=k,
@@ -96,7 +106,7 @@ def qpp_from_runs(
 def fused_retrieval_step(
     q_emb: jnp.ndarray,       # [B, D]
     view_proj: jnp.ndarray,   # [R, D, Dv]
-    corpus: jnp.ndarray,      # [N, Dv] ([Dv, N] when corpus_transposed)
+    corpus: jnp.ndarray,      # [N, Dv] ([Dv, N] when corpus_transposed/int8)
     text_feats: jnp.ndarray,  # [B, 4]
     k: int = 100,
     chunk: int = 16384,
@@ -105,6 +115,7 @@ def fused_retrieval_step(
     qpp_index: int = 5,       # RSD (reference default weight source)
     use_pallas: bool = False,
     corpus_transposed: bool = False,
+    corpus_scale: jnp.ndarray = None,   # [1, N] f32 -> int8 quantized path
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One fused-retrieval forward step -> (fused_ids [B, k_out],
     fused_scores [B, k_out], qpp [R, B, 13]). Multi-chip execution comes
@@ -112,7 +123,7 @@ def fused_retrieval_step(
     __graft_entry__.dryrun_multichip)."""
     _vals, ids, qpp, norm = _retrieve_qpp_norm(
         q_emb, view_proj, corpus, text_feats, k, chunk, use_pallas,
-        corpus_transposed=corpus_transposed,
+        corpus_transposed=corpus_transposed, corpus_scale=corpus_scale,
     )
     fused_ids, fused_scores = weight_and_fuse(
         ids, norm, qpp[..., qpp_index], method=method, k_out=k_out

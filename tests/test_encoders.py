@@ -207,3 +207,58 @@ def test_bert_encode_rejects_overlong_sequences():
     with _pytest.raises(ValueError, match="max_position_embeddings"):
         bert_encode(params, cfg, jnp.zeros((1, 8), jnp.int32),
                     jnp.ones((1, 8), jnp.int32))
+
+
+def test_state_dict_strict_accounting_and_naming_drift(batch):
+    """Real-checkpoint protection: strict mode consumes every key; the
+    gamma/beta (TF-converted) and untied-decoder variants load correctly."""
+    ids, mask = batch
+    torch.manual_seed(1)
+    model = transformers.BertForMaskedLM(_hf_config()).eval()
+    cfg = BertConfig.from_hf(model.config)
+    sd = {k: v for k, v in model.state_dict().items()}
+
+    # strict mode: a full MLM checkpoint must be fully consumed
+    params = params_from_hf_state_dict(sd, cfg, strict=True)
+
+    # an unknown key (naming drift) must raise in strict mode
+    bad = dict(sd)
+    bad["bert.encoder.layer.0.attention.self.query_proj.weight"] = (
+        sd["bert.encoder.layer.0.attention.self.query.weight"]
+    )
+    with pytest.raises(ValueError, match="unconsumed"):
+        params_from_hf_state_dict(bad, cfg, strict=True)
+
+    # gamma/beta LayerNorm naming (TF-converted checkpoints) loads the same
+    renamed = {}
+    for k, v in sd.items():
+        k2 = k.replace("LayerNorm.weight", "LayerNorm.gamma").replace(
+            "LayerNorm.bias", "LayerNorm.beta")
+        renamed[k2] = v
+    params_tf = params_from_hf_state_dict(renamed, cfg, strict=True)
+    np.testing.assert_array_equal(
+        params["embeddings"]["ln_w"], params_tf["embeddings"]["ln_w"]
+    )
+
+    # tied checkpoint (decoder == word embeddings): no separate matrix kept
+    assert "decoder" not in params["mlm"]
+
+    # untied decoder: a distinct matrix must be stored and used. (A torch
+    # reference is impossible here: HF's weight tying makes load_state_dict
+    # silently propagate a modified decoder back into the embeddings.)
+    import jax.numpy as jnp
+    from qpp_fusion_rag_tpu.encoders.bert import bert_encode, mlm_logits
+
+    untied = dict(sd)
+    dec = sd["cls.predictions.decoder.weight"].clone()
+    dec += torch.randn_like(dec) * 0.1
+    untied["cls.predictions.decoder.weight"] = dec
+    p_untied = params_from_hf_state_dict(untied, cfg, strict=True)
+    np.testing.assert_array_equal(
+        p_untied["mlm"]["decoder"], dec.numpy().T.astype(np.float32)
+    )
+    h = bert_encode(p_untied, cfg, jnp.asarray(ids), jnp.asarray(mask))
+    got_untied = np.asarray(mlm_logits(p_untied, cfg, h))
+    got_tied = np.asarray(mlm_logits(params, cfg, h))
+    # the decoder delta must flow through to the logits
+    assert np.abs(got_untied - got_tied).max() > 1e-3

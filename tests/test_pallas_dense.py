@@ -111,3 +111,71 @@ def test_pallas_transposed_corpus_matches_rowmajor():
                                transposed=True)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-6)
+
+
+def test_int8_topk_matches_exact_and_scores():
+    from qpp_fusion_rag_tpu.ops.pallas.dense_topk import (
+        pallas_dense_topk_int8,
+        quantize_rows,
+    )
+
+    rng = np.random.default_rng(11)
+    q = rng.standard_normal((8, 64)).astype(np.float32)
+    c = rng.standard_normal((16384, 64)).astype(np.float32)
+    c_int, d_scale = quantize_rows(jnp.asarray(c.T), axis=0)   # [D, N], [1, N]
+    vals, ids = pallas_dense_topk_int8(
+        jnp.asarray(q), c_int, d_scale.reshape(1, -1), k=10, tm=8, tn=2048,
+        exact_merge=True,
+    )
+    s = q @ c.T
+    exact = np.argsort(-s, axis=-1)[:, :10]
+    got = np.asarray(ids)
+    # int8 rounding can swap near-ties but recall vs exact stays high
+    rec = np.mean([len(set(got[i]) & set(exact[i])) / 10 for i in range(len(q))])
+    assert rec >= 0.8, rec
+    # returned scores approximate the true scores at the returned ids
+    true_at = np.take_along_axis(s, got, axis=-1)
+    rel = np.abs(np.asarray(vals) - true_at) / np.maximum(np.abs(true_at), 1e-3)
+    assert np.median(rel) < 2e-2, np.median(rel)
+
+
+def test_int8_topk_padding_masks_fake_docs():
+    from qpp_fusion_rag_tpu.ops.pallas.dense_topk import (
+        pallas_dense_topk_int8,
+        quantize_rows,
+    )
+
+    rng = np.random.default_rng(5)
+    q = rng.standard_normal((8, 64)).astype(np.float32)
+    c = rng.standard_normal((1000, 64)).astype(np.float32)
+    c_int, d_scale = quantize_rows(jnp.asarray(c.T), axis=0)
+    vals, ids = pallas_dense_topk_int8(
+        jnp.asarray(q), c_int, d_scale.reshape(1, -1), k=5, tm=8, tn=256,
+        exact_merge=True,
+    )
+    assert np.asarray(ids).max() < 1000
+    s = q @ c.T
+    np.testing.assert_array_equal(np.asarray(ids)[:, 0], np.argmax(s, axis=-1))
+
+
+def test_int8_multi_view_shapes_and_top1():
+    from qpp_fusion_rag_tpu.ops.pallas.dense_topk import (
+        pallas_multi_view_topk_int8,
+        quantize_rows,
+    )
+
+    rng = np.random.default_rng(9)
+    B, D, Dv, N, R = 4, 32, 32, 4096, 3
+    q = rng.standard_normal((B, D)).astype(np.float32)
+    proj = (rng.standard_normal((R, D, Dv)) * 0.2).astype(np.float32)
+    c = rng.standard_normal((N, Dv)).astype(np.float32)
+    c_int, d_scale = quantize_rows(jnp.asarray(c.T), axis=0)
+    vals, ids = pallas_multi_view_topk_int8(
+        jnp.asarray(q), jnp.asarray(proj), c_int, d_scale.reshape(1, -1),
+        k=5, tm=8, tn=512, exact_merge=True,
+    )
+    assert vals.shape == (R, B, 5) and ids.shape == (R, B, 5)
+    qv = np.einsum("bd,rdv->rbv", q, proj)
+    for r in range(R):
+        s = qv[r] @ c.T
+        np.testing.assert_array_equal(np.asarray(ids)[r, :, 0], np.argmax(s, axis=-1))
