@@ -1,0 +1,92 @@
+"""Heterogeneous ensemble step: 5 views, one compiled program (CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def _csr(rng, n_docs, n_terms, df):
+    terms = np.repeat(np.arange(n_terms), df)
+    docs = np.concatenate(
+        [rng.choice(n_docs, df, replace=False) for _ in range(n_terms)]
+    ).astype(np.int32)
+    w = (rng.permutation(n_terms * df).astype(np.float32) / (n_terms * df)) + 0.05
+    order = np.lexsort((-w, terms))
+    docs, w = docs[order], w[order]
+    offsets = np.zeros(n_terms + 1, np.int32)
+    np.cumsum(np.bincount(terms, minlength=n_terms), out=offsets[1:])
+    return offsets, docs, w
+
+
+def test_ensemble_step_end_to_end(rng):
+    from qpp_fusion_rag_tpu.ops.pallas.dense_topk import quantize_rows
+    from qpp_fusion_rag_tpu.pipeline.ensemble import (
+        EnsembleIndexes,
+        ensemble_retrieval_step,
+    )
+
+    N, D, B, K = 2048, 32, 4, 16
+    bo, bd, bw = _csr(rng, N, n_terms=50, df=30)
+    so, sd, sw = _csr(rng, N, n_terms=64, df=20)
+    corpus = rng.standard_normal((N, D)).astype(np.float32)
+    c_int, d_scale = quantize_rows(jnp.asarray(corpus.T), axis=0)
+    idx = EnsembleIndexes(
+        bm25_docs=jnp.asarray(bd), bm25_weights=jnp.asarray(bw),
+        bm25_offsets=jnp.asarray(bo),
+        splade_docs=jnp.asarray(sd), splade_weights=jnp.asarray(sw),
+        splade_offsets=jnp.asarray(so),
+        corpus_int=c_int,
+        corpus_rows=jnp.asarray(np.asarray(c_int).T),
+        d_scale=d_scale.reshape(1, -1),
+    )
+    bm25_t = rng.integers(0, 50, (B, 4)).astype(np.int32)
+    splade_t = rng.integers(0, 64, (B, 8)).astype(np.int32)
+    q_emb = rng.standard_normal((B, D)).astype(np.float32)
+    proj = (rng.standard_normal((2, D, D)) * 0.2).astype(np.float32)
+    tf = np.tile(np.array([4.0, 4.0, 8.0, 5.0], np.float32), (B, 1))
+
+    fused_ids, fused_scores, qpp = ensemble_retrieval_step(
+        idx, bm25_t, np.ones((B, 4), np.float32),
+        splade_t, np.ones((B, 8), np.float32),
+        q_emb, proj, tf, k=K, k_out=K, p_cap=30,
+    )
+    fused_ids = np.asarray(fused_ids)
+    fused_scores = np.asarray(fused_scores)
+    qpp = np.asarray(qpp)
+    assert fused_ids.shape == (B, K) and qpp.shape == (5, B, 13)
+    assert np.isfinite(qpp).all()
+    # fused scores sorted desc where valid
+    for i in range(B):
+        v = fused_scores[i][fused_ids[i] >= 0]
+        assert (np.diff(v) <= 1e-6).all()
+    # fused ids are real docs
+    assert fused_ids.max() < N
+    # no duplicate doc ids within a query's fused list
+    for i in range(B):
+        real = fused_ids[i][fused_ids[i] >= 0]
+        assert len(set(real.tolist())) == len(real)
+
+
+def test_rerank_view_is_subset_of_candidates(rng):
+    from qpp_fusion_rag_tpu.ops.pallas.dense_topk import quantize_rows
+    from qpp_fusion_rag_tpu.pipeline.ensemble import rerank_candidates
+
+    N, D, B, K = 512, 16, 3, 8
+    corpus = rng.standard_normal((N, D)).astype(np.float32)
+    c_int, d_scale = quantize_rows(jnp.asarray(corpus.T), axis=0)
+    rows = jnp.asarray(np.asarray(c_int).T)
+    cand = rng.choice(N, size=(B, K), replace=False).astype(np.int32)
+    cand[0, -2:] = -1  # padded candidates
+    q = rng.standard_normal((B, D)).astype(np.float32)
+    s, ids = rerank_candidates(jnp.asarray(q), jnp.asarray(cand), rows,
+                               d_scale.reshape(1, -1))
+    s, ids = np.asarray(s), np.asarray(ids)
+    for i in range(B):
+        got = set(ids[i][ids[i] >= 0].tolist())
+        want = set(cand[i][cand[i] >= 0].tolist())
+        assert got == want
+    # scores desc, pads last
+    assert (ids[0][-2:] == -1).all()
+    # rerank ordering follows the dense scores over candidates
+    sc = (q[1] @ np.asarray(c_int).astype(np.float32)[:, cand[1]]) * \
+        np.asarray(d_scale).reshape(-1)[cand[1]]
+    np.testing.assert_array_equal(ids[1], cand[1][np.argsort(-sc, kind="stable")])
