@@ -102,13 +102,22 @@ def main(argv=None) -> int:
     (out_dir / f"ranker_eval_{dataset}.tex").write_text(
         to_latex(results, metrics, dataset)
     )
-    # spreadsheet-compatible output (reference 09 emits Excel; CSV here)
+    # spreadsheet outputs: CSV + Excel (reference 09_eval_rankers.py:585
+    # generate_excel_report; written here by the stdlib OOXML writer)
+    ranked = sorted(results.items(), key=lambda kv: -kv[1]["metrics"][main_metric])
     csv_lines = ["retriever,category," + ",".join(metrics)]
-    for name, r in sorted(results.items(), key=lambda kv: -kv[1]["metrics"][main_metric]):
+    xlsx_rows = [["retriever", "category", *metrics]]
+    for name, r in ranked:
         csv_lines.append(
             f"{name},{r['category']}," + ",".join(f"{r['metrics'][m]:.6f}" for m in metrics)
         )
+        xlsx_rows.append(
+            [name, r["category"], *[round(r["metrics"][m], 6) for m in metrics]]
+        )
     (out_dir / f"ranker_eval_{dataset}.csv").write_text("\n".join(csv_lines) + "\n")
+    from qpp_fusion_rag_tpu.utils.xlsx import write_xlsx
+
+    write_xlsx(out_dir / f"ranker_eval_{dataset}.xlsx", {"results": xlsx_rows})
 
     fig = bar_comparison(
         {n: r["metrics"][main_metric] for n, r in results.items()},

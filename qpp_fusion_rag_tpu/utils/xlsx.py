@@ -1,0 +1,105 @@
+"""Minimal dependency-free .xlsx writer (stdlib zipfile + XML).
+
+The reference's stage 09 emits an Excel report via pandas/openpyxl
+(reference scripts/09_eval_rankers.py:585, generate_excel_report);
+neither library ships in this environment, and an .xlsx file is just a
+zip of OOXML parts — so this module writes the workbook directly:
+one or more sheets of rows, strings as inline strings, numbers as
+numeric cells. Readable by Excel/LibreOffice/pandas.
+"""
+
+from __future__ import annotations
+
+import zipfile
+from numbers import Number
+from pathlib import Path
+from typing import Dict, Iterable, List, Sequence
+from xml.sax.saxutils import escape
+
+_CONTENT_TYPES = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+<Default Extension="xml" ContentType="application/xml"/>
+<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+{sheets}</Types>"""
+
+_SHEET_CT = ('<Override PartName="/xl/worksheets/sheet{i}.xml" ContentType='
+             '"application/vnd.openxmlformats-officedocument.spreadsheetml.'
+             'worksheet+xml"/>')
+
+_ROOT_RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+</Relationships>"""
+
+_WB_RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+{rels}</Relationships>"""
+
+_WB = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+<sheets>{sheets}</sheets></workbook>"""
+
+
+def _col_name(idx: int) -> str:
+    """0-based column index -> A, B, ..., Z, AA, ..."""
+    name = ""
+    idx += 1
+    while idx:
+        idx, rem = divmod(idx - 1, 26)
+        name = chr(ord("A") + rem) + name
+    return name
+
+
+def _cell_xml(ref: str, value) -> str:
+    if value is None:
+        return ""
+    if isinstance(value, bool):
+        return f'<c r="{ref}" t="b"><v>{int(value)}</v></c>'
+    if isinstance(value, Number):
+        return f'<c r="{ref}"><v>{value!r}</v></c>'
+    text = escape(str(value))
+    return f'<c r="{ref}" t="inlineStr"><is><t>{text}</t></is></c>'
+
+
+def _sheet_xml(rows: Iterable[Sequence]) -> str:
+    parts: List[str] = [
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>',
+        '<worksheet xmlns="http://schemas.openxmlformats.org/'
+        'spreadsheetml/2006/main"><sheetData>',
+    ]
+    for ri, row in enumerate(rows, start=1):
+        cells = "".join(
+            _cell_xml(f"{_col_name(ci)}{ri}", v) for ci, v in enumerate(row)
+        )
+        parts.append(f'<row r="{ri}">{cells}</row>')
+    parts.append("</sheetData></worksheet>")
+    return "".join(parts)
+
+
+def write_xlsx(path, sheets: Dict[str, Iterable[Sequence]]) -> Path:
+    """Write {sheet name: rows} to an .xlsx file; returns the path.
+
+    Rows are sequences of cells — numbers become numeric cells, anything
+    else becomes an inline string, None leaves the cell blank.
+    """
+    path = Path(path)
+    names = list(sheets)
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", _CONTENT_TYPES.format(
+            sheets="".join(_SHEET_CT.format(i=i + 1) for i in range(len(names)))
+        ))
+        z.writestr("_rels/.rels", _ROOT_RELS)
+        z.writestr("xl/_rels/workbook.xml.rels", _WB_RELS.format(rels="".join(
+            f'<Relationship Id="rId{i + 1}" Type="http://schemas.openxml'
+            f'formats.org/officeDocument/2006/relationships/worksheet" '
+            f'Target="worksheets/sheet{i + 1}.xml"/>'
+            for i in range(len(names))
+        )))
+        z.writestr("xl/workbook.xml", _WB.format(sheets="".join(
+            f'<sheet name="{escape(n[:31])}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+            for i, n in enumerate(names)
+        )))
+        for i, n in enumerate(names):
+            z.writestr(f"xl/worksheets/sheet{i + 1}.xml", _sheet_xml(sheets[n]))
+    return path
