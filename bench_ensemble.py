@@ -59,10 +59,14 @@ def main() -> None:
     corpus_rows = jnp.transpose(c_int)
     jax.block_until_ready(corpus_rows)
 
+    from qpp_fusion_rag_tpu.ops.sparse import pack_postings
+
+    bp, bscale = pack_postings(bd, bw, bo)
+    sp, sscale = pack_postings(sd, sw, so)
     idx = EnsembleIndexes(
-        bm25_docs=jnp.asarray(bd), bm25_weights=jnp.asarray(bw),
+        bm25_packed=jnp.asarray(bp), bm25_scales=jnp.asarray(bscale),
         bm25_offsets=jnp.asarray(bo.astype(np.int32)),
-        splade_docs=jnp.asarray(sd), splade_weights=jnp.asarray(sw),
+        splade_packed=jnp.asarray(sp), splade_scales=jnp.asarray(sscale),
         splade_offsets=jnp.asarray(so.astype(np.int32)),
         corpus_int=c_int, corpus_rows=corpus_rows,
         d_scale=d_scale.reshape(1, n_docs),

@@ -29,17 +29,21 @@ import jax
 import jax.numpy as jnp
 
 from qpp_fusion_rag_tpu.ops import fusion as F
-from qpp_fusion_rag_tpu.ops.sparse import sparse_score_topk
+from qpp_fusion_rag_tpu.ops.sparse import sparse_score_topk_packed
 from qpp_fusion_rag_tpu.pipeline.engine import qpp_from_runs, weight_and_fuse
 
 
 class EnsembleIndexes(NamedTuple):
-    """Device arrays for the 5-view ensemble (shared doc-id space 0..N)."""
-    bm25_docs: jnp.ndarray       # [P1] int32
-    bm25_weights: jnp.ndarray    # [P1] f32
+    """Device arrays for the 5-view ensemble (shared doc-id space 0..N).
+
+    Sparse views store PACKED postings — (doc << 8 | uint8 impact) int32,
+    ops.sparse.pack_postings — halving the window-gather HBM traffic that
+    dominates sparse cost at p_cap >= 2048."""
+    bm25_packed: jnp.ndarray     # [P1] int32
+    bm25_scales: jnp.ndarray     # [T1] f32
     bm25_offsets: jnp.ndarray    # [T1+1] int32
-    splade_docs: jnp.ndarray     # [P2] int32
-    splade_weights: jnp.ndarray  # [P2] f32
+    splade_packed: jnp.ndarray   # [P2] int32
+    splade_scales: jnp.ndarray   # [T2] f32
     splade_offsets: jnp.ndarray  # [T2+1] int32
     corpus_int: jnp.ndarray      # [D, N] int8 (dense kernel layout)
     corpus_rows: jnp.ndarray     # [N, D] int8 (rerank gather layout)
@@ -87,12 +91,12 @@ def ensemble_retrieval_step(
     -> (fused_ids [B, k_out], fused_scores [B, k_out], qpp [5, B, 13])."""
     from qpp_fusion_rag_tpu.ops.pallas.dense_topk import pallas_dense_topk_int8
 
-    bm25_s, bm25_i = sparse_score_topk(
-        idx.bm25_docs, idx.bm25_weights, idx.bm25_offsets,
+    bm25_s, bm25_i = sparse_score_topk_packed(
+        idx.bm25_packed, idx.bm25_offsets, idx.bm25_scales,
         bm25_terms, bm25_qw, k=k, p_cap=p_cap, exact_topk=False,
     )
-    splade_s, splade_i = sparse_score_topk(
-        idx.splade_docs, idx.splade_weights, idx.splade_offsets,
+    splade_s, splade_i = sparse_score_topk_packed(
+        idx.splade_packed, idx.splade_offsets, idx.splade_scales,
         splade_terms, splade_qw, k=k, p_cap=p_cap, exact_topk=False,
     )
     dense_s, dense_i = pallas_dense_topk_int8(

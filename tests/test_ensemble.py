@@ -24,15 +24,19 @@ def test_ensemble_step_end_to_end(rng):
         ensemble_retrieval_step,
     )
 
+    from qpp_fusion_rag_tpu.ops.sparse import pack_postings
+
     N, D, B, K = 2048, 32, 4, 16
     bo, bd, bw = _csr(rng, N, n_terms=50, df=30)
     so, sd, sw = _csr(rng, N, n_terms=64, df=20)
+    bp, bs = pack_postings(bd, bw, bo)
+    sp, ss = pack_postings(sd, sw, so)
     corpus = rng.standard_normal((N, D)).astype(np.float32)
     c_int, d_scale = quantize_rows(jnp.asarray(corpus.T), axis=0)
     idx = EnsembleIndexes(
-        bm25_docs=jnp.asarray(bd), bm25_weights=jnp.asarray(bw),
+        bm25_packed=jnp.asarray(bp), bm25_scales=jnp.asarray(bs),
         bm25_offsets=jnp.asarray(bo),
-        splade_docs=jnp.asarray(sd), splade_weights=jnp.asarray(sw),
+        splade_packed=jnp.asarray(sp), splade_scales=jnp.asarray(ss),
         splade_offsets=jnp.asarray(so),
         corpus_int=c_int,
         corpus_rows=jnp.asarray(np.asarray(c_int).T),

@@ -226,3 +226,55 @@ def test_sparse_index_postings_overflow_guard():
             docs=np.zeros(1, np.int32), weights=np.zeros(1, np.float32),
             doc_lens=np.zeros(1, np.int32), docnos=["d0"], vocab_dump="t\n",
         )
+
+
+def test_packed_postings_match_unpacked(rng):
+    """Packed (doc<<8 | uint8) scoring matches the f32 path within the
+    8-bit impact quantization tolerance."""
+    from qpp_fusion_rag_tpu.ops.sparse import (
+        pack_postings,
+        sparse_score_topk,
+        sparse_score_topk_packed,
+    )
+
+    T, n_docs, df = 40, 300, 25
+    terms = np.repeat(np.arange(T), df)
+    docs = np.concatenate(
+        [rng.choice(n_docs, df, replace=False) for _ in range(T)]
+    ).astype(np.int32)
+    w = rng.uniform(0.2, 4.0, T * df).astype(np.float32)
+    order = np.lexsort((-w, terms))
+    docs, w = docs[order], w[order]
+    offsets = np.zeros(T + 1, np.int64)
+    np.cumsum(np.bincount(terms, minlength=T), out=offsets[1:])
+
+    B = 6
+    q_terms = rng.integers(0, T, (B, 5)).astype(np.int32)
+    q_terms[0, -1] = -1
+    q_weights = rng.uniform(0.5, 1.5, (B, 5)).astype(np.float32)
+
+    ref_s, ref_i = sparse_score_topk(
+        docs, w, offsets.astype(np.int32), q_terms, q_weights, k=20, p_cap=df
+    )
+    packed, scales = pack_postings(docs, w, offsets)
+    got_s, got_i = sparse_score_topk_packed(
+        packed, offsets.astype(np.int32), scales, q_terms, q_weights,
+        k=20, p_cap=df,
+    )
+    ref_s, got_s = np.asarray(ref_s), np.asarray(got_s)
+    ref_i, got_i = np.asarray(ref_i), np.asarray(got_i)
+    # top-20 sets overlap almost fully; scores within quantization error
+    for i in range(B):
+        ov = len(set(ref_i[i]) & set(got_i[i])) / 20
+        assert ov >= 0.9, (i, ov)
+    valid = (ref_i >= 0) & (got_i == ref_i)
+    rel = np.abs(got_s[valid] - ref_s[valid]) / np.maximum(ref_s[valid], 1e-6)
+    assert np.median(rel) < 0.01
+
+
+def test_pack_postings_doc_id_range_guard():
+    from qpp_fusion_rag_tpu.ops.sparse import pack_postings
+
+    docs = np.array([1 << 23], dtype=np.int64)
+    with pytest.raises(ValueError, match="2\\^23"):
+        pack_postings(docs, np.ones(1, np.float32), np.array([0, 1]))
