@@ -221,6 +221,134 @@ def group_max_packed_int8(
     return jnp.moveaxis(vals, 0, 1).reshape(Mp, N // GROUP)[:M]
 
 
+def _make_packed_kernel_int8_global(n_real: int):
+    """int8 kernel with a GLOBAL dequant scale: the whole reduction stays
+    in int32. The 7-bit lane packs into the low bits of the shifted score
+    (score*128 + lane — monotone in score, lane as tie-break), then ONE
+    integer max reduces each 128-doc group. VPU cost per element drops
+    from convert+mul+iota-and+pack-or+max (f32 path) to shift+or+max.
+
+    Valid when corpus vectors share one scale — the natural case for
+    L2-NORMALIZED embeddings (BGE/TCT/e5 all unit-norm), where per-doc
+    maxima are within ~2x of each other anyway. |i32 dot| < 768*127^2
+    ≈ 1.24e7 < 2^24, so the <<7 shift cannot overflow int32."""
+
+    def _kernel(q_ref, c_ref, vals_ref):
+        scores = jax.lax.dot_general(
+            q_ref[:], c_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        TM, TN = scores.shape
+        j = pl.program_id(0)
+        if n_real:
+            # pad sentinel -(1<<24): below any real score (|dot| < 1.24e7
+            # < 2^24) and shifts to exactly INT_MIN without wrapping.
+            col = j * TN + jax.lax.broadcasted_iota(jnp.int32, (TM, TN), 1)
+            scores = jnp.where(col < n_real, scores, jnp.int32(-(1 << 24)))
+        lane = jax.lax.broadcasted_iota(jnp.int32, (TM, TN), 1) & jnp.int32(0x7F)
+        packed = (scores << 7) | lane
+        g = TN // GROUP
+        vals_ref[0] = jnp.max(packed.reshape(TM, g, GROUP), axis=-1)
+
+    return _kernel
+
+
+@partial(jax.jit, static_argnames=("tm", "tn", "n_real"))
+def group_max_packed_int8_global(
+    q_int: jnp.ndarray,      # [M, D] int8
+    corpus_int: jnp.ndarray, # [D, N] int8 (ONE global scale)
+    tm: int = 512,
+    tn: int = 4096,
+    n_real: int = 0,
+) -> jnp.ndarray:
+    """-> packed int32 group maxima [M, N/GROUP]: (i32score << 7) | lane."""
+    M, D = q_int.shape
+    N = corpus_int.shape[1]
+    assert N % tn == 0 and tn % GROUP == 0, (N, tn)
+    pad_m = (-M) % tm
+    if pad_m:
+        q_int = jnp.pad(q_int, ((0, pad_m), (0, 0)))
+    Mp = q_int.shape[0]
+    grid = (N // tn, Mp // tm)
+    g_out = tn // GROUP
+    n_tiles = N // tn
+    vals = pl.pallas_call(
+        _make_packed_kernel_int8_global(0 if n_real == N else n_real),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, D), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, tn), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tm, g_out), lambda j, i: (j, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, Mp, g_out), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * N * D,
+            bytes_accessed=Mp * D + N * D + Mp * (N // GROUP) * 4,
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(q_int, corpus_int)
+    return jnp.moveaxis(vals, 0, 1).reshape(Mp, N // GROUP)[:M]
+
+
+def quantize_global(x: jnp.ndarray):
+    """Symmetric GLOBAL int8 quantization -> (int8 values, f32 scalar scale).
+    The right scheme for L2-normalized embedding matrices."""
+    amax = jnp.max(jnp.abs(x))
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+@partial(jax.jit, static_argnames=("k", "tm", "tn", "exact_merge"))
+def pallas_dense_topk_int8_global(
+    queries: jnp.ndarray,     # [B, D] f32
+    corpus_int: jnp.ndarray,  # [D, N] int8, one global scale
+    corpus_scale: jnp.ndarray,  # scalar f32
+    k: int = 100,
+    tm: int = 512,
+    tn: int = 4096,
+    exact_merge: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Global-scale int8 fused top-k: all-integer kernel reduction, scales
+    applied to the k winners only. -> (scores [B, k], ids [B, k])."""
+    q_int, q_scale = quantize_rows(queries.astype(jnp.float32))
+    n = corpus_int.shape[1]
+    pad_n = (-n) % tn
+    if pad_n:
+        corpus_int = jnp.pad(corpus_int, ((0, 0), (0, pad_n)))
+    vals = group_max_packed_int8_global(q_int, corpus_int, tm=tm, tn=tn,
+                                        n_real=n if pad_n else 0)
+    kk = min(k, vals.shape[-1])
+    if exact_merge or vals.shape[-1] <= max(kk * 4, 256):
+        tv, tx = jax.lax.top_k(vals, kk)
+    else:
+        # approx_max_k needs f32; int32 order is preserved under the
+        # int->f32 convert for |v| < 2^24... packed magnitudes reach 2^31,
+        # so convert via f64-free trick: split high bits into the f32.
+        # Simpler + exact: top_k on int32 is supported but slow on wide
+        # rows; use approx on a monotone f32 image (v * 2^-8 keeps order
+        # to 2^-24 granularity of distinct packed ints spaced >= 1).
+        fv = vals.astype(jnp.float32)
+        tvf, tx = jax.lax.approx_max_k(fv, kk, recall_target=0.95)
+        tv = jnp.take_along_axis(vals, tx, axis=-1)
+    score_i = jax.lax.shift_right_arithmetic(tv, 7)
+    lane = tv & jnp.int32(0x7F)
+    top_ids = tx.astype(jnp.int32) * GROUP + lane
+    top_vals = score_i.astype(jnp.float32) * (q_scale * corpus_scale)
+    # pad sentinel unpacks to -(1<<24); real scores stay above -1.3e7
+    valid = score_i > -(15 << 20)
+    top_vals = jnp.where(valid, top_vals, -jnp.inf)
+    if kk < k:
+        pad = ((0, 0), (0, k - kk))
+        top_vals = jnp.pad(top_vals, pad, constant_values=-jnp.inf)
+        top_ids = jnp.pad(top_ids, pad, constant_values=-1)
+    top_ids = jnp.where(jnp.isfinite(top_vals), top_ids, -1)
+    return top_vals, top_ids
+
+
 def quantize_rows(x: jnp.ndarray, axis: int = -1):
     """Symmetric per-row int8 quantization -> (int8 values, f32 scales).
 

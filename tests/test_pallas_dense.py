@@ -179,3 +179,46 @@ def test_int8_multi_view_shapes_and_top1():
     for r in range(R):
         s = qv[r] @ c.T
         np.testing.assert_array_equal(np.asarray(ids)[r, :, 0], np.argmax(s, axis=-1))
+
+
+def test_int8_global_topk_matches_exact():
+    from qpp_fusion_rag_tpu.ops.pallas.dense_topk import (
+        pallas_dense_topk_int8_global,
+        quantize_global,
+    )
+
+    rng = np.random.default_rng(21)
+    q = rng.standard_normal((8, 64)).astype(np.float32)
+    # unit-norm corpus: the global-scale regime
+    c = rng.standard_normal((16384, 64)).astype(np.float32)
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    c_int, scale = quantize_global(jnp.asarray(c.T))
+    vals, ids = pallas_dense_topk_int8_global(
+        jnp.asarray(q), c_int, scale, k=10, tm=8, tn=2048, exact_merge=True,
+    )
+    s = q @ c.T
+    exact = np.argsort(-s, axis=-1)[:, :10]
+    got = np.asarray(ids)
+    rec = np.mean([len(set(got[i]) & set(exact[i])) / 10 for i in range(len(q))])
+    assert rec >= 0.8, rec
+    true_at = np.take_along_axis(s, got, axis=-1)
+    rel = np.abs(np.asarray(vals) - true_at) / np.maximum(np.abs(true_at), 1e-3)
+    assert np.median(rel) < 2e-2, np.median(rel)
+
+
+def test_int8_global_topk_padding():
+    from qpp_fusion_rag_tpu.ops.pallas.dense_topk import (
+        pallas_dense_topk_int8_global,
+        quantize_global,
+    )
+
+    rng = np.random.default_rng(23)
+    q = rng.standard_normal((8, 64)).astype(np.float32)
+    c = rng.standard_normal((1000, 64)).astype(np.float32)
+    c_int, scale = quantize_global(jnp.asarray(c.T))
+    vals, ids = pallas_dense_topk_int8_global(
+        jnp.asarray(q), c_int, scale, k=5, tm=8, tn=256, exact_merge=True,
+    )
+    assert np.asarray(ids).max() < 1000
+    s = q @ c.T
+    np.testing.assert_array_equal(np.asarray(ids)[:, 0], np.argmax(s, axis=-1))
