@@ -137,20 +137,21 @@ def learned_fused_retrieval_step(
     mlp_params,
     q_emb: jnp.ndarray,       # [B, D]
     view_proj: jnp.ndarray,   # [R, D, Dv]
-    corpus: jnp.ndarray,      # [N, Dv] ([Dv, N] when corpus_transposed)
+    corpus: jnp.ndarray,      # [N, Dv] ([Dv, N] when corpus_transposed/int8)
     text_feats: jnp.ndarray,  # [B, 4]
     k: int = 100,
     chunk: int = 16384,
     k_out: int = 100,
     use_pallas: bool = False,
     corpus_transposed: bool = False,
+    corpus_scale: jnp.ndarray = None,   # [1, N] f32 -> int8 quantized path
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Learned-fusion forward: retrieval → QPP features → MLP softmax
     weights → weighted CombSUM, one compiled program (serving-path analogue
     of reference learned_fusion, src/fusion.py:387-448)."""
     _vals, ids, qpp, norm = _retrieve_qpp_norm(
         q_emb, view_proj, corpus, text_feats, k, chunk, use_pallas,
-        corpus_transposed=corpus_transposed,
+        corpus_transposed=corpus_transposed, corpus_scale=corpus_scale,
     )
     R, B, M = qpp.shape
     feats = jnp.transpose(qpp, (1, 0, 2)).reshape(B, R * M)

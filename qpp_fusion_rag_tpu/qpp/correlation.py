@@ -116,6 +116,52 @@ def quantized_class_accuracy(pred, true, n_classes: int = 4) -> float:
     return float(np.mean(bucket(pred) == bucket(true)))
 
 
+def _quantize_unit(x: np.ndarray, n_intervals: int) -> np.ndarray:
+    """Min-max normalize to [0, 1] and quantize into n intervals
+    (reference QuantizedSimCorrelation.quantizeInUnitInterval)."""
+    x = np.asarray(x, np.float64)
+    lo, hi = x.min(), x.max()
+    unit = (x - lo) / (hi - lo) if hi > lo else np.zeros_like(x)
+    return (unit / (1.0 / n_intervals)).astype(int)
+
+
+def quantized_sim(pred, true, n_intervals: int = 5) -> float:
+    """1 − normalized L1 distance of the quantized unit-interval bins
+    (reference QuantizedSimCorrelation.correlation, 'qsim')."""
+    pred, true = np.asarray(pred), np.asarray(true)
+    if len(pred) == 0:
+        return 0.0
+    qa = _quantize_unit(pred, n_intervals)
+    qb = _quantize_unit(true, n_intervals)
+    max_dist = n_intervals * len(qa)
+    return float(1.0 - np.abs(qa - qb).sum() / max_dist)
+
+
+def quantized_strict_match(pred, true, n_intervals: int = 5) -> float:
+    """Fraction of positions whose quantized bins match exactly
+    (reference QuantizedStrictMatchCorrelation, 'qsim_strict')."""
+    pred, true = np.asarray(pred), np.asarray(true)
+    if len(pred) == 0:
+        return 0.0
+    return float(np.mean(
+        _quantize_unit(pred, n_intervals) == _quantize_unit(true, n_intervals)
+    ))
+
+
+def ndcg_correlation(pred, true, exp_scaling: bool = True) -> float:
+    """NDCG of the predictor-induced ordering with the true values as
+    gains (reference NDCGCorrelation.computeNDCG)."""
+    pred = np.asarray(pred, np.float64)
+    true = np.asarray(true, np.float64)
+    if len(pred) == 0:
+        return 0.0
+    gain = (np.power(2.0, true) - 1.0) if exp_scaling else true
+    disc = 1.0 / np.log2(np.arange(2, len(pred) + 2))
+    dcg = float(gain[np.argsort(-pred, kind="stable")] @ disc)
+    idcg = float(gain[np.argsort(-true, kind="stable")] @ disc)
+    return dcg / idcg if idcg != 0 else 0.0
+
+
 # =============================================================================
 # Ranked-list overlap primitives (reference OverlapStats)
 # =============================================================================
@@ -161,6 +207,9 @@ CORRELATION_METRICS = {
     "pairwise_accuracy": pairwise_accuracy,
     "smare": smare,
     "quantized_accuracy": quantized_class_accuracy,
+    "qsim": quantized_sim,
+    "qsim_strict": quantized_strict_match,
+    "ndcg": ndcg_correlation,
 }
 
 

@@ -70,7 +70,10 @@ class SettingsRegistry:
         self.props = dict(props or {})
         n_int = int(self.props.get("qsim.numintervals", "5"))
         self._corr = dict(self.CORRELATIONS)
-        self._corr["qsim"] = partial(C.quantized_class_accuracy, n_classes=n_int)
+        self._corr["qsim"] = partial(C.quantized_sim, n_intervals=n_int)
+        self._corr["qsim_strict"] = partial(
+            C.quantized_strict_match, n_intervals=n_int)
+        self._corr["ndcg"] = C.ndcg_correlation
 
     @classmethod
     def from_properties(cls, path) -> "SettingsRegistry":

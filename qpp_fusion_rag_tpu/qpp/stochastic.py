@@ -136,3 +136,37 @@ def stochastic_qpp_evaluation(
             for m, v in per_method.items()
         }
     return out
+
+
+def attribute_swap_permutations(
+    doc_ids: np.ndarray,        # [K] one query's ranked docs
+    attr_mask: np.ndarray,      # [K] bool — protected-attribute group A at rank k
+    known_mask: Optional[np.ndarray] = None,   # [K] bool — attribute known
+    max_perms: Optional[int] = None,
+) -> np.ndarray:
+    """AttributeValueBasedSwapper (reference stochastic_qpp/
+    AttributeValueBasedSwapper.java:21-53): one permutation per
+    (group-A, group-B) position pair where the group-A doc ranks BELOW
+    the group-B doc, each permutation swapping exactly that pair; the
+    identity permutation comes first. Docs with unknown attribute are
+    skipped (the reference's null metadata check).
+
+    -> [n_perms, K] permuted doc-id rows (row 0 = identity).
+    """
+    doc_ids = np.asarray(doc_ids)
+    attr_mask = np.asarray(attr_mask, dtype=bool)
+    known = (np.asarray(known_mask, dtype=bool)
+             if known_mask is not None else np.ones_like(attr_mask))
+    valid = known & (doc_ids >= 0)
+    a_pos = np.flatnonzero(valid & attr_mask)
+    b_pos = np.flatnonzero(valid & ~attr_mask)
+    perms = [doc_ids.copy()]
+    for ra in a_pos:
+        for rb in b_pos:
+            if ra > rb:
+                row = doc_ids.copy()
+                row[ra], row[rb] = row[rb], row[ra]
+                perms.append(row)
+                if max_perms and len(perms) > max_perms:
+                    return np.stack(perms[: max_perms + 1])
+    return np.stack(perms)

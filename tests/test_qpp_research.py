@@ -323,3 +323,51 @@ def test_init_distributed_raises_on_cluster_env(monkeypatch):
         multihost.init_distributed()
     monkeypatch.delenv("JAX_COORDINATOR_ADDRESS")
     multihost.init_distributed()   # no markers -> benign
+
+
+def test_attribute_swap_permutations():
+    from qpp_fusion_rag_tpu.qpp.stochastic import attribute_swap_permutations
+
+    docs = np.array([10, 11, 12, 13])
+    attr = np.array([False, True, False, True])   # group A at ranks 1, 3
+    perms = attribute_swap_permutations(docs, attr)
+    # identity first
+    np.testing.assert_array_equal(perms[0], docs)
+    # pairs with A below B: (1>0), (3>0), (3>2) -> 3 swaps
+    assert perms.shape == (4, 4)
+    as_sets = {tuple(p) for p in perms}
+    assert (11, 10, 12, 13) in as_sets
+    assert (13, 11, 12, 10) in as_sets
+    assert (10, 11, 13, 12) in as_sets
+    # unknown-attribute docs are skipped
+    known = np.array([True, True, True, False])
+    perms2 = attribute_swap_permutations(docs, attr, known_mask=known)
+    assert perms2.shape == (2, 4)
+
+
+def test_quantized_sim_and_strict_and_ndcg_correlation():
+    from qpp_fusion_rag_tpu.qpp.correlation import (
+        ndcg_correlation,
+        quantized_sim,
+        quantized_strict_match,
+    )
+
+    a = np.array([0.0, 0.25, 0.5, 0.75, 1.0])
+    assert quantized_sim(a, a) == pytest.approx(1.0)
+    assert quantized_strict_match(a, a) == pytest.approx(1.0)
+    b = a[::-1].copy()
+    # reversed: bins (0..5 after minmax) maximally disagree except center
+    assert quantized_sim(a, b) < 0.6
+    assert quantized_strict_match(a, b) == pytest.approx(1 / 5)
+
+    # ndcg correlation: perfect ordering -> 1; mild swap -> < 1 but > 0
+    true = np.array([3.0, 2.0, 1.0, 0.0])
+    assert ndcg_correlation(true, true) == pytest.approx(1.0)
+    pred = np.array([2.0, 3.0, 1.0, 0.0])
+    v = ndcg_correlation(pred, true)
+    assert 0.8 < v < 1.0
+    # reference closed form for the swapped case (exp scaling)
+    disc = 1.0 / np.log2(np.arange(2, 6))
+    gains = 2.0 ** true - 1
+    dcg = gains[[1, 0, 2, 3]] @ disc
+    assert v == pytest.approx(dcg / (gains @ disc))
