@@ -262,3 +262,59 @@ def test_state_dict_strict_accounting_and_naming_drift(batch):
     got_tied = np.asarray(mlm_logits(params, cfg, h))
     # the decoder delta must flow through to the logits
     assert np.abs(got_untied - got_tied).max() > 1e-3
+
+
+def test_checkpoint_dir_round_trip(tmp_path, batch):
+    """save_pretrained -> load_hf_bert(dir): the exact on-disk path a user
+    with a real downloaded checkpoint hits (safetensors + config.json).
+    Proves load_hf_bert / AutoModel.from_pretrained / key mapping work from
+    files, not just from an in-memory state_dict.
+    (Reference load path: src/retrievers/bge.py:31-84.)"""
+    import jax.numpy as jnp
+
+    from qpp_fusion_rag_tpu.encoders.bert import load_hf_bert
+
+    ids, mask = batch
+    torch.manual_seed(6)
+    src = transformers.BertModel(_hf_config()).eval()
+    ckpt = tmp_path / "tiny-bge"
+    src.save_pretrained(str(ckpt))
+    assert (ckpt / "config.json").exists()
+    # transformers >=4.35 writes safetensors by default; accept either format
+    assert (ckpt / "model.safetensors").exists() or (
+        ckpt / "pytorch_model.bin"
+    ).exists()
+
+    params, cfg = load_hf_bert(str(ckpt))
+    with torch.no_grad():
+        ref = src(
+            input_ids=torch.tensor(ids.astype(np.int64)),
+            attention_mask=torch.tensor(mask.astype(np.int64)),
+        ).last_hidden_state.numpy()
+    out = np.asarray(bert_encode(params, cfg, jnp.asarray(ids), jnp.asarray(mask)))
+    m = mask.astype(bool)
+    np.testing.assert_allclose(out[m], ref[m], rtol=2e-4, atol=2e-5)
+
+
+def test_checkpoint_dir_round_trip_mlm(tmp_path, batch):
+    """Same disk round-trip for the MLM (SPLADE) head, including the tied
+    decoder that real SPLADE checkpoints ship."""
+    from qpp_fusion_rag_tpu.encoders.bert import load_hf_bert
+
+    ids, mask = batch
+    torch.manual_seed(7)
+    src = transformers.BertForMaskedLM(_hf_config()).eval()
+    ckpt = tmp_path / "tiny-splade"
+    src.save_pretrained(str(ckpt))
+
+    params, cfg = load_hf_bert(str(ckpt), with_mlm=True)
+    with torch.no_grad():
+        ref = src(
+            input_ids=torch.tensor(ids.astype(np.int64)),
+            attention_mask=torch.tensor(mask.astype(np.int64)),
+        ).logits.numpy()
+    enc = SpladeEncoder(params, cfg)
+    acts = np.log1p(np.maximum(ref, 0.0)) * mask[..., None]
+    np.testing.assert_allclose(
+        enc.impacts_ids(ids, mask), acts.max(axis=1), rtol=2e-4, atol=2e-5
+    )
