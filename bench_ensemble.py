@@ -77,10 +77,15 @@ def main() -> None:
     proj = jax.random.normal(k3, (2, DIM, DIM), jnp.float32) * 0.05
     tf = jnp.tile(jnp.asarray([6.0, 6.0, 9.0, 5.0], jnp.float32), (batch, 1))
 
+    # argv[1] (optional): sparse_candidates — 0 = segmented-sort sparse
+    # kernel (default), >0 = sort-free rescore pool of candidates*k
+    sparse_candidates = int(sys.argv[1]) if len(sys.argv) > 1 else 0
+
     def step():
         return ensemble_retrieval_step(
             idx, bm25_t, bm25_w, splade_t, splade_w, q_emb, proj, tf,
             k=TOP_K, k_out=TOP_K, p_cap=p_cap,
+            sparse_candidates=sparse_candidates,
         )
 
     t0 = time.perf_counter()
@@ -104,6 +109,7 @@ def main() -> None:
                  f"retrieve+qpp+fuse, {n_docs/1e6:.2f}M docs)"),
         "ms_per_batch": round(dt * 1e3, 1),
         "batch": batch, "p_cap": p_cap,
+        "sparse_candidates": sparse_candidates,
         "device": jax.devices()[0].device_kind,
     }
     print(f"[ensemble] {dt*1e3:.1f} ms/batch -> {qps:.0f} q/s", file=sys.stderr)

@@ -38,14 +38,28 @@ def segmented_topk(
     the fusion kernel's M<=512. Exact-parity scoring at M in the millions
     should chunk p_cap or use float64 on CPU.
     """
-    M = ids.shape[0]
     sids, svals = jax.lax.sort((ids, vals), dimension=-1, num_keys=1)
+    return segmented_topk_presorted(
+        sids, svals, k, count_bonus=count_bonus, exact_topk=exact_topk)
+
+
+def segmented_topk_presorted(
+    sids: jnp.ndarray,   # [M] int32 doc ids, ASCENDING (SENTINEL = invalid)
+    svals: jnp.ndarray,  # [M] f32 contributions aligned with sids
+    k: int,
+    count_bonus: bool = False,
+    exact_topk: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """segmented_topk for inputs already sorted by id — the scan + top-k
+    tail without the pair sort. Lets callers sort a cheaper key (e.g. one
+    packed int32, ops.sparse quantized-sort path) and reuse the reduce."""
+    M = sids.shape[0]
     svalid = sids != SENTINEL
     last = jnp.concatenate([sids[1:] != sids[:-1], jnp.ones((1,), bool)])
 
     # shift values non-negative so the per-run cumsums are monotone and the
     # "previous run's last cumsum" reduces to a masked running maximum
-    vmin = jnp.minimum(jnp.min(vals), 0.0)
+    vmin = jnp.minimum(jnp.min(svals), 0.0)
     sv = jnp.where(svalid, svals - vmin, 0.0)
     c = jnp.cumsum(sv)
     cnt = jnp.cumsum(svalid.astype(jnp.float32))

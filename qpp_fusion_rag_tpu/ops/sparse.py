@@ -27,7 +27,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from qpp_fusion_rag_tpu.ops.segment import SENTINEL, segmented_topk
+from qpp_fusion_rag_tpu.ops.segment import (
+    SENTINEL,
+    segmented_topk,
+    segmented_topk_presorted,
+)
 
 
 def _gather_windows(flat_docs, flat_weights, starts, lens, cap):
@@ -123,8 +127,10 @@ def pack_postings(
     flat_docs = np.asarray(flat_docs)
     flat_weights = np.asarray(flat_weights, dtype=np.float32)
     offsets = np.asarray(offsets, dtype=np.int64)
-    if len(flat_docs) and int(flat_docs.max()) >= (1 << 23):
-        raise ValueError("packed postings need doc ids < 2^23; shard the corpus")
+    # strict bound 2^23 - 1: id 0x7FFFFF is the quantized-sort path's
+    # unpacked-sentinel value (sparse_score_topk_q8)
+    if len(flat_docs) and int(flat_docs.max()) >= (1 << 23) - 1:
+        raise ValueError("packed postings need doc ids < 2^23 - 1; shard the corpus")
     T = len(offsets) - 1
     counts = np.diff(offsets)
     maxima = np.zeros(T, dtype=np.float32)
@@ -221,8 +227,18 @@ def sparse_rescore_topk(
 
     B = q_terms.shape[0]
     M = docs.shape[1] * docs.shape[2]
-    docs = docs.reshape(B, M)
-    vals = jnp.where(docs == SENTINEL, -jnp.inf, vals.reshape(B, M))
+    return _rescore_pool(docs.reshape(B, M), vals.reshape(B, M), k, candidates)
+
+
+def _rescore_pool(
+    docs: jnp.ndarray,   # [B, M] int32 (SENTINEL invalid)
+    vals: jnp.ndarray,   # [B, M] f32 contributions (any value at invalid)
+    k: int,
+    candidates: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Shared pool-select + exact-rescore tail of the sort-free scorers."""
+    B, M = docs.shape
+    vals = jnp.where(docs == SENTINEL, -jnp.inf, vals)
 
     pool = min(candidates * k, M)
     if M <= max(4 * pool, 256):
@@ -250,3 +266,119 @@ def sparse_rescore_topk(
         jnp.where(ok, top_vals, -jnp.inf),
         jnp.where(ok, top_ids, -1),
     )
+
+@partial(jax.jit, static_argnames=("k", "p_cap", "candidates"))
+def sparse_rescore_topk_packed(
+    packed: jnp.ndarray,        # [P] int32 (doc << 8 | uint8 impact)
+    offsets: jnp.ndarray,       # [T+1] int32
+    term_scales: jnp.ndarray,   # [T] f32 per-term dequant scales
+    q_terms: jnp.ndarray,       # [B, Tq] int32 (-1 pad)
+    q_weights: jnp.ndarray,     # [B, Tq] f32
+    k: int = 100,
+    p_cap: int = 1024,
+    candidates: int = 4,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Packed-posting variant of sparse_rescore_topk: the sort-free
+    pool-select + exact-rescore formulation over (doc << 8 | impact)
+    int32 postings. Combines both measured wins — packed gathers halve
+    HBM window traffic, and dropping the per-query id sort removes the
+    dominant compute cost of sparse_score_topk_packed. Same output
+    contract: (scores [B, k] desc, ids [B, k], -1 padded)."""
+    tq_valid = q_terms >= 0
+    terms = jnp.where(tq_valid, q_terms, 0)
+    starts = offsets[terms]
+    lens = offsets[terms + 1] - starts
+    lens = jnp.where(tq_valid, lens, 0)
+    qw = q_weights * term_scales[terms]
+
+    P_total = packed.shape[0]
+    cap = min(p_cap, P_total)
+    s_clamped = jnp.minimum(starts, max(P_total - cap, 0)).astype(jnp.int32)
+
+    def one(s):
+        return jax.lax.dynamic_slice(packed, (s,), (cap,))
+
+    win = jax.vmap(jax.vmap(one))(s_clamped)         # [B, Tq, cap] int32
+    pos = s_clamped[..., None] + jnp.arange(cap, dtype=jnp.int32)
+    eff = jnp.minimum(lens, cap)
+    wanted = (pos >= starts[..., None]) & (pos < (starts + eff)[..., None])
+    docs = jnp.where(wanted, jnp.right_shift(win, 8), SENTINEL)
+    imp = (win & jnp.int32(0xFF)).astype(jnp.float32)
+    vals = jnp.where(wanted, imp * qw[..., None], 0.0)
+
+    B = q_terms.shape[0]
+    return _rescore_pool(docs.reshape(B, -1), vals.reshape(B, -1), k, candidates)
+
+@partial(jax.jit, static_argnames=("k", "p_cap", "exact_topk"))
+def sparse_score_topk_q8(
+    packed: jnp.ndarray,        # [P] int32 (doc << 8 | uint8 impact)
+    offsets: jnp.ndarray,       # [T+1] int32
+    term_scales: jnp.ndarray,   # [T] f32 per-term dequant scales
+    q_terms: jnp.ndarray,       # [B, Tq] int32 (-1 pad)
+    q_weights: jnp.ndarray,     # [B, Tq] f32 (>= 0)
+    k: int = 100,
+    p_cap: int = 1024,
+    exact_topk: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Quantized-sort sparse scoring: ONE int32 sort key per posting.
+
+    The segmented-sort path's dominant cost is `lax.sort((ids, vals))` —
+    an 8-byte key+payload permute per element. Here the CONTRIBUTION
+    (impact x dequant x query weight) is requantized to 8 bits against
+    the query's max per-term weight and packed back into the low byte of
+    the doc key: sort ONE int32, no payload. The segmented reduce then
+    runs on ids/vals unpacked from the sorted keys
+    (ops.segment.segmented_topk_presorted).
+
+    Precision: each contribution rounds to cmax/255 (cmax = the query's
+    max possible single contribution), so a k-term sum is off by at most
+    k/510 x cmax — measured recall@100 vs the exact pair-sort path
+    >= 0.99 on Zipfian BM25/SPLADE queries (tests/test_sparse.py).
+    Same output contract as sparse_score_topk_packed."""
+    tq_valid = q_terms >= 0
+    terms = jnp.where(tq_valid, q_terms, 0)
+    starts = offsets[terms]
+    lens = offsets[terms + 1] - starts
+    lens = jnp.where(tq_valid, lens, 0)
+    w = q_weights * term_scales[terms]                # [B, Tq] contribution/impact-unit
+    w = jnp.where(tq_valid, jnp.maximum(w, 0.0), 0.0)
+    wmax = jnp.maximum(jnp.max(w, axis=1, keepdims=True), 1e-30)  # [B, 1]
+    ratio = w / wmax                                  # [B, Tq] in [0, 1]
+
+    P_total = packed.shape[0]
+    cap = min(p_cap, P_total)
+    s_clamped = jnp.minimum(starts, max(P_total - cap, 0)).astype(jnp.int32)
+
+    def one(s):
+        return jax.lax.dynamic_slice(packed, (s,), (cap,))
+
+    win = jax.vmap(jax.vmap(one))(s_clamped)          # [B, Tq, cap] int32
+    pos = s_clamped[..., None] + jnp.arange(cap, dtype=jnp.int32)
+    eff = jnp.minimum(lens, cap)
+    wanted = (pos >= starts[..., None]) & (pos < (starts + eff)[..., None])
+
+    imp = (win & jnp.int32(0xFF)).astype(jnp.float32)
+    q8 = jnp.round(imp * ratio[..., None]).astype(jnp.int32)   # [0, 255]
+    # keys: (doc << 8) | q8 — invalid slots get int32 max (sorts last,
+    # unpacks to the 23-bit sentinel doc id 0x7FFFFF)
+    keys = jnp.where(wanted, (win & jnp.int32(~0xFF)) | q8,
+                     jnp.int32(2**31 - 1))
+
+    B = q_terms.shape[0]
+    keys = keys.reshape(B, -1)
+    skeys = jax.lax.sort(keys, dimension=-1)
+    sids = jnp.right_shift(skeys, 8)
+    # one shared sentinel for the reduce: both 0x7FFFFF (unpacked invalid)
+    # and any real doc never collide because doc ids < 2^23 - 1 is enforced
+    # by pack_postings' 2^23 bound only when N < 0x7FFFFF; guard anyway
+    sval_scale = wmax.reshape(B, 1)
+    svals = (skeys & jnp.int32(0xFF)).astype(jnp.float32) * sval_scale
+    svals = jnp.where(sids == jnp.int32(0x7FFFFF), 0.0, svals)
+    sids = jnp.where(sids == jnp.int32(0x7FFFFF), SENTINEL, sids)
+
+    def score(si, sv):
+        ids, scores, _ = segmented_topk_presorted(
+            si, sv, k, exact_topk=exact_topk)
+        return scores, ids
+
+    return jax.vmap(score)(sids, svals)

@@ -29,7 +29,10 @@ import jax
 import jax.numpy as jnp
 
 from qpp_fusion_rag_tpu.ops import fusion as F
-from qpp_fusion_rag_tpu.ops.sparse import sparse_score_topk_packed
+from qpp_fusion_rag_tpu.ops.sparse import (
+    sparse_rescore_topk_packed,
+    sparse_score_topk_packed,
+)
 from qpp_fusion_rag_tpu.pipeline.engine import qpp_from_runs, weight_and_fuse
 
 
@@ -71,7 +74,8 @@ def rerank_candidates(
         jnp.where(cand_ids >= 0, cand_ids, -1), order, axis=-1)
 
 
-@partial(jax.jit, static_argnames=("k", "k_out", "p_cap", "method", "qpp_index"))
+@partial(jax.jit, static_argnames=(
+    "k", "k_out", "p_cap", "method", "qpp_index", "sparse_candidates"))
 def ensemble_retrieval_step(
     idx: EnsembleIndexes,
     bm25_terms: jnp.ndarray,    # [B, T_bm] int32 (-1 pad)
@@ -86,18 +90,36 @@ def ensemble_retrieval_step(
     p_cap: int = 2048,
     method: int = F.COMBSUM,
     qpp_index: int = 5,         # RSD
+    sparse_candidates: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """5-view heterogeneous retrieve → QPP → weighted fuse.
-    -> (fused_ids [B, k_out], fused_scores [B, k_out], qpp [5, B, 13])."""
+    -> (fused_ids [B, k_out], fused_scores [B, k_out], qpp [5, B, 13]).
+
+    sparse_candidates=0 (default) scores the sparse views with the
+    segmented-sort kernel; >0 selects the sort-free rescore kernel
+    (pool = candidates·k, recall@100 >=0.99 at 8 — tests/test_sparse.py)
+    which is MEASURED SLOWER at bench shapes (256 vs 184 ms/batch: the
+    [B, pool, M] match materializes) but wins at small M."""
     from qpp_fusion_rag_tpu.ops.pallas.dense_topk import pallas_dense_topk_int8
 
-    bm25_s, bm25_i = sparse_score_topk_packed(
+    if sparse_candidates > 0:
+        def sparse(packed, offsets, scales, terms, qw):
+            return sparse_rescore_topk_packed(
+                packed, offsets, scales, terms, qw,
+                k=k, p_cap=p_cap, candidates=sparse_candidates)
+    else:
+        def sparse(packed, offsets, scales, terms, qw):
+            return sparse_score_topk_packed(
+                packed, offsets, scales, terms, qw,
+                k=k, p_cap=p_cap, exact_topk=False)
+
+    bm25_s, bm25_i = sparse(
         idx.bm25_packed, idx.bm25_offsets, idx.bm25_scales,
-        bm25_terms, bm25_qw, k=k, p_cap=p_cap, exact_topk=False,
+        bm25_terms, bm25_qw,
     )
-    splade_s, splade_i = sparse_score_topk_packed(
+    splade_s, splade_i = sparse(
         idx.splade_packed, idx.splade_offsets, idx.splade_scales,
-        splade_terms, splade_qw, k=k, p_cap=p_cap, exact_topk=False,
+        splade_terms, splade_qw,
     )
     dense_s, dense_i = pallas_dense_topk_int8(
         q_emb, idx.corpus_int, idx.d_scale, k=k,

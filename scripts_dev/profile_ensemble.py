@@ -18,14 +18,23 @@ from qpp_fusion_rag_tpu.ops import fusion as F
 
 N, D, B, K, P_CAP = 2_621_440, 768, 1024, 100, 2048
 
-bo, bd, bw, _ = zipf_bm25_csr(N, vocab_size=100_000, avg_doc_len=30.0, seed=0,
-                              max_postings=80_000_000)
-so, sd, sw, _ = zipf_bm25_csr(N, vocab_size=30_000, avg_doc_len=40.0, seed=7,
-                              max_postings=60_000_000)
-bp, bs = pack_postings(bd, bw, bo)
-sp, ss = pack_postings(sd, sw, so)
-del bd, bw, sd, sw
-print("indexes ready")
+import os
+
+CACHE = "/tmp/profile_ensemble_idx.npz"
+if os.path.exists(CACHE):
+    z = np.load(CACHE)
+    bo, bp, bs = z["bo"], z["bp"], z["bs"]
+    so, sp, ss = z["so"], z["sp"], z["ss"]
+else:
+    bo, bd, bw, _ = zipf_bm25_csr(N, vocab_size=100_000, avg_doc_len=30.0,
+                                  seed=0, max_postings=80_000_000)
+    so, sd, sw, _ = zipf_bm25_csr(N, vocab_size=30_000, avg_doc_len=40.0,
+                                  seed=7, max_postings=60_000_000)
+    bp, bs = pack_postings(bd, bw, bo)
+    sp, ss = pack_postings(sd, sw, so)
+    del bd, bw, sd, sw
+    np.savez(CACHE, bo=bo, bp=bp, bs=bs, so=so, sp=sp, ss=ss)
+print("indexes ready", flush=True)
 
 key = jax.random.PRNGKey(0)
 corpus_f = jax.random.normal(key, (D, N), jnp.float32)
@@ -60,13 +69,13 @@ spl = jax.jit(lambda: sparse_score_topk_packed(
     d_sp, d_so, d_ss, spl_t, spl_w, k=K, p_cap=P_CAP, exact_topk=False))
 dense = jax.jit(lambda q: pallas_dense_topk_int8(q, c_int, d_scale, k=K))
 
-print(f"bm25 (8 terms, p_cap {P_CAP}):   {bench(bm25)*1e3:7.1f} ms")
-print(f"splade (16 terms, p_cap {P_CAP}): {bench(spl)*1e3:7.1f} ms")
-print(f"dense int8 (B={B}):              {bench(dense, q_emb)*1e3:7.1f} ms")
+print(f"bm25 (8 terms, p_cap {P_CAP}):   {bench(bm25)*1e3:7.1f} ms", flush=True)
+print(f"splade (16 terms, p_cap {P_CAP}): {bench(spl)*1e3:7.1f} ms", flush=True)
+print(f"dense int8 (B={B}):              {bench(dense, q_emb)*1e3:7.1f} ms", flush=True)
 
 bm_s, bm_i = bm25()
 rr = jax.jit(lambda q, c: rerank_candidates(q, c, rows, d_scale))
-print(f"rerank 1 view (B*{K} gather):     {bench(rr, q_emb, bm_i)*1e3:7.1f} ms")
+print(f"rerank 1 view (B*{K} gather):     {bench(rr, q_emb, bm_i)*1e3:7.1f} ms", flush=True)
 
 dn_s, dn_i = dense(q_emb)
 vals = jnp.stack([bm_s, bm_s, dn_s, bm_s, bm_s])
@@ -79,10 +88,18 @@ def tail(vals, ids, tf):
     norm = F._row_minmax(vals, ids >= 0, fill=-jnp.inf)
     return weight_and_fuse(ids, norm, qpp[..., 5], k_out=K)
 
-print(f"qpp+fuse tail:                   {bench(tail, vals, ids, tf)*1e3:7.1f} ms")
+print(f"qpp+fuse tail:                   {bench(tail, vals, ids, tf)*1e3:7.1f} ms", flush=True)
 
 # lower p_cap points for the sparse views
 for pc in (512, 1024):
     f = jax.jit(lambda: sparse_score_topk_packed(
         d_sp, d_so, d_ss, spl_t, spl_w, k=K, p_cap=pc, exact_topk=False))
-    print(f"splade p_cap={pc}:              {bench(f)*1e3:7.1f} ms")
+    print(f"splade p_cap={pc}:              {bench(f)*1e3:7.1f} ms", flush=True)
+
+# sort-free rescore variants (measured SLOWER at ensemble scale: the
+# [B, pool, M] match materializes; kept for the record)
+from qpp_fusion_rag_tpu.ops.sparse import sparse_rescore_topk_packed
+for cand in (4, 8):
+    f = jax.jit(lambda c=cand: sparse_rescore_topk_packed(
+        d_bp, d_bo, d_bs, bm25_t, bm25_w, k=K, p_cap=P_CAP, candidates=c))
+    print(f"bm25 rescore cand={cand}:          {bench(f)*1e3:7.1f} ms", flush=True)

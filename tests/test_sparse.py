@@ -278,3 +278,127 @@ def test_pack_postings_doc_id_range_guard():
     docs = np.array([1 << 23], dtype=np.int64)
     with pytest.raises(ValueError, match="2\\^23"):
         pack_postings(docs, np.ones(1, np.float32), np.array([0, 1]))
+
+
+def test_rescore_packed_matches_sort_packed_exact_regime():
+    """Packed rescore == packed sort path when the pool is exact
+    (M small enough that pool selection uses lax.top_k over everything)."""
+    import jax.numpy as jnp
+
+    from qpp_fusion_rag_tpu.ops.sparse import (
+        pack_postings,
+        sparse_rescore_topk_packed,
+        sparse_score_topk_packed,
+    )
+
+    rng = np.random.default_rng(11)
+    T = 30
+    counts = rng.integers(1, 15, T)
+    offsets = np.zeros(T + 1, np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    Pt = int(offsets[-1])
+    docs = rng.integers(0, 50, Pt).astype(np.int32)
+    w = rng.uniform(0.1, 5, Pt).astype(np.float32)
+    for t in range(T):
+        s, e = offsets[t], offsets[t + 1]
+        o = np.argsort(-w[s:e])
+        docs[s:e], w[s:e] = docs[s:e][o], w[s:e][o]
+    packed, scales = pack_postings(docs, w, offsets)
+    qt = rng.integers(0, T, (4, 6)).astype(np.int32)
+    qt[0, 3:] = -1
+    qw = rng.uniform(0.5, 2.0, (4, 6)).astype(np.float32)
+    args = (jnp.asarray(packed), jnp.asarray(offsets.astype(np.int32)),
+            jnp.asarray(scales), jnp.asarray(qt), jnp.asarray(qw))
+    s1, i1 = sparse_score_topk_packed(*args, k=10, p_cap=16, exact_topk=True)
+    s2, i2 = sparse_rescore_topk_packed(*args, k=10, p_cap=16, candidates=10)
+    s1, i1, s2, i2 = map(np.asarray, (s1, i1, s2, i2))
+    for b in range(4):
+        a = {int(i): float(s) for s, i in zip(s1[b], i1[b]) if i >= 0}
+        c = {int(i): float(s) for s, i in zip(s2[b], i2[b]) if i >= 0}
+        assert set(a) == set(c)
+        for d in a:
+            assert abs(a[d] - c[d]) < 1e-3
+
+
+def test_rescore_packed_recall_zipfian():
+    """At approx-pool scale the packed rescore keeps >=0.98 recall@k vs the
+    exact sort path on a Zipfian index (measured 0.995+ at bench shapes with
+    candidates=8; this is the small CI-sized version of that check)."""
+    import jax.numpy as jnp
+
+    from qpp_fusion_rag_tpu.data.synthetic import zipf_bm25_csr, zipf_queries
+    from qpp_fusion_rag_tpu.ops.sparse import (
+        pack_postings,
+        sparse_rescore_topk_packed,
+        sparse_score_topk_packed,
+    )
+
+    bo, bd, bw, _ = zipf_bm25_csr(8192, vocab_size=4000, avg_doc_len=25.0,
+                                  seed=5, max_postings=250_000)
+    bp, bs = pack_postings(bd, bw, bo)
+    qt, qw = zipf_queries(bo, 16, n_terms=8, seed=2)
+    args = (jnp.asarray(bp), jnp.asarray(bo.astype(np.int32)),
+            jnp.asarray(bs), qt, qw)
+    K = 50
+    ex_s, ex_i = sparse_score_topk_packed(*args, k=K, p_cap=256, exact_topk=True)
+    rs, ri = sparse_rescore_topk_packed(*args, k=K, p_cap=256, candidates=8)
+    ex_i, ri = np.asarray(ex_i), np.asarray(ri)
+    recalls = []
+    for b in range(16):
+        truth = set(ex_i[b][ex_i[b] >= 0])
+        got = set(ri[b][ri[b] >= 0])
+        recalls.append(len(truth & got) / max(1, len(truth)))
+    assert np.mean(recalls) >= 0.98, np.mean(recalls)
+
+
+def test_q8_matches_exact_scores_closely():
+    """Quantized-sort kernel: scores within ~1% of the exact pair-sort path
+    and >=0.98 recall@k on a Zipfian index (bench-measured 0.992 at scale)."""
+    import jax.numpy as jnp
+
+    from qpp_fusion_rag_tpu.data.synthetic import zipf_bm25_csr, zipf_queries
+    from qpp_fusion_rag_tpu.ops.sparse import (
+        pack_postings,
+        sparse_score_topk_packed,
+        sparse_score_topk_q8,
+    )
+
+    bo, bd, bw, _ = zipf_bm25_csr(8192, vocab_size=4000, avg_doc_len=25.0,
+                                  seed=5, max_postings=250_000)
+    bp, bs = pack_postings(bd, bw, bo)
+    qt, qw = zipf_queries(bo, 16, n_terms=8, seed=2)
+    args = (jnp.asarray(bp), jnp.asarray(bo.astype(np.int32)),
+            jnp.asarray(bs), qt, qw)
+    K = 50
+    ex_s, ex_i = sparse_score_topk_packed(*args, k=K, p_cap=256, exact_topk=True)
+    qs, qi = sparse_score_topk_q8(*args, k=K, p_cap=256, exact_topk=True)
+    ex_s, ex_i, qs, qi = map(np.asarray, (ex_s, ex_i, qs, qi))
+    recalls, errs = [], []
+    for b in range(16):
+        truth = {int(i): float(s) for i, s in zip(ex_i[b], ex_s[b]) if i >= 0}
+        got = {int(i): float(s) for i, s in zip(qi[b], qs[b]) if i >= 0}
+        recalls.append(len(truth.keys() & got.keys()) / max(1, len(truth)))
+        errs += [abs(got[d] - truth[d]) / max(truth[d], 1e-9)
+                 for d in truth.keys() & got.keys() if truth[d] > 0]
+    assert np.mean(recalls) >= 0.98, np.mean(recalls)
+    assert np.mean(errs) < 0.01, np.mean(errs)
+
+
+def test_q8_handles_pad_terms_and_empty_query():
+    import jax.numpy as jnp
+
+    from qpp_fusion_rag_tpu.ops.sparse import pack_postings, sparse_score_topk_q8
+
+    docs = np.array([3, 1, 0, 2, 4], np.int32)
+    w = np.array([5.0, 3.0, 4.0, 2.0, 1.0], np.float32)
+    offsets = np.array([0, 2, 5], np.int64)
+    packed, scales = pack_postings(docs, w, offsets)
+    qt = jnp.asarray([[0, 1], [-1, -1]], jnp.int32)
+    qw = jnp.asarray([[1.0, 2.0], [1.0, 1.0]], jnp.float32)
+    s, i = sparse_score_topk_q8(
+        jnp.asarray(packed), jnp.asarray(offsets.astype(np.int32)),
+        jnp.asarray(scales), qt, qw, k=3, p_cap=4)
+    s, i = np.asarray(s), np.asarray(i)
+    assert (i[1] == -1).all()          # empty query -> all padded
+    assert i[0, 0] in (0, 3)           # top doc from the real postings
+    assert np.isfinite(s[0, 0])
