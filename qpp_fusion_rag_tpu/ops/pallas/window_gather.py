@@ -1,0 +1,119 @@
+"""Pallas posting-window gather: HBM → VMEM via explicit async DMA.
+
+The sparse scorers read a contiguous `cap`-wide window of the packed
+postings array per (query, term). XLA lowers the vmapped `dynamic_slice`
+formulation to one sequential slice per window — measured ~3.5 GB/s
+effective (38.6 ms for 16×2048-wide windows × B=1024 from a 49M-posting
+array on v5e), pure per-slice overhead. This kernel instead issues ROWS
+async DMA copies per grid step and overlaps them — the TPU idiom for
+data-dependent contiguous gathers (scalar-prefetched offsets +
+`make_async_copy`, pallas_guide §PrefetchScalarGridSpec/§Async DMA).
+
+Constraints shape the design:
+- int32 HBM DMA slices must start on the (8, 128) tile boundary
+  (Mosaic: "tile index … divisible by the tiling"), so the kernel
+  fetches the 1024-aligned window [start - start % 1024, + cap + 1024)
+  and realigns in VMEM. Callers pad the source array with
+  `pad_for_gather` so aligned fetches stay in bounds.
+- `tpu.dynamic_rotate` rejects 1-D vectors, so the flat window lives as
+  [rows, 128] and the realignment is a two-stage rotate: sublane roll by
+  off // 128, then lane roll by off % 128 with a boundary select between
+  the row and its successor (the flattened-roll decomposition).
+
+Replaces the JVM postings traversal of the reference's Terrier/Lucene
+retrievers (reference src/retrievers/bm25.py:29-52, splade.py:75-80) at
+the memory-system level.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ROWS = 32      # windows DMA'd concurrently per grid step
+ALIGN = 1024   # int32 HBM tile granularity (8 sublanes x 128 lanes)
+LANES = 128
+
+
+def pad_for_gather(flat: np.ndarray, cap: int) -> np.ndarray:
+    """Pad a flat postings array so any aligned fetch window stays in
+    bounds: final length is a multiple of ALIGN with >= cap + ALIGN slack."""
+    need = len(flat) + cap + ALIGN
+    total = ((need + ALIGN - 1) // ALIGN) * ALIGN
+    return np.pad(flat, (0, total - len(flat)))
+
+
+def _gather_kernel(starts_ref, src_ref, out_ref, scratch, sems):
+    i = pl.program_id(0)
+    c_rows = out_ref.shape[1]          # cap // LANES
+    f_rows = scratch.shape[1]          # (cap + ALIGN) // LANES
+
+    def copy(j):
+        s = starts_ref[i * ROWS + j]
+        row0 = pl.multiple_of((s // ALIGN) * (ALIGN // LANES), ALIGN // LANES)
+        return pltpu.make_async_copy(
+            src_ref.at[pl.ds(row0, f_rows)],
+            scratch.at[j],
+            sems.at[j],
+        )
+
+    for j in range(ROWS):
+        copy(j).start()
+    for j in range(ROWS):
+        copy(j).wait()
+    lane = jax.lax.broadcasted_iota(jnp.int32, (f_rows, LANES), 1)
+    for j in range(ROWS):
+        s = starts_ref[i * ROWS + j]
+        off = s % ALIGN
+        r = off // LANES
+        c = off % LANES
+        x = scratch[j]                                   # [f_rows, 128]
+        y = pltpu.roll(x, shift=(f_rows - r) % f_rows, axis=0)
+        a = pltpu.roll(y, shift=(LANES - c) % LANES, axis=1)
+        b = pltpu.roll(a, shift=f_rows - 1, axis=0)      # rows shifted by +1
+        res = jnp.where(lane < LANES - c, a, b)
+        out_ref[j] = res[:c_rows]
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def gather_windows_pallas(
+    src: jnp.ndarray,     # [P] int32, P % ALIGN == 0, padded via pad_for_gather
+    starts: jnp.ndarray,  # [G] int32 window starts, 0 <= s <= P - cap - ALIGN
+    cap: int,
+) -> jnp.ndarray:
+    """-> [G, cap] windows. G must be a multiple of ROWS, cap of LANES."""
+    G = starts.shape[0]
+    if G % ROWS:
+        raise ValueError(f"G={G} must be a multiple of {ROWS}")
+    if cap % LANES:
+        raise ValueError(f"cap={cap} must be a multiple of {LANES}")
+    if src.shape[0] % ALIGN:
+        raise ValueError("src must be padded to ALIGN (pad_for_gather)")
+    fetch = cap + ALIGN
+    src2d = src.reshape(-1, LANES)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(G // ROWS,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (ROWS, cap // LANES, LANES),
+            lambda i, starts: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((ROWS, fetch // LANES, LANES), src.dtype),
+            pltpu.SemaphoreType.DMA((ROWS,)),
+        ],
+    )
+    out = pl.pallas_call(
+        _gather_kernel,
+        out_shape=jax.ShapeDtypeStruct((G, cap // LANES, LANES), src.dtype),
+        grid_spec=grid_spec,
+        interpret=jax.default_backend() != "tpu",  # CPU tests run interpreted
+    )(starts, src2d)
+    return out.reshape(G, cap)

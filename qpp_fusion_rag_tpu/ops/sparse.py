@@ -122,7 +122,10 @@ def pack_postings(
     weight at score time.
 
     -> (packed int32 [P], term_scales f32 [T]). Doc ids must fit 23 bits
-    (8.4M docs) so the packed value stays positive in int32.
+    (8.4M docs) so the packed value stays positive in int32. The packed
+    array is tail-padded (zeros = doc 0, impact 0 — masked at score
+    time) so the Pallas DMA gather's 1024-aligned fetches stay in
+    bounds (ops.pallas.window_gather.pad_for_gather).
     """
     flat_docs = np.asarray(flat_docs)
     flat_weights = np.asarray(flat_weights, dtype=np.float32)
@@ -140,10 +143,43 @@ def pack_postings(
     per_post = np.repeat(scales, counts)
     q = np.clip(np.round(flat_weights / np.maximum(per_post, 1e-12)), 0, 255)
     packed = (flat_docs.astype(np.int64) << 8) | q.astype(np.int64)
-    return packed.astype(np.int32), scales
+    from qpp_fusion_rag_tpu.ops.pallas.window_gather import pad_for_gather
+
+    return pad_for_gather(packed.astype(np.int32), _MAX_DMA_CAP), scales
 
 
-@partial(jax.jit, static_argnames=("k", "p_cap", "exact_topk"))
+_MAX_DMA_CAP = 4096  # largest p_cap the DMA gather pads for
+
+
+def _packed_windows(packed, s_clamped, cap, dma_gather):
+    """[B, Tq] window starts -> ([B, Tq, cap] packed windows, starts used).
+
+    dma_gather None = auto: the Pallas DMA kernel on TPU when shapes
+    allow (ops.pallas.window_gather — 8.7 vs 38.6 ms for 16384x2048
+    windows on v5e), else the vmapped dynamic_slice fallback."""
+    from qpp_fusion_rag_tpu.ops.pallas import window_gather as WG
+
+    B, Tq = s_clamped.shape
+    P = packed.shape[0]
+    if dma_gather is None:
+        dma_gather = (
+            jax.default_backend() == "tpu"
+            and (B * Tq) % WG.ROWS == 0
+            and cap % WG.LANES == 0
+            and cap <= _MAX_DMA_CAP
+            and P % WG.ALIGN == 0
+            and P >= cap + 2 * WG.ALIGN
+        )
+    if dma_gather:
+        s2 = jnp.minimum(s_clamped, P - cap - WG.ALIGN).astype(jnp.int32)
+        win = WG.gather_windows_pallas(packed, s2.reshape(-1), cap)
+        return win.reshape(B, Tq, cap), s2
+    def one(s):
+        return jax.lax.dynamic_slice(packed, (s,), (cap,))
+    return jax.vmap(jax.vmap(one))(s_clamped), s_clamped
+
+
+@partial(jax.jit, static_argnames=("k", "p_cap", "exact_topk", "dma_gather"))
 def sparse_score_topk_packed(
     packed: jnp.ndarray,        # [P] int32 (doc << 8 | uint8 impact)
     offsets: jnp.ndarray,       # [T+1] int32
@@ -153,6 +189,7 @@ def sparse_score_topk_packed(
     k: int = 100,
     p_cap: int = 1024,
     exact_topk: bool = True,
+    dma_gather: bool = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Packed-posting variant of sparse_score_topk: one int32 gather
     instead of int32+f32 (see pack_postings). Same output contract."""
@@ -166,11 +203,7 @@ def sparse_score_topk_packed(
     P_total = packed.shape[0]
     cap = min(p_cap, P_total)
     s_clamped = jnp.minimum(starts, max(P_total - cap, 0)).astype(jnp.int32)
-
-    def one(s):
-        return jax.lax.dynamic_slice(packed, (s,), (cap,))
-
-    win = jax.vmap(jax.vmap(one))(s_clamped)         # [B, Tq, cap] int32
+    win, s_clamped = _packed_windows(packed, s_clamped, cap, dma_gather)
     pos = s_clamped[..., None] + jnp.arange(cap, dtype=jnp.int32)
     eff = jnp.minimum(lens, cap)
     wanted = (pos >= starts[..., None]) & (pos < (starts + eff)[..., None])
@@ -267,7 +300,7 @@ def _rescore_pool(
         jnp.where(ok, top_ids, -1),
     )
 
-@partial(jax.jit, static_argnames=("k", "p_cap", "candidates"))
+@partial(jax.jit, static_argnames=("k", "p_cap", "candidates", "dma_gather"))
 def sparse_rescore_topk_packed(
     packed: jnp.ndarray,        # [P] int32 (doc << 8 | uint8 impact)
     offsets: jnp.ndarray,       # [T+1] int32
@@ -277,6 +310,7 @@ def sparse_rescore_topk_packed(
     k: int = 100,
     p_cap: int = 1024,
     candidates: int = 4,
+    dma_gather: bool = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Packed-posting variant of sparse_rescore_topk: the sort-free
     pool-select + exact-rescore formulation over (doc << 8 | impact)
@@ -294,11 +328,7 @@ def sparse_rescore_topk_packed(
     P_total = packed.shape[0]
     cap = min(p_cap, P_total)
     s_clamped = jnp.minimum(starts, max(P_total - cap, 0)).astype(jnp.int32)
-
-    def one(s):
-        return jax.lax.dynamic_slice(packed, (s,), (cap,))
-
-    win = jax.vmap(jax.vmap(one))(s_clamped)         # [B, Tq, cap] int32
+    win, s_clamped = _packed_windows(packed, s_clamped, cap, dma_gather)
     pos = s_clamped[..., None] + jnp.arange(cap, dtype=jnp.int32)
     eff = jnp.minimum(lens, cap)
     wanted = (pos >= starts[..., None]) & (pos < (starts + eff)[..., None])
@@ -319,6 +349,7 @@ def sparse_score_topk_q8(
     k: int = 100,
     p_cap: int = 1024,
     exact_topk: bool = False,
+    dma_gather: bool = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Quantized-sort sparse scoring: ONE int32 sort key per posting.
 
@@ -348,11 +379,7 @@ def sparse_score_topk_q8(
     P_total = packed.shape[0]
     cap = min(p_cap, P_total)
     s_clamped = jnp.minimum(starts, max(P_total - cap, 0)).astype(jnp.int32)
-
-    def one(s):
-        return jax.lax.dynamic_slice(packed, (s,), (cap,))
-
-    win = jax.vmap(jax.vmap(one))(s_clamped)          # [B, Tq, cap] int32
+    win, s_clamped = _packed_windows(packed, s_clamped, cap, dma_gather)
     pos = s_clamped[..., None] + jnp.arange(cap, dtype=jnp.int32)
     eff = jnp.minimum(lens, cap)
     wanted = (pos >= starts[..., None]) & (pos < (starts + eff)[..., None])

@@ -75,7 +75,8 @@ def rerank_candidates(
 
 
 @partial(jax.jit, static_argnames=(
-    "k", "k_out", "p_cap", "method", "qpp_index", "sparse_candidates"))
+    "k", "k_out", "p_cap", "method", "qpp_index", "sparse_candidates",
+    "sparse_mode"))
 def ensemble_retrieval_step(
     idx: EnsembleIndexes,
     bm25_terms: jnp.ndarray,    # [B, T_bm] int32 (-1 pad)
@@ -91,22 +92,33 @@ def ensemble_retrieval_step(
     method: int = F.COMBSUM,
     qpp_index: int = 5,         # RSD
     sparse_candidates: int = 0,
+    sparse_mode: str = "sort",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """5-view heterogeneous retrieve → QPP → weighted fuse.
     -> (fused_ids [B, k_out], fused_scores [B, k_out], qpp [5, B, 13]).
 
-    sparse_candidates=0 (default) scores the sparse views with the
-    segmented-sort kernel; >0 selects the sort-free rescore kernel
-    (pool = candidates·k, recall@100 >=0.99 at 8 — tests/test_sparse.py)
-    which is MEASURED SLOWER at bench shapes (256 vs 184 ms/batch: the
-    [B, pool, M] match materializes) but wins at small M."""
+    sparse_mode picks the sparse scorer:
+      "sort" — segmented pair sort (exact dedup; the default),
+      "q8"   — quantized single-key sort (recall@100 0.992, ~10-20%
+               faster sort; ops.sparse.sparse_score_topk_q8),
+    and sparse_candidates > 0 overrides both with the sort-free rescore
+    kernel (pool = candidates·k, recall@100 >= 0.99 at 8) — MEASURED
+    SLOWER at bench shapes (256 vs 184 ms/batch: the [B, pool, M] match
+    materializes) but the winner at small M. All modes use the Pallas
+    DMA window gather on TPU (ops.pallas.window_gather)."""
     from qpp_fusion_rag_tpu.ops.pallas.dense_topk import pallas_dense_topk_int8
+    from qpp_fusion_rag_tpu.ops.sparse import sparse_score_topk_q8
 
     if sparse_candidates > 0:
         def sparse(packed, offsets, scales, terms, qw):
             return sparse_rescore_topk_packed(
                 packed, offsets, scales, terms, qw,
                 k=k, p_cap=p_cap, candidates=sparse_candidates)
+    elif sparse_mode == "q8":
+        def sparse(packed, offsets, scales, terms, qw):
+            return sparse_score_topk_q8(
+                packed, offsets, scales, terms, qw,
+                k=k, p_cap=p_cap, exact_topk=False)
     else:
         def sparse(packed, offsets, scales, terms, qw):
             return sparse_score_topk_packed(

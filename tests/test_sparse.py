@@ -402,3 +402,52 @@ def test_q8_handles_pad_terms_and_empty_query():
     assert (i[1] == -1).all()          # empty query -> all padded
     assert i[0, 0] in (0, 3)           # top doc from the real postings
     assert np.isfinite(s[0, 0])
+
+
+def test_pallas_window_gather_interpret():
+    """DMA window gather == dynamic_slice reference, including the
+    unaligned-start rotate path (interpret mode on CPU)."""
+    import jax
+    import jax.numpy as jnp
+
+    from qpp_fusion_rag_tpu.ops.pallas.window_gather import (
+        ALIGN,
+        gather_windows_pallas,
+        pad_for_gather,
+    )
+
+    rng = np.random.default_rng(0)
+    flat = pad_for_gather(rng.integers(0, 2**30, 6000).astype(np.int32), 256)
+    assert len(flat) % ALIGN == 0
+    src = jnp.asarray(flat)
+    # starts exercise off == 0, off < 128, off across sublanes, near-end
+    base = [0, 1, 127, 128, 129, 1023, 1024, 1025, 2048, 3000, 4095, 5000]
+    starts = np.resize(np.asarray(base, np.int32), 32)
+    out = gather_windows_pallas(src, jnp.asarray(starts), 256)
+    ref = np.stack([flat[s:s + 256] for s in starts])
+    np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+def test_dma_gather_matches_fallback_in_kernel():
+    """sparse_score_topk_packed with dma_gather forced on (interpret mode)
+    equals the vmap fallback path."""
+    import jax.numpy as jnp
+
+    from qpp_fusion_rag_tpu.data.synthetic import zipf_bm25_csr, zipf_queries
+    from qpp_fusion_rag_tpu.ops.sparse import (
+        pack_postings,
+        sparse_score_topk_packed,
+    )
+
+    bo, bd, bw, _ = zipf_bm25_csr(4096, vocab_size=2000, avg_doc_len=20.0,
+                                  seed=3, max_postings=120_000)
+    bp, bs = pack_postings(bd, bw, bo)
+    qt, qw = zipf_queries(bo, 8, n_terms=4, seed=1)   # G = 32
+    args = (jnp.asarray(bp), jnp.asarray(bo.astype(np.int32)),
+            jnp.asarray(bs), qt, qw)
+    s1, i1 = sparse_score_topk_packed(*args, k=20, p_cap=128,
+                                      exact_topk=True, dma_gather=False)
+    s2, i2 = sparse_score_topk_packed(*args, k=20, p_cap=128,
+                                      exact_topk=True, dma_gather=True)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-6)
