@@ -77,15 +77,19 @@ def main() -> None:
     proj = jax.random.normal(k3, (2, DIM, DIM), jnp.float32) * 0.05
     tf = jnp.tile(jnp.asarray([6.0, 6.0, 9.0, 5.0], jnp.float32), (batch, 1))
 
-    # argv[1] (optional): sparse_candidates — 0 = segmented-sort sparse
-    # kernel (default), >0 = sort-free rescore pool of candidates*k
-    sparse_candidates = int(sys.argv[1]) if len(sys.argv) > 1 else 0
+    # argv[1] (optional): sparse mode — "q8" (production default:
+    # quantized single-key sort, recall@100 0.992 vs exact) | "sort"
+    # (exact-dedup pair sort) | an integer N > 0 (sort-free rescore,
+    # pool = N*k). All modes use the Pallas DMA window gather on TPU.
+    arg = sys.argv[1] if len(sys.argv) > 1 else "q8"
+    sparse_candidates = int(arg) if arg.isdigit() else 0
+    sparse_mode = arg if not arg.isdigit() else "sort"
 
     def step():
         return ensemble_retrieval_step(
             idx, bm25_t, bm25_w, splade_t, splade_w, q_emb, proj, tf,
             k=TOP_K, k_out=TOP_K, p_cap=p_cap,
-            sparse_candidates=sparse_candidates,
+            sparse_candidates=sparse_candidates, sparse_mode=sparse_mode,
         )
 
     t0 = time.perf_counter()
@@ -109,7 +113,8 @@ def main() -> None:
                  f"retrieve+qpp+fuse, {n_docs/1e6:.2f}M docs)"),
         "ms_per_batch": round(dt * 1e3, 1),
         "batch": batch, "p_cap": p_cap,
-        "sparse_candidates": sparse_candidates,
+        "sparse_mode": sparse_mode if not sparse_candidates
+                       else f"rescore{sparse_candidates}",
         "device": jax.devices()[0].device_kind,
     }
     print(f"[ensemble] {dt*1e3:.1f} ms/batch -> {qps:.0f} q/s", file=sys.stderr)

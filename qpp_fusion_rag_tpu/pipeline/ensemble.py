@@ -54,24 +54,28 @@ class EnsembleIndexes(NamedTuple):
 
 
 def rerank_candidates(
-    q_vec: jnp.ndarray,        # [B, D] second-stage query representation
+    q_vec: jnp.ndarray,        # [B, D] or [V, B, D] second-stage queries
     cand_ids: jnp.ndarray,     # [B, K] first-stage doc ids (-1 pad)
     corpus_rows: jnp.ndarray,  # [N, D] int8
     d_scale: jnp.ndarray,      # [1, N] f32
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Two-stage rerank: gather candidate vectors, rescore, re-sort.
-    -> (scores [B, K] desc, ids [B, K]). ~10 ms per 1024x100 on v5e."""
+    -> (scores [..., B, K] desc, ids [..., B, K]). ~10 ms per 1024x100
+    on v5e — the candidate-vector gather dominates, so multiple rerank
+    views over the SAME candidates pass stacked queries [V, B, D] and
+    share one gather."""
     B, K = cand_ids.shape
     safe = jnp.maximum(cand_ids, 0)
     cand = jnp.take(corpus_rows, safe.reshape(-1), axis=0)
     cand = cand.reshape(B, K, -1).astype(jnp.bfloat16)
-    s = jnp.einsum("bd,bkd->bk", q_vec.astype(jnp.bfloat16), cand,
+    s = jnp.einsum("...bd,bkd->...bk", q_vec.astype(jnp.bfloat16), cand,
                    preferred_element_type=jnp.float32)
     s = s * d_scale[0][safe]
     s = jnp.where(cand_ids >= 0, s, -jnp.inf)
     order = jnp.argsort(-s, axis=-1)
+    ids = jnp.broadcast_to(jnp.where(cand_ids >= 0, cand_ids, -1), s.shape)
     return jnp.take_along_axis(s, order, axis=-1), jnp.take_along_axis(
-        jnp.where(cand_ids >= 0, cand_ids, -1), order, axis=-1)
+        ids, order, axis=-1)
 
 
 @partial(jax.jit, static_argnames=(
@@ -136,10 +140,9 @@ def ensemble_retrieval_step(
     dense_s, dense_i = pallas_dense_topk_int8(
         q_emb, idx.corpus_int, idx.d_scale, k=k,
     )
-    q1 = jnp.einsum("bd,dv->bv", q_emb.astype(jnp.float32), rerank_proj[0])
-    q2 = jnp.einsum("bd,dv->bv", q_emb.astype(jnp.float32), rerank_proj[1])
-    rr1_s, rr1_i = rerank_candidates(q1, bm25_i, idx.corpus_rows, idx.d_scale)
-    rr2_s, rr2_i = rerank_candidates(q2, bm25_i, idx.corpus_rows, idx.d_scale)
+    qv = jnp.einsum("bd,vdw->vbw", q_emb.astype(jnp.float32), rerank_proj)
+    rr_s, rr_i = rerank_candidates(qv, bm25_i, idx.corpus_rows, idx.d_scale)
+    rr1_s, rr1_i, rr2_s, rr2_i = rr_s[0], rr_i[0], rr_s[1], rr_i[1]
 
     vals = jnp.stack([bm25_s, splade_s, dense_s, rr1_s, rr2_s])   # [5, B, K]
     ids = jnp.stack([bm25_i, splade_i, dense_i, rr1_i, rr2_i])
