@@ -115,3 +115,48 @@ class SampledPermAggrTieBreaker:
                 perm[s:e] = rng.permutation(perm[s:e])
             vals.append(metric_fn(perm))
         return {"mean": float(np.mean(vals)), "std": float(np.std(vals))}
+
+
+class PreEvaluatedResults:
+    """Per-query metrics loaded from a headered TSV/CSV — evaluate QPP
+    against precomputed targets without an index or qrels in reach.
+
+    Mirrors qrels/PreEvaluatedResults.java:13-37 (reference): the file's
+    first line is a header; each row carries qid plus named metric
+    columns (the reference hardcodes ndcg/awrf/combined; here any header
+    column works). `compute(qid, metric)` returns -1 for unknown qids,
+    like the reference.
+    """
+
+    def __init__(self, per_query_metrics_file, delimiter: str = None):
+        import re
+
+        self.per_query: dict = {}
+        with open(per_query_metrics_file) as f:
+            lines = [ln.strip() for ln in f if ln.strip()]
+        if not lines:
+            self.columns = []
+            return
+        split = (lambda s: s.split(delimiter)) if delimiter else (
+            lambda s: re.split(r"[,\t ]+", s))
+        header = split(lines[0])
+        self.columns = [c.strip().lower() for c in header[1:]]
+        for ln in lines[1:]:
+            parts = split(ln)
+            qid = parts[0]
+            vals = {}
+            for name, raw in zip(self.columns, parts[1:]):
+                try:
+                    vals[name] = float(raw)
+                except ValueError:
+                    continue
+            self.per_query[qid] = vals
+
+    def compute(self, qid: str, metric: str) -> float:
+        row = self.per_query.get(str(qid))
+        if row is None:
+            return -1.0
+        return row.get(metric.lower(), -1.0)
+
+    def query_ids(self):
+        return set(self.per_query.keys())

@@ -243,3 +243,50 @@ class SparseIndex:
 
     def docno(self, row: int) -> str:
         return self.docnos[row]
+
+    def export_doc_vectors(self, path, weighting: str = "bm25",
+                           top_terms: int = 0) -> int:
+        """Write per-doc sparse term vectors as ``docno\\tterm:wt ...``.
+
+        The reference's SparseVecWriter (src/qpp/java/indexing/
+        SparseVecWriter.java:1-171) dumps BM25/tf-idf/tf-weighted doc
+        vectors from the Lucene index for the dense/variant QPP research
+        tools. Here the CSR postings (term-major, already impact- or
+        BM25-weighted at build time) invert to doc-major on the host.
+
+        weighting: "bm25" uses the stored impact weights (the index was
+        built with BM25 weighting); "tfidf" re-weights stored impacts by
+        log(N/df); "tf" writes raw stored weights (alias of bm25 when
+        the index stores raw tf). top_terms > 0 keeps only the heaviest
+        terms per doc. Returns the number of docs written.
+        """
+        if weighting not in ("bm25", "tf", "tfidf"):
+            raise ValueError(f"unknown weighting {weighting!r}")
+        terms = self.vocab_dump.splitlines()
+        df = np.diff(self.offsets).astype(np.int64)
+        w = self.weights.astype(np.float32)
+        if self.term_scales is not None:
+            w = w * np.repeat(self.term_scales, df)
+        if weighting == "tfidf":
+            idf = np.log(max(self.num_docs, 1) / np.maximum(df, 1))
+            w = w * np.repeat(idf.astype(np.float32), df)
+        term_of_posting = np.repeat(
+            np.arange(self.num_terms, dtype=np.int64), df)
+        order = np.argsort(self.docs, kind="stable")
+        sorted_docs = self.docs[order]
+        bounds = np.searchsorted(sorted_docs, np.arange(self.num_docs + 1))
+        n = 0
+        with open(path, "w") as f:
+            for d in range(self.num_docs):
+                lo, hi = bounds[d], bounds[d + 1]
+                idx = order[lo:hi]
+                tw = sorted(
+                    ((terms[int(term_of_posting[i])], float(w[i]))
+                     for i in idx),
+                    key=lambda kv: -kv[1])
+                if top_terms > 0:
+                    tw = tw[:top_terms]
+                f.write(self.docnos[d] + "\t"
+                        + " ".join(f"{t}:{x:.4f}" for t, x in tw) + "\n")
+                n += 1
+        return n

@@ -1,0 +1,93 @@
+"""Pallas row-wise bitonic sort for int32 keys.
+
+`jax.lax.sort` on [1024, 32768] int32 measures 40.2 ms on v5e — it is
+the dominant cost of the quantized-sort sparse scorer
+(ops.sparse.sparse_score_topk_q8) after the DMA gather fix. A bitonic
+network sorts each row entirely in VMEM with only static-shift
+lane/sublane rotates:
+
+- element index i = sublane*128 + lane; the stage-j partner is i XOR j,
+  materialized as a select between roll(x, -j) and roll(x, +j) along
+  the lane axis (j < 128) or the sublane axis (j >= 128) — every shift
+  is a compile-time constant, the pattern Mosaic vectorizes best.
+- compare-exchange keeps min where (bit_j(i) == bit_k(i)) in the
+  standard bitonic direction scheme; the final k = M round has
+  bit_k = 0 everywhere, yielding a fully ascending row.
+
+M must be a power of two (callers pad with INT32_MAX, which sorts
+last — the sparse scorers' sentinel). ~log2(M)*(log2(M)+1)/2 stages,
+each ~6 vector ops/element, all VMEM-resident: the arithmetic bound at
+M = 32768, B = 1024 is single-digit milliseconds vs 40 for the general
+XLA sort.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+ROW_TILE = 8  # query rows sorted per grid step
+
+
+def _bitonic_kernel(x_ref, o_ref):
+    TB, S, L = x_ref.shape
+    M = S * L
+    x = x_ref[:]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TB, S, L), 2)
+    subl = jax.lax.broadcasted_iota(jnp.int32, (TB, S, L), 1)
+
+    k = 2
+    while k <= M:
+        j = k // 2
+        while j >= 1:
+            if j < L:
+                bit_j = (lane & j) != 0
+                plus = pltpu.roll(x, shift=L - j, axis=2)   # [l] = x[l + j]
+                minus = pltpu.roll(x, shift=j, axis=2)      # [l] = x[l - j]
+                px = jnp.where(bit_j, minus, plus)
+            else:
+                js = j // L
+                bit_j = (subl & js) != 0
+                plus = pltpu.roll(x, shift=S - js, axis=1)
+                minus = pltpu.roll(x, shift=js, axis=1)
+                px = jnp.where(bit_j, minus, plus)
+            if k < L:
+                bit_k = (lane & k) != 0
+            elif k < M:
+                bit_k = (subl & (k // L)) != 0
+            else:
+                bit_k = jnp.zeros((TB, S, L), bool)
+            take_min = bit_j == bit_k
+            x = jnp.where(take_min, jnp.minimum(x, px), jnp.maximum(x, px))
+            j //= 2
+        k *= 2
+    o_ref[:] = x
+
+
+@partial(jax.jit, static_argnames=())
+def bitonic_sort_rows(x: jnp.ndarray) -> jnp.ndarray:
+    """Sort each row of [B, M] int32 ascending. M must be a power of two
+    and a multiple of 1024; B a multiple of ROW_TILE."""
+    B, M = x.shape
+    if M & (M - 1) or M % (8 * LANES):
+        raise ValueError(f"M={M} must be a power of two >= 1024")
+    if B % ROW_TILE:
+        raise ValueError(f"B={B} must be a multiple of {ROW_TILE}")
+    S = M // LANES
+    x3 = x.reshape(B, S, LANES)
+    out = pl.pallas_call(
+        _bitonic_kernel,
+        out_shape=jax.ShapeDtypeStruct((B, S, LANES), x.dtype),
+        grid=(B // ROW_TILE,),
+        in_specs=[pl.BlockSpec((ROW_TILE, S, LANES), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((ROW_TILE, S, LANES), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=jax.default_backend() != "tpu",
+    )(x3)
+    return out.reshape(B, M)

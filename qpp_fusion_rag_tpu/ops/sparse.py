@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from qpp_fusion_rag_tpu.ops.pallas.bitonic import ROW_TILE as BITONIC_ROW_TILE
 from qpp_fusion_rag_tpu.ops.segment import (
     SENTINEL,
     segmented_topk,
@@ -339,7 +340,8 @@ def sparse_rescore_topk_packed(
     B = q_terms.shape[0]
     return _rescore_pool(docs.reshape(B, -1), vals.reshape(B, -1), k, candidates)
 
-@partial(jax.jit, static_argnames=("k", "p_cap", "exact_topk"))
+@partial(jax.jit, static_argnames=("k", "p_cap", "exact_topk", "dma_gather",
+                                   "bitonic"))
 def sparse_score_topk_q8(
     packed: jnp.ndarray,        # [P] int32 (doc << 8 | uint8 impact)
     offsets: jnp.ndarray,       # [T+1] int32
@@ -350,6 +352,7 @@ def sparse_score_topk_q8(
     p_cap: int = 1024,
     exact_topk: bool = False,
     dma_gather: bool = None,
+    bitonic: bool = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Quantized-sort sparse scoring: ONE int32 sort key per posting.
 
@@ -393,7 +396,19 @@ def sparse_score_topk_q8(
 
     B = q_terms.shape[0]
     keys = keys.reshape(B, -1)
-    skeys = jax.lax.sort(keys, dimension=-1)
+    M = keys.shape[1]
+    if bitonic is None:
+        bitonic = (jax.default_backend() == "tpu"
+                   and M & (M - 1) == 0 and M % 1024 == 0
+                   and B % BITONIC_ROW_TILE == 0)
+    if bitonic:
+        # single-int32 keys sort 2.06x faster through the VMEM-resident
+        # bitonic network than lax.sort (19.7 vs 40.6 ms at [1024, 32k])
+        from qpp_fusion_rag_tpu.ops.pallas.bitonic import bitonic_sort_rows
+
+        skeys = bitonic_sort_rows(keys)
+    else:
+        skeys = jax.lax.sort(keys, dimension=-1)
     sids = jnp.right_shift(skeys, 8)
     # one shared sentinel for the reduce: both 0x7FFFFF (unpacked invalid)
     # and any real doc never collide because doc ids < 2^23 - 1 is enforced

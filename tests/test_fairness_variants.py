@@ -73,3 +73,44 @@ def test_query_knn_and_variant_qpp():
     noisy[0] = 0.0  # outlier within its cluster gets pulled toward neighbors
     sm2 = corel_qpp(noisy, emb, k=3, lam=0.5)
     assert sm2[0] > 0.4
+
+
+def test_pre_evaluated_results(tmp_path):
+    from qpp_fusion_rag_tpu.evaluation.fairness import PreEvaluatedResults
+
+    p = tmp_path / "perq.tsv"
+    p.write_text("qid\tnDCG\tAWRF\tcombined\n"
+                 "q1\t0.5\t0.7\t0.35\n"
+                 "q2\t0.9\t0.2\t0.18\n")
+    pre = PreEvaluatedResults(p)
+    assert pre.compute("q1", "ndcg") == 0.5
+    assert pre.compute("q2", "awrf") == 0.2
+    assert pre.compute("q2", "combined") == 0.18
+    assert pre.compute("missing", "ndcg") == -1.0
+    assert pre.query_ids() == {"q1", "q2"}
+
+
+def test_export_doc_vectors(tmp_path):
+    import numpy as np
+
+    from qpp_fusion_rag_tpu.index.sparse import SparseIndex
+
+    # 2 terms, 3 docs: t0 -> d0:2.0 d2:1.0 ; t1 -> d1:3.0 d0:0.5
+    idx = SparseIndex(
+        offsets=np.array([0, 2, 4]),
+        docs=np.array([0, 2, 1, 0], np.int32),
+        weights=np.array([2.0, 1.0, 3.0, 0.5], np.float32),
+        doc_lens=np.array([2, 1, 1], np.int32),
+        docnos=["d0", "d1", "d2"],
+        vocab_dump="alpha\nbeta",
+    )
+    out = tmp_path / "vecs.tsv"
+    n = idx.export_doc_vectors(out, weighting="bm25")
+    assert n == 3
+    lines = out.read_text().splitlines()
+    assert lines[0] == "d0\talpha:2.0000 beta:0.5000"
+    assert lines[1] == "d1\tbeta:3.0000"
+    assert lines[2] == "d2\talpha:1.0000"
+    # tfidf re-weighting changes the weights
+    idx.export_doc_vectors(out, weighting="tfidf")
+    assert "alpha:" in out.read_text()

@@ -451,3 +451,36 @@ def test_dma_gather_matches_fallback_in_kernel():
                                       exact_topk=True, dma_gather=True)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-6)
+
+
+def test_q8_bitonic_matches_lax_sort():
+    """q8 kernel with the Pallas bitonic sort (interpret mode) == the
+    lax.sort path, at a power-of-two M."""
+    import jax.numpy as jnp
+
+    from qpp_fusion_rag_tpu.data.synthetic import zipf_bm25_csr, zipf_queries
+    from qpp_fusion_rag_tpu.ops.sparse import pack_postings, sparse_score_topk_q8
+
+    bo, bd, bw, _ = zipf_bm25_csr(4096, vocab_size=2000, avg_doc_len=20.0,
+                                  seed=3, max_postings=120_000)
+    bp, bs = pack_postings(bd, bw, bo)
+    qt, qw = zipf_queries(bo, 8, n_terms=4, seed=1)   # M = 4*256 = 1024
+    args = (jnp.asarray(bp), jnp.asarray(bo.astype(np.int32)),
+            jnp.asarray(bs), qt, qw)
+    s1, i1 = sparse_score_topk_q8(*args, k=20, p_cap=256,
+                                  exact_topk=True, bitonic=False)
+    s2, i2 = sparse_score_topk_q8(*args, k=20, p_cap=256,
+                                  exact_topk=True, bitonic=True)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-6)
+
+
+def test_bitonic_sort_rows_small():
+    import jax.numpy as jnp
+
+    from qpp_fusion_rag_tpu.ops.pallas.bitonic import bitonic_sort_rows
+
+    rng = np.random.default_rng(1)
+    x = rng.integers(-2**31, 2**31 - 1, (8, 1024), np.int64).astype(np.int32)
+    out = np.asarray(bitonic_sort_rows(jnp.asarray(x)))
+    np.testing.assert_array_equal(out, np.sort(x, axis=1))
