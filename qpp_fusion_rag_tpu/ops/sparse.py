@@ -398,8 +398,11 @@ def sparse_score_topk_q8(
     keys = keys.reshape(B, -1)
     M = keys.shape[1]
     if bitonic is None:
+        # M <= 64k keeps the row tile's working set (~3 copies) well
+        # inside VMEM; beyond that fall back to lax.sort
         bitonic = (jax.default_backend() == "tpu"
                    and M & (M - 1) == 0 and M % 1024 == 0
+                   and M <= 65536
                    and B % BITONIC_ROW_TILE == 0)
     if bitonic:
         # single-int32 keys sort 2.06x faster through the VMEM-resident

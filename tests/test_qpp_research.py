@@ -371,3 +371,45 @@ def test_quantized_sim_and_strict_and_ndcg_correlation():
     gains = 2.0 ** true - 1
     dcg = gains[[1, 0, 2, 3]] @ disc
     assert v == pytest.approx(dcg / (gains @ disc))
+
+
+def test_prec_heavy_evaluation():
+    """Fixed QPP estimates vs noisy metric resamples: a perfect predictor
+    keeps tau near 1 with small std; an anti-predictor goes negative."""
+    import numpy as np
+
+    from qpp_fusion_rag_tpu.qpp.prec_heavy import (
+        prec_heavy_evaluation,
+        prec_heavy_report,
+    )
+
+    rng = np.random.default_rng(0)
+    Q = 40
+    metric = rng.uniform(0.1, 0.9, Q)
+    good = metric + rng.normal(0, 0.01, Q)     # near-perfect predictor
+    bad = -metric
+
+    g = prec_heavy_evaluation(good, metric, n_rankings=50, delta=0.05, seed=1)
+    b = prec_heavy_evaluation(bad, metric, n_rankings=50, delta=0.05, seed=1)
+    assert g["tau_mean"] > 0.7
+    assert b["tau_mean"] < -0.7
+    assert g["tau_std"] < 0.1
+    assert len(g["samples"]) == 50
+    assert len(g["mean_sare"]) == Q
+    # SARE of the good predictor is much smaller than the bad one's
+    assert np.mean(g["mean_sare"]) < np.mean(b["mean_sare"])
+
+
+def test_prec_heavy_report_tsv(tmp_path):
+    import numpy as np
+
+    from qpp_fusion_rag_tpu.qpp.prec_heavy import prec_heavy_report
+
+    metric = np.linspace(0.1, 0.9, 10)
+    out = prec_heavy_report(
+        {"nqc": metric.copy(), "smv": metric[::-1].copy()},
+        metric, out_path=tmp_path / "ph.tsv", n_rankings=5)
+    assert set(out) == {"nqc", "smv"}
+    lines = (tmp_path / "ph.tsv").read_text().splitlines()
+    assert lines[0] == "method\ttau\tndcg"
+    assert len(lines) == 1 + 2 * 5
