@@ -484,3 +484,14 @@ def test_bitonic_sort_rows_small():
     x = rng.integers(-2**31, 2**31 - 1, (8, 1024), np.int64).astype(np.int32)
     out = np.asarray(bitonic_sort_rows(jnp.asarray(x)))
     np.testing.assert_array_equal(out, np.sort(x, axis=1))
+
+
+def test_search_q8_engine(index):
+    """engine='q8' serves the same ranking as exact on the toy index."""
+    s_ex, r_ex = index.search(["brown fox documents", "lazy dog"], k=6)
+    s_q8, r_q8 = index.search(["brown fox documents", "lazy dog"], k=6,
+                              engine="q8")
+    np.testing.assert_array_equal(r_ex, r_q8)
+    np.testing.assert_allclose(s_q8, s_ex, rtol=0.02, atol=1e-3)
+    with pytest.raises(ValueError):
+        index.search(["x"], engine="nope")
