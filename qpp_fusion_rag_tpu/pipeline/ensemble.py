@@ -97,6 +97,7 @@ def ensemble_retrieval_step(
     qpp_index: int = 5,         # RSD
     sparse_candidates: int = 0,
     sparse_mode: str = "sort",
+    mlp_params=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """5-view heterogeneous retrieve → QPP → weighted fuse.
     -> (fused_ids [B, k_out], fused_scores [B, k_out], qpp [5, B, 13]).
@@ -148,7 +149,17 @@ def ensemble_retrieval_step(
     ids = jnp.stack([bm25_i, splade_i, dense_i, rr1_i, rr2_i])
     qpp = qpp_from_runs(vals, ids, text_feats)
     norm = F._row_minmax(vals, ids >= 0, fill=-jnp.inf)
+    if mlp_params is not None:
+        # learned fusion: per-query softmax weights from the 5x13 QPP
+        # feature block (serving analogue of learned_fused_retrieval_step)
+        from qpp_fusion_rag_tpu.pipeline.engine import mlp_apply
+
+        R, B, M = qpp.shape
+        feats = jnp.transpose(qpp, (1, 0, 2)).reshape(B, R * M)
+        weights = jax.nn.softmax(mlp_apply(mlp_params, feats), axis=-1).T
+    else:
+        weights = qpp[..., qpp_index]
     fused_ids, fused_scores = weight_and_fuse(
-        ids, norm, qpp[..., qpp_index], method=method, k_out=k_out
+        ids, norm, weights, method=method, k_out=k_out
     )
     return fused_ids, fused_scores, qpp

@@ -94,3 +94,47 @@ def test_rerank_view_is_subset_of_candidates(rng):
     sc = (q[1] @ np.asarray(c_int).astype(np.float32)[:, cand[1]]) * \
         np.asarray(d_scale).reshape(-1)[cand[1]]
     np.testing.assert_array_equal(ids[1], cand[1][np.argsort(-sc, kind="stable")])
+
+
+def test_ensemble_learned_fusion(rng):
+    """mlp_params switches the ensemble step to learned softmax weights."""
+    import jax
+
+    from qpp_fusion_rag_tpu.ops.pallas.dense_topk import quantize_rows
+    from qpp_fusion_rag_tpu.ops.sparse import pack_postings
+    from qpp_fusion_rag_tpu.pipeline.engine import init_mlp_params
+    from qpp_fusion_rag_tpu.pipeline.ensemble import (
+        EnsembleIndexes,
+        ensemble_retrieval_step,
+    )
+
+    N, D, B, K = 1024, 16, 4, 10
+    bo, bd, bw = _csr(rng, N, n_terms=30, df=20)
+    so, sd, sw = _csr(rng, N, n_terms=40, df=15)
+    bp, bs = pack_postings(bd, bw, bo)
+    sp, ss = pack_postings(sd, sw, so)
+    corpus = rng.standard_normal((N, D)).astype(np.float32)
+    c_int, d_scale = quantize_rows(jnp.asarray(corpus.T), axis=0)
+    idx = EnsembleIndexes(
+        jnp.asarray(bp), jnp.asarray(bs), jnp.asarray(bo),
+        jnp.asarray(sp), jnp.asarray(ss), jnp.asarray(so),
+        c_int, jnp.asarray(np.asarray(c_int).T), d_scale.reshape(1, -1),
+    )
+    args = (
+        rng.integers(0, 30, (B, 4)).astype(np.int32),
+        np.ones((B, 4), np.float32),
+        rng.integers(0, 40, (B, 8)).astype(np.int32),
+        np.ones((B, 8), np.float32),
+        rng.standard_normal((B, D)).astype(np.float32),
+        (rng.standard_normal((2, D, D)) * 0.2).astype(np.float32),
+        np.tile(np.array([4.0, 4.0, 8.0, 5.0], np.float32), (B, 1)),
+    )
+    params = init_mlp_params(jax.random.PRNGKey(0), [5 * 13, 16, 5])
+    fid, fsc, qpp = ensemble_retrieval_step(
+        idx, *args, k=K, k_out=K, p_cap=16, mlp_params=params)
+    fid2, fsc2, _ = ensemble_retrieval_step(
+        idx, *args, k=K, k_out=K, p_cap=16)
+    assert fid.shape == fid2.shape
+    assert np.isfinite(np.asarray(fsc)[:, 0]).all()
+    # learned weights differ from the RSD column -> fused scores differ
+    assert not np.allclose(np.asarray(fsc), np.asarray(fsc2))
