@@ -210,3 +210,125 @@ def sharded_multi_view_topk(
         check_rep=False,
     )
     return jax.jit(fn)(queries, view_proj, corpus)
+
+
+def sharded_ensemble_step(
+    bm25_terms,              # [B, T1] int32 (-1 pad)   sharded over data
+    bm25_qw,                 # [B, T1] f32
+    splade_terms,            # [B, T2] int32
+    splade_qw,               # [B, T2] f32
+    q_emb,                   # [B, D] f32               sharded over data
+    rerank_proj,             # [2, D, D] f32            replicated
+    text_feats,              # [B, 4] f32               sharded over data
+    bm25_shards,             # shard_sparse_csr output (offsets_s, docs_s, weights_s, doc_base)
+    splade_shards,
+    corpus,                  # [N, D] f32 rows          sharded over corpus
+    mesh: Mesh,
+    n_docs: int,
+    k: int = 100,
+    k_out: int = 100,
+    p_cap: int = 1024,
+    qpp_index: int = 5,
+):
+    """The FULL heterogeneous 5-view ensemble over a (data, corpus) mesh:
+    BM25 + SPLADE (doc-range-partitioned CSR), dense, and two shared-
+    candidate rerank views, then QPP + weighted fusion — one shard_map
+    program, all cross-chip traffic on ICI.
+
+    Per-view communication: sparse/dense partial top-k merges are the
+    tiled all_gather + top_k of sharded_dense_topk (O(B·k·S) values);
+    the rerank views assemble candidate vectors with ONE psum over the
+    corpus axis (each shard contributes the rows of its doc range), then
+    score replicated. QPP + fusion compute replicated per corpus member
+    on the merged [5, B_loc, k] runs — O(B·k) work, cheaper than a
+    round-trip reshard. Multi-chip analogue of
+    pipeline.ensemble.ensemble_retrieval_step (single-chip production
+    path keeps the Pallas int8/q8 kernels; this composition is the
+    scale-out correctness/reference path — the Pallas kernels slot into
+    `local` per shard on real hardware).
+    -> (fused_ids [B, k_out], fused_scores [B, k_out], qpp [5, B, 13]).
+    """
+    from qpp_fusion_rag_tpu.ops import fusion as F
+    from qpp_fusion_rag_tpu.ops.sparse import sparse_score_topk
+    from qpp_fusion_rag_tpu.pipeline.engine import qpp_from_runs, weight_and_fuse
+
+    corpus, n_real = _pad_corpus(corpus, mesh.shape[CORPUS_AXIS])
+
+    def sparse_local(qt, qw, off, docs, w, base):
+        vals, ids = sparse_score_topk(
+            docs[0], w[0], off[0], qt, qw, k=k, p_cap=p_cap, exact_topk=True,
+        )
+        gids = ids + base[0]
+        keep = (ids >= 0) & (gids < n_docs)
+        return _merge_over_corpus(
+            jnp.where(keep, vals, -jnp.inf), jnp.where(keep, gids, -1), k
+        )
+
+    def local(bt, bw, st, sw, q, proj, tf,
+              b_off, b_docs, b_w, b_base, s_off, s_docs, s_w, s_base, c):
+        bm25_s, bm25_i = sparse_local(bt, bw, b_off, b_docs, b_w, b_base)
+        spl_s, spl_i = sparse_local(st, sw, s_off, s_docs, s_w, s_base)
+
+        # dense view over the local row range
+        shard = jax.lax.axis_index(CORPUS_AXIS).astype(jnp.int32)
+        scores = q @ c.T                                   # [B_loc, N_loc]
+        lv, li = jax.lax.top_k(scores, min(k, c.shape[0]))
+        gids = li + shard * c.shape[0]
+        keep = gids < n_real
+        dense_s, dense_i = _merge_over_corpus(
+            jnp.where(keep, lv, -jnp.inf), jnp.where(keep, gids, -1), k
+        )
+
+        # rerank views: assemble candidate vectors with one psum
+        base = shard * c.shape[0]
+        safe = jnp.maximum(bm25_i, 0)
+        local_idx = jnp.clip(safe - base, 0, c.shape[0] - 1)
+        own = (safe >= base) & (safe < base + c.shape[0])
+        cand_local = jnp.where(own[..., None], c[local_idx], 0.0)
+        cand = jax.lax.psum(cand_local, CORPUS_AXIS)       # [B_loc, K, D]
+        qv = jnp.einsum("bd,vdw->vbw", q, proj)            # [2, B_loc, D]
+        rs = jnp.einsum("vbd,bkd->vbk", qv, cand)
+        rs = jnp.where(bm25_i >= 0, rs, -jnp.inf)
+        order = jnp.argsort(-rs, axis=-1)
+        rids = jnp.broadcast_to(jnp.where(bm25_i >= 0, bm25_i, -1), rs.shape)
+        rr_s = jnp.take_along_axis(rs, order, axis=-1)
+        rr_i = jnp.take_along_axis(rids, order, axis=-1)
+
+        vals = jnp.stack([bm25_s, spl_s, dense_s, rr_s[0], rr_s[1]])
+        ids = jnp.stack([bm25_i, spl_i, dense_i, rr_i[0], rr_i[1]])
+        # QPP min-max normalization couples across the WHOLE query batch
+        # (reference src/qpp.py:340-374 semantics); with the batch sharded
+        # over `data`, the extrema must be global — pmin/pmax over the
+        # data axis, then the same (v - min)/(max - min) as normalize_qpp
+        qpp = qpp_from_runs(vals, ids, tf, normalize=False)
+        vmin = jax.lax.pmin(jnp.min(qpp, axis=1, keepdims=True), DATA_AXIS)
+        vmax = jax.lax.pmax(jnp.max(qpp, axis=1, keepdims=True), DATA_AXIS)
+        scale = jnp.where(vmax > vmin, vmax - vmin, 1.0)
+        qpp = jnp.where(vmax > vmin, (qpp - vmin) / scale, 0.5)
+        norm = F._row_minmax(vals, ids >= 0, fill=-jnp.inf)
+        fused_ids, fused_scores = weight_and_fuse(
+            ids, norm, qpp[..., qpp_index], k_out=k_out
+        )
+        return fused_ids, fused_scores, qpp
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(DATA_AXIS, None), P(DATA_AXIS, None),
+            P(DATA_AXIS, None), P(DATA_AXIS, None),
+            P(DATA_AXIS, None), P(None, None, None), P(DATA_AXIS, None),
+            P(CORPUS_AXIS, None), P(CORPUS_AXIS, None),
+            P(CORPUS_AXIS, None), P(CORPUS_AXIS),
+            P(CORPUS_AXIS, None), P(CORPUS_AXIS, None),
+            P(CORPUS_AXIS, None), P(CORPUS_AXIS),
+            P(CORPUS_AXIS, None),
+        ),
+        out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None),
+                   P(None, DATA_AXIS, None)),
+        check_rep=False,
+    )
+    return jax.jit(fn)(
+        bm25_terms, bm25_qw, splade_terms, splade_qw, q_emb, rerank_proj,
+        text_feats, *bm25_shards, *splade_shards, corpus,
+    )
