@@ -91,3 +91,112 @@ def bitonic_sort_rows(x: jnp.ndarray) -> jnp.ndarray:
         interpret=jax.default_backend() != "tpu",
     )(x3)
     return out.reshape(B, M)
+
+
+def _shift_down_flat(x, d, lane, subl, S, L):
+    """x[i - d] in flattened order (garbage where i < d; callers mask).
+    d must be a power of two <= M/2."""
+    if d < L:
+        a = pltpu.roll(x, shift=d, axis=2)          # [l] = x[l - d]
+        b = pltpu.roll(a, shift=1, axis=1)          # previous sublane's tail
+        return jnp.where(lane >= d, a, b)
+    ds = d // L
+    return pltpu.roll(x, shift=ds, axis=1)          # [s] = x[s - ds]
+
+
+def _shift_up1_flat(x, lane, subl, S, L):
+    """x[i + 1] in flattened order (garbage at the final element)."""
+    a = pltpu.roll(x, shift=L - 1, axis=2)          # [l] = x[l + 1]
+    b = pltpu.roll(a, shift=S - 1, axis=1)          # next sublane's head
+    return jnp.where(lane < L - 1, a, b)
+
+
+def _bitonic_segsum_kernel(x_ref, sums_ref, sids_ref):
+    """Sort + segmented run-sum fused: sort int32 keys (doc << 8 | q8),
+    then an int32 segmented Hillis-Steele scan sums each doc run's low
+    bytes entirely in VMEM. Outputs: sums (run total at each run's LAST
+    position, -1 elsewhere) and the sorted doc ids. Integer sums are
+    EXACT — no f32 cumsum-difference error (ops.segment precision note).
+    """
+    TB, S, L = x_ref.shape
+    M = S * L
+    x = x_ref[:]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TB, S, L), 2)
+    subl = jax.lax.broadcasted_iota(jnp.int32, (TB, S, L), 1)
+
+    k = 2
+    while k <= M:
+        j = k // 2
+        while j >= 1:
+            if j < L:
+                bit_j = (lane & j) != 0
+                plus = pltpu.roll(x, shift=L - j, axis=2)
+                minus = pltpu.roll(x, shift=j, axis=2)
+                px = jnp.where(bit_j, minus, plus)
+            else:
+                js = j // L
+                bit_j = (subl & js) != 0
+                plus = pltpu.roll(x, shift=S - js, axis=1)
+                minus = pltpu.roll(x, shift=js, axis=1)
+                px = jnp.where(bit_j, minus, plus)
+            if k < L:
+                bit_k = (lane & k) != 0
+            elif k < M:
+                bit_k = (subl & (k // L)) != 0
+            else:
+                bit_k = jnp.zeros((TB, S, L), bool)
+            take_min = bit_j == bit_k
+            x = jnp.where(take_min, jnp.minimum(x, px), jnp.maximum(x, px))
+            j //= 2
+        k *= 2
+
+    flat = subl * L + lane
+    sid = jax.lax.shift_right_logical(x, 8)
+    v = x & jnp.int32(0xFF)
+    sid_prev = _shift_down_flat(sid, 1, lane, subl, S, L)
+    # int32 0/1 flags throughout: Mosaic rejects shifted bool vectors
+    # (vector<i8> -> i1 trunci) but is happy with int32 select/or chains
+    start = jnp.where((sid != sid_prev) | (flat == 0),
+                      jnp.int32(1), jnp.int32(0))
+    sid_next = _shift_up1_flat(sid, lane, subl, S, L)
+    last = (sid != sid_next) | (flat == M - 1)
+
+    # segmented inclusive scan: v[i] = sum of its run through i
+    f = start
+    d = 1
+    while d < M:
+        vs = _shift_down_flat(v, d, lane, subl, S, L)
+        fs = _shift_down_flat(f, d, lane, subl, S, L)
+        valid = flat >= d
+        v = jnp.where(valid & (f == 0), v + vs, v)
+        f = jnp.where(valid, f | fs, f)
+        d *= 2
+
+    sums_ref[:] = jnp.where(last, v, jnp.int32(-1))
+    sids_ref[:] = sid
+
+
+@partial(jax.jit, static_argnames=())
+def bitonic_segsum_rows(x: jnp.ndarray):
+    """Sort rows of packed (doc << 8 | q8) int32 keys AND sum each doc's
+    q8 run in one VMEM-resident kernel.
+    -> (sums [B, M] int32: run total at run-last positions, -1 elsewhere;
+        sids [B, M] int32: sorted doc ids)."""
+    B, M = x.shape
+    if M & (M - 1) or M % (8 * LANES):
+        raise ValueError(f"M={M} must be a power of two >= 1024")
+    if B % ROW_TILE:
+        raise ValueError(f"B={B} must be a multiple of {ROW_TILE}")
+    S = M // LANES
+    spec = pl.BlockSpec((ROW_TILE, S, LANES), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    sums, sids = pl.pallas_call(
+        _bitonic_segsum_kernel,
+        out_shape=(jax.ShapeDtypeStruct((B, S, LANES), jnp.int32),
+                   jax.ShapeDtypeStruct((B, S, LANES), jnp.int32)),
+        grid=(B // ROW_TILE,),
+        in_specs=[spec],
+        out_specs=(spec, spec),
+        interpret=jax.default_backend() != "tpu",
+    )(x.reshape(B, S, LANES))
+    return sums.reshape(B, M), sids.reshape(B, M)
