@@ -36,13 +36,9 @@ class SparseIndex:
         vocab_dump: str,
         params: Optional[Dict] = None,
     ):
-        offsets = np.asarray(offsets)
-        if len(offsets) and int(offsets[-1]) >= 2**31:
-            raise OverflowError(
-                f"{int(offsets[-1])} postings exceed the int32 device-index "
-                "range; shard the corpus over multiple SparseIndex instances"
-            )
-        self.offsets = offsets.astype(np.int32)
+        # host storage stays int64 (SpladeIndex-style): no silent wrap while
+        # building/merging; the >=2^31 guard runs at device transfer
+        self.offsets = np.asarray(offsets).astype(np.int64)
         self.docs = np.asarray(docs, dtype=np.int32)
         weights = np.asarray(weights)
         self.weights = weights if weights.dtype == np.uint8 else weights.astype(np.float32)
@@ -197,6 +193,17 @@ class SparseIndex:
         n_pad = min(n_pad, max_terms)
         return ids[:, :n_pad], wts[:, :n_pad]
 
+    def _offsets_i32(self) -> np.ndarray:
+        """int32 view of the CSR offsets for device transfer, with the
+        overflow guard (device kernels index postings with int32)."""
+        if len(self.offsets) and int(self.offsets[-1]) >= 2**31:
+            raise OverflowError(
+                f"{int(self.offsets[-1])} postings exceed the int32 device-"
+                "index range; shard the corpus over multiple SparseIndex "
+                "instances (parallel.sharded.shard_sparse_csr)"
+            )
+        return self.offsets.astype(np.int32)
+
     def _device_arrays(self):
         import jax.numpy as jnp
 
@@ -204,7 +211,7 @@ class SparseIndex:
             self._device = (
                 jnp.asarray(self.docs),
                 jnp.asarray(self.weights),
-                jnp.asarray(self.offsets),
+                jnp.asarray(self._offsets_i32()),
                 jnp.asarray(self.term_scales) if self.term_scales is not None else None,
             )
         return self._device
@@ -262,7 +269,7 @@ class SparseIndex:
             import jax.numpy as jnp
 
             scores, ids = sparse_score_topk_q8(
-                packed, jnp.asarray(self.offsets), pscales,
+                packed, jnp.asarray(self._offsets_i32()), pscales,
                 q_terms, q_weights, k=k, p_cap=p_cap, exact_topk=exact_topk,
             )
             return np.asarray(scores), np.asarray(ids)

@@ -266,6 +266,13 @@ def group_max_packed_int8_global(
     M, D = q_int.shape
     N = corpus_int.shape[1]
     assert N % tn == 0 and tn % GROUP == 0, (N, tn)
+    # the (score << 7) | lane packing needs |i32 dot| < 2^24 so the shift
+    # cannot overflow and the -(1<<24) pad sentinel stays below any real
+    # score; |dot| <= D * 127^2, so D <= 1040 (768/1024 ok, 1536 is not —
+    # use the per-doc-scale kernel group_max_packed_int8 for larger dims)
+    assert D * 127 * 127 < (1 << 24), (
+        f"int8 global-scale packing requires D*127^2 < 2^24 (D <= 1040); "
+        f"got D={D} — use pallas_dense_topk_int8 instead")
     pad_m = (-M) % tm
     if pad_m:
         q_int = jnp.pad(q_int, ((0, pad_m), (0, 0)))
@@ -315,6 +322,10 @@ def pallas_dense_topk_int8_global(
     """Global-scale int8 fused top-k: all-integer kernel reduction, scales
     applied to the k winners only. -> (scores [B, k], ids [B, k])."""
     q_int, q_scale = quantize_rows(queries.astype(jnp.float32))
+    D = queries.shape[1]
+    assert D * 127 * 127 < (1 << 24), (
+        f"int8 global-scale packing requires D*127^2 < 2^24 (D <= 1040); "
+        f"got D={D} — use pallas_dense_topk_int8 instead")
     n = corpus_int.shape[1]
     pad_n = (-n) % tn
     if pad_n:
@@ -338,8 +349,9 @@ def pallas_dense_topk_int8_global(
     lane = tv & jnp.int32(0x7F)
     top_ids = tx.astype(jnp.int32) * GROUP + lane
     top_vals = score_i.astype(jnp.float32) * (q_scale * corpus_scale)
-    # pad sentinel unpacks to -(1<<24); real scores stay above -1.3e7
-    valid = score_i > -(15 << 20)
+    # pad sentinel unpacks to exactly -(1<<24); real scores are bounded
+    # below by -D*127^2 > -(1<<24) (asserted above), so this is exact
+    valid = score_i > jnp.int32(-(1 << 24))
     top_vals = jnp.where(valid, top_vals, -jnp.inf)
     if kk < k:
         pad = ((0, 0), (0, k - kk))

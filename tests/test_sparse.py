@@ -215,17 +215,21 @@ def test_stemmer_one_char_stems_and_nul_docs():
 
 
 def test_sparse_index_postings_overflow_guard():
+    """Host storage keeps int64 offsets (no silent wrap while building);
+    the >=2^31 guard fires at device transfer, mirroring SpladeIndex."""
     import numpy as np
     import pytest as _pytest
 
     from qpp_fusion_rag_tpu.index.sparse import SparseIndex
 
+    idx = SparseIndex(
+        offsets=np.array([0, 2**31], np.int64),
+        docs=np.zeros(1, np.int32), weights=np.zeros(1, np.float32),
+        doc_lens=np.zeros(1, np.int32), docnos=["d0"], vocab_dump="t\n",
+    )
+    assert idx.offsets.dtype == np.int64          # construction is fine
     with _pytest.raises(OverflowError):
-        SparseIndex(
-            offsets=np.array([0, 2**31], np.int64),
-            docs=np.zeros(1, np.int32), weights=np.zeros(1, np.float32),
-            doc_lens=np.zeros(1, np.int32), docnos=["d0"], vocab_dump="t\n",
-        )
+        idx._offsets_i32()                        # device transfer is not
 
 
 def test_packed_postings_match_unpacked(rng):
