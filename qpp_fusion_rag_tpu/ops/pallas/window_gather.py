@@ -90,8 +90,12 @@ def gather_windows_pallas(
     G = starts.shape[0]
     if G % ROWS:
         raise ValueError(f"G={G} must be a multiple of {ROWS}")
-    if cap % LANES:
-        raise ValueError(f"cap={cap} must be a multiple of {LANES}")
+    if cap % ALIGN:
+        # the VMEM realign rolls whole [f_rows, 128] tiles; tpu.dynamic_rotate
+        # needs f_rows = (cap + ALIGN)/128 to be a multiple of 8 sublanes,
+        # i.e. cap % 1024 == 0 (cap=256 compiled to a 10-row rotate and was
+        # rejected by Mosaic as an unaligned shape)
+        raise ValueError(f"cap={cap} must be a multiple of {ALIGN}")
     if src.shape[0] % ALIGN:
         raise ValueError("src must be padded to ALIGN (pad_for_gather)")
     fetch = cap + ALIGN

@@ -112,6 +112,7 @@ def pack_postings(
     flat_docs: np.ndarray,     # [P] doc ids (< 2^23)
     flat_weights: np.ndarray,  # [P] f32 impacts (impact-ordered per term)
     offsets: np.ndarray,       # [T+1]
+    scales: np.ndarray = None,  # [T] f32: quantize against these instead
 ):
     """Pack each posting into ONE int32: (doc_id << 8) | uint8 impact.
 
@@ -137,10 +138,16 @@ def pack_postings(
         raise ValueError("packed postings need doc ids < 2^23 - 1; shard the corpus")
     T = len(offsets) - 1
     counts = np.diff(offsets)
-    maxima = np.zeros(T, dtype=np.float32)
-    nonempty = counts > 0
-    maxima[nonempty] = flat_weights[offsets[:-1][nonempty]]
-    scales = np.where(maxima > 0, maxima / 255.0, 1.0).astype(np.float32)
+    if scales is None:
+        maxima = np.zeros(T, dtype=np.float32)
+        nonempty = counts > 0
+        maxima[nonempty] = flat_weights[offsets[:-1][nonempty]]
+        scales = np.where(maxima > 0, maxima / 255.0, 1.0).astype(np.float32)
+    else:
+        # externally supplied grid — the doc-range-sharded packer passes the
+        # GLOBAL per-term scales so every shard quantizes identically to the
+        # single-chip index (shard_ensemble_indexes equality contract)
+        scales = np.asarray(scales, dtype=np.float32)
     per_post = np.repeat(scales, counts)
     q = np.clip(np.round(flat_weights / np.maximum(per_post, 1e-12)), 0, 255)
     packed = (flat_docs.astype(np.int64) << 8) | q.astype(np.int64)
@@ -166,7 +173,7 @@ def _packed_windows(packed, s_clamped, cap, dma_gather):
         dma_gather = (
             jax.default_backend() == "tpu"
             and (B * Tq) % WG.ROWS == 0
-            and cap % WG.LANES == 0
+            and cap % WG.ALIGN == 0      # sublane-aligned VMEM realign
             and cap <= _MAX_DMA_CAP
             and P % WG.ALIGN == 0
             and P >= cap + 2 * WG.ALIGN
@@ -339,6 +346,157 @@ def sparse_rescore_topk_packed(
 
     B = q_terms.shape[0]
     return _rescore_pool(docs.reshape(B, -1), vals.reshape(B, -1), k, candidates)
+
+def pack_doc_vectors(
+    offsets: np.ndarray,       # [T+1] CSR term offsets
+    flat_docs: np.ndarray,     # [P] doc ids
+    flat_weights: np.ndarray,  # [P] f32 impacts
+    n_docs: int,
+    doc_cap: int = 0,          # 0 = fit the longest doc (exact)
+):
+    """Invert term-major CSR postings to PACKED doc-major vectors for the
+    exact-rescore kernel: row d holds doc d's (term << 8 | uint8 impact)
+    entries, padded with the term sentinel 0x7FFFFF (matches no query).
+
+    Impacts quantize per-DOC against the doc's max weight (scale =
+    max_w/255), so a rescored sum's relative error is bounded by
+    ~n_matched/510 · max_w — measured recall impact nil (the candidate
+    ORDER is what matters, and quantization noise is far below typical
+    BM25 score gaps; docs/quality_rescore.json).
+
+    doc_cap > 0 truncates docs to their `doc_cap` HIGHEST-weight terms
+    (rescoring then lower-bounds the true score); 0 sizes rows to the
+    longest doc — exact, the default. Returns
+    (doc_packed int32 [N, Td], doc_scale f32 [N], Td).
+
+    Reference behavior this supports: exhaustive Lucene/Terrier scoring is
+    rank-exact by construction (reference src/retrievers/splade.py:75-80,
+    src/retrievers/bm25.py:43-52); window-capped candidate generation +
+    this full-contribution rescore restores rank safety at TPU speed.
+    """
+    offsets = np.asarray(offsets, dtype=np.int64)
+    flat_docs = np.asarray(flat_docs)
+    flat_weights = np.asarray(flat_weights, dtype=np.float32)
+    T = len(offsets) - 1
+    if T >= (1 << 23) - 1:
+        raise ValueError("doc-vector packing needs term ids < 2^23 - 1")
+    term_of = np.repeat(np.arange(T, dtype=np.int64), np.diff(offsets))
+    # group postings by doc; stable keeps per-term impact order (unused)
+    order = np.argsort(flat_docs, kind="stable")
+    d_sorted = flat_docs[order]
+    t_sorted = term_of[order]
+    w_sorted = flat_weights[order]
+    bounds = np.searchsorted(d_sorted, np.arange(n_docs + 1))
+    counts = np.diff(bounds)
+    td_full = int(counts.max()) if n_docs else 1
+    td = td_full if doc_cap <= 0 else min(doc_cap, td_full)
+    td = max(td, 1)
+
+    # per-doc max weight -> uint8 quantization scale
+    doc_scale = np.ones(n_docs, dtype=np.float32)
+    np.maximum.at(doc_scale_acc := np.zeros(n_docs, np.float32),
+                  d_sorted, w_sorted)
+    nz = doc_scale_acc > 0
+    doc_scale[nz] = doc_scale_acc[nz] / 255.0
+
+    if td < td_full:
+        # keep each doc's heaviest `td` terms: rank entries per doc by -w
+        rank = np.zeros(len(d_sorted), dtype=np.int64)
+        sub = np.lexsort((-w_sorted, d_sorted))
+        pos_in_doc = np.arange(len(d_sorted)) - np.repeat(bounds[:-1], counts)
+        rank[sub] = pos_in_doc
+        keep = rank < td
+        d_sorted, t_sorted, w_sorted = (
+            d_sorted[keep], t_sorted[keep], w_sorted[keep])
+        bounds = np.searchsorted(d_sorted, np.arange(n_docs + 1))
+        counts = np.diff(bounds)
+
+    q = np.clip(np.round(w_sorted / np.maximum(
+        np.repeat(doc_scale, counts), 1e-12)), 0, 255).astype(np.int64)
+    packed_flat = (t_sorted << 8) | q
+    doc_packed = np.full((n_docs, td), np.int64(0x7FFFFF) << 8,
+                         dtype=np.int64)
+    col = np.arange(len(d_sorted)) - np.repeat(bounds[:-1], counts)
+    doc_packed[d_sorted, col] = packed_flat
+    return doc_packed.astype(np.int32), doc_scale, td
+
+
+@partial(jax.jit, static_argnames=("k",))
+def sparse_exact_rescore(
+    cand_scores: jnp.ndarray,  # [B, C] f32 candidate-gen scores (unused order)
+    cand_ids: jnp.ndarray,     # [B, C] int32 candidate doc ids (-1 pad)
+    doc_packed: jnp.ndarray,   # [N, Td] int32 (term << 8 | uint8 impact)
+    doc_scale: jnp.ndarray,    # [N] f32
+    q_terms: jnp.ndarray,      # [B, Tq] int32 (-1 pad)
+    q_weights: jnp.ndarray,    # [B, Tq] f32
+    term_scales: jnp.ndarray = None,  # [T] f32 (query-side dequant fold-in)
+    k: int = 100,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact-rescore candidates against their FULL term contributions.
+    -> (scores [B, k] desc, ids [B, k], -1 pad).
+
+    score(d) = doc_scale[d] · Σ_j imp8[d, j] · qw[term[d, j]] — every term
+    of the doc participates, so window/p_cap truncation error vanishes for
+    any doc that reaches the candidate pool. The [B, C, Td] gather is the
+    HBM cost; the Tq-way term match is an unrolled VPU compare-accumulate
+    (Tq ≤ 16 after encode_queries' power-of-two trim)."""
+    B, C = cand_ids.shape
+    qw = jnp.where(q_terms >= 0, q_weights, 0.0)
+    if term_scales is not None:
+        qw = qw * term_scales[jnp.maximum(q_terms, 0)]
+    safe = jnp.maximum(cand_ids, 0)
+    rows = jnp.take(doc_packed, safe.reshape(-1), axis=0).reshape(B, C, -1)
+    t = jax.lax.shift_right_logical(rows, 8)            # [B, C, Td]
+    imp = (rows & jnp.int32(0xFF)).astype(jnp.float32)
+    acc = jnp.zeros((B, C), jnp.float32)
+    Tq = q_terms.shape[1]
+    for j in range(Tq):                                  # unrolled: Tq <= 16
+        m = (t == q_terms[:, j, None, None]).astype(jnp.float32)
+        acc = acc + jnp.sum(m * imp, axis=-1) * qw[:, j, None]
+    scores = acc * doc_scale[safe]
+    scores = jnp.where(cand_ids >= 0, scores, -jnp.inf)
+    kk = min(k, C)
+    top_vals, top_idx = jax.lax.top_k(scores, kk)
+    top_ids = jnp.take_along_axis(cand_ids, top_idx, axis=-1)
+    ok = jnp.isfinite(top_vals)
+    return (jnp.where(ok, top_vals, -jnp.inf),
+            jnp.where(ok, top_ids, -1))
+
+
+@partial(jax.jit, static_argnames=("k", "p_cap", "candidates", "dma_gather",
+                                   "bitonic"))
+def sparse_score_topk_q8_rescored(
+    packed: jnp.ndarray,        # [P] int32 (doc << 8 | uint8 impact)
+    offsets: jnp.ndarray,       # [T+1] int32
+    term_scales: jnp.ndarray,   # [T] f32
+    doc_packed: jnp.ndarray,    # [N, Td] int32 doc-major (pack_doc_vectors)
+    doc_scale: jnp.ndarray,     # [N] f32
+    q_terms: jnp.ndarray,       # [B, Tq] int32 (-1 pad)
+    q_weights: jnp.ndarray,     # [B, Tq] f32
+    k: int = 100,
+    p_cap: int = 1024,
+    candidates: int = 512,
+    dma_gather: bool = None,
+    bitonic: bool = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """RANK-SAFE production sparse scoring: q8 window kernel generates a
+    top-`candidates` pool, then every pooled doc is exactly rescored
+    against its full term vector (sparse_exact_rescore) and re-ranked.
+
+    Closes the p_cap truncation hole (recall@10 0.88 at q8/p_cap=2048,
+    docs/quality_q8.json) to >= 0.99 vs full-depth exact at ~1.1-1.2x the
+    q8 latency (docs/quality_rescore.json). A true top-k doc is missed
+    only when NONE of its postings fall inside any query term's top-p_cap
+    impact window AND it is outside the pool — both measured < 1% jointly
+    at the production config."""
+    cs, ci = sparse_score_topk_q8(
+        packed, offsets, term_scales, q_terms, q_weights,
+        k=candidates, p_cap=p_cap, exact_topk=False,
+        dma_gather=dma_gather, bitonic=bitonic,
+    )
+    return sparse_exact_rescore(
+        cs, ci, doc_packed, doc_scale, q_terms, q_weights, k=k)
+
 
 @partial(jax.jit, static_argnames=("k", "p_cap", "exact_topk", "dma_gather",
                                    "bitonic"))

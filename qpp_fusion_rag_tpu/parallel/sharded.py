@@ -14,7 +14,7 @@ independent of corpus size N.
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -22,6 +22,7 @@ from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from qpp_fusion_rag_tpu.ops import dense
+from qpp_fusion_rag_tpu.ops import fusion as F
 from qpp_fusion_rag_tpu.parallel.mesh import CORPUS_AXIS, DATA_AXIS
 
 
@@ -212,7 +213,111 @@ def sharded_multi_view_topk(
     return jax.jit(fn)(queries, view_proj, corpus)
 
 
+class ShardedEnsembleIndexes(NamedTuple):
+    """Per-shard device arrays for the heterogeneous ensemble, built by
+    shard_ensemble_indexes. Sparse fields carry a leading shard axis [S];
+    dense fields are plain arrays sharded along the doc axis by shard_map.
+    Per-shard formats are EXACTLY pipeline.ensemble.EnsembleIndexes' —
+    the sharded step runs the same production kernels per shard."""
+    bm25_packed: jnp.ndarray      # [S, Pp1] int32 (pack_postings, padded)
+    bm25_scales: jnp.ndarray      # [S, T1] f32
+    bm25_offsets: jnp.ndarray     # [S, T1+1] int32 (shard-local CSR)
+    bm25_doc_packed: jnp.ndarray  # [S, Nl, Td1] int32 (pack_doc_vectors)
+    bm25_doc_scale: jnp.ndarray   # [S, Nl] f32
+    splade_packed: jnp.ndarray
+    splade_scales: jnp.ndarray
+    splade_offsets: jnp.ndarray
+    splade_doc_packed: jnp.ndarray
+    splade_doc_scale: jnp.ndarray
+    corpus_int: jnp.ndarray       # [D, Np] int8 (Np = S*Nl)
+    corpus_rows: jnp.ndarray      # [Np, D] int8
+    d_scale: jnp.ndarray          # [1, Np] f32
+    doc_base: jnp.ndarray         # [S] int32 global id of shard-local doc 0
+
+
+def shard_ensemble_indexes(
+    bm25_csr,                # (offsets, flat_docs, flat_weights)
+    splade_csr,              # (offsets, flat_docs, flat_weights)
+    corpus,                  # [N, D] f32 dense rows
+    n_docs: int,
+    n_shards: int,
+) -> ShardedEnsembleIndexes:
+    """Partition both CSR indexes by doc range (shard_sparse_csr), pack
+    each shard's postings and doc-major vectors with the SAME host
+    packers as the single-chip index (ops.sparse.pack_postings /
+    pack_doc_vectors), and quantize the dense corpus per doc — per-doc
+    quantization scales are shard-invariant, so per-shard kernels score
+    identically to the single-chip kernels on their doc range."""
+    import numpy as np
+
+    from qpp_fusion_rag_tpu.ops.pallas.dense_topk import quantize_rows
+    from qpp_fusion_rag_tpu.ops.sparse import pack_doc_vectors, pack_postings
+
+    n_local = -(-n_docs // n_shards)
+
+    def _shard_sparse(csr):
+        # GLOBAL per-term quantization scales: every shard quantizes on the
+        # same grid as the single-chip index, so per-shard kernel scores are
+        # bit-identical to the single-chip kernel on the same doc
+        g_offsets = np.asarray(csr[0], dtype=np.int64)
+        g_weights = np.asarray(csr[2], dtype=np.float32)
+        g_counts = np.diff(g_offsets)
+        maxima = np.zeros(len(g_offsets) - 1, dtype=np.float32)
+        nonempty = g_counts > 0
+        maxima[nonempty] = g_weights[g_offsets[:-1][nonempty]]
+        g_scales = np.where(maxima > 0, maxima / 255.0, 1.0).astype(np.float32)
+
+        offsets_s, docs_s, weights_s, doc_base = shard_sparse_csr(
+            *csr, n_docs=n_docs, n_shards=n_shards)
+        packed_l, scales_l, dp_l, ds_l = [], [], [], []
+        td_max = 1
+        for s in range(n_shards):
+            n_post = int(offsets_s[s, -1])
+            p, sc = pack_postings(
+                docs_s[s, :n_post], weights_s[s, :n_post], offsets_s[s],
+                scales=g_scales)
+            packed_l.append(p)
+            scales_l.append(sc)
+            dp, ds, td = pack_doc_vectors(
+                offsets_s[s], docs_s[s, :n_post], weights_s[s, :n_post],
+                n_local)
+            dp_l.append(dp)
+            ds_l.append(ds)
+            td_max = max(td_max, td)
+        p_max = max(len(p) for p in packed_l)
+        packed = np.zeros((n_shards, p_max), np.int32)
+        doc_packed = np.full(
+            (n_shards, n_local, td_max), np.int32(0x7FFFFF) << 8, np.int32)
+        for s in range(n_shards):
+            packed[s, : len(packed_l[s])] = packed_l[s]
+            doc_packed[s, :, : dp_l[s].shape[1]] = dp_l[s]
+        return (packed, np.stack(scales_l), offsets_s.astype(np.int32),
+                doc_packed, np.stack(ds_l), doc_base)
+
+    b_p, b_s, b_o, b_dp, b_ds, doc_base = _shard_sparse(bm25_csr)
+    s_p, s_s, s_o, s_dp, s_ds, _ = _shard_sparse(splade_csr)
+
+    corpus = np.asarray(corpus, dtype=np.float32)
+    pad = n_shards * n_local - corpus.shape[0]
+    if pad:
+        corpus = np.concatenate(
+            [corpus, np.zeros((pad, corpus.shape[1]), np.float32)])
+    rows_int, row_scale = quantize_rows(jnp.asarray(corpus), axis=-1)
+    return ShardedEnsembleIndexes(
+        bm25_packed=jnp.asarray(b_p), bm25_scales=jnp.asarray(b_s),
+        bm25_offsets=jnp.asarray(b_o), bm25_doc_packed=jnp.asarray(b_dp),
+        bm25_doc_scale=jnp.asarray(b_ds),
+        splade_packed=jnp.asarray(s_p), splade_scales=jnp.asarray(s_s),
+        splade_offsets=jnp.asarray(s_o), splade_doc_packed=jnp.asarray(s_dp),
+        splade_doc_scale=jnp.asarray(s_ds),
+        corpus_int=jnp.transpose(rows_int), corpus_rows=rows_int,
+        d_scale=row_scale.reshape(1, -1),
+        doc_base=jnp.asarray(doc_base),
+    )
+
+
 def sharded_ensemble_step(
+    idx: ShardedEnsembleIndexes,
     bm25_terms,              # [B, T1] int32 (-1 pad)   sharded over data
     bm25_qw,                 # [B, T1] f32
     splade_terms,            # [B, T2] int32
@@ -220,97 +325,113 @@ def sharded_ensemble_step(
     q_emb,                   # [B, D] f32               sharded over data
     rerank_proj,             # [2, D, D] f32            replicated
     text_feats,              # [B, 4] f32               sharded over data
-    bm25_shards,             # shard_sparse_csr output (offsets_s, docs_s, weights_s, doc_base)
-    splade_shards,
-    corpus,                  # [N, D] f32 rows          sharded over corpus
     mesh: Mesh,
     n_docs: int,
     k: int = 100,
     k_out: int = 100,
     p_cap: int = 1024,
     qpp_index: int = 5,
+    sparse_mode: str = "sort",
+    sparse_candidates: int = 0,
+    mlp_params=None,
+    qpp_norm_stats=None,
 ):
-    """The FULL heterogeneous 5-view ensemble over a (data, corpus) mesh:
-    BM25 + SPLADE (doc-range-partitioned CSR), dense, and two shared-
-    candidate rerank views, then QPP + weighted fusion — one shard_map
-    program, all cross-chip traffic on ICI.
+    """The FULL heterogeneous 5-view ensemble over a (data, corpus) mesh —
+    the SAME per-view production kernels as the single-chip
+    pipeline.ensemble.ensemble_retrieval_step (make_sparse_scorer /
+    dense_view_topk int8 Pallas / score_candidates), composed per corpus
+    shard inside one shard_map program with all cross-chip traffic on ICI.
 
-    Per-view communication: sparse/dense partial top-k merges are the
-    tiled all_gather + top_k of sharded_dense_topk (O(B·k·S) values);
-    the rerank views assemble candidate vectors with ONE psum over the
-    corpus axis (each shard contributes the rows of its doc range), then
-    score replicated. QPP + fusion compute replicated per corpus member
-    on the merged [5, B_loc, k] runs — O(B·k) work, cheaper than a
-    round-trip reshard. Multi-chip analogue of
-    pipeline.ensemble.ensemble_retrieval_step (single-chip production
-    path keeps the Pallas int8/q8 kernels; this composition is the
-    scale-out correctness/reference path — the Pallas kernels slot into
-    `local` per shard on real hardware).
+    Per-view communication: sparse/dense shard-local top-k buffers merge
+    with the tiled all_gather + top_k of sharded_dense_topk (O(B·k·S)
+    values); the rerank views assemble candidate vectors AND their
+    dequant scales with one psum over the corpus axis (each shard
+    contributes the rows of its doc range), then score replicated with
+    the shared score_candidates. QPP normalization extrema pmin/pmax
+    over the data axis (whole-batch reference semantics,
+    src/qpp.py:340-374) unless frozen qpp_norm_stats are given. The
+    fusion tail is pipeline.ensemble.fuse_tail, replicated per corpus
+    member on the merged [5, B_loc, k] runs — O(B·k) work, cheaper than
+    a round-trip reshard.
     -> (fused_ids [B, k_out], fused_scores [B, k_out], qpp [5, B, 13]).
     """
-    from qpp_fusion_rag_tpu.ops import fusion as F
-    from qpp_fusion_rag_tpu.ops.sparse import sparse_score_topk
-    from qpp_fusion_rag_tpu.pipeline.engine import qpp_from_runs, weight_and_fuse
+    from qpp_fusion_rag_tpu.pipeline.engine import qpp_from_runs
+    from qpp_fusion_rag_tpu.pipeline.ensemble import (
+        apply_minmax,
+        dense_view_topk,
+        fuse_tail,
+        make_sparse_scorer,
+        minmax_extrema,
+        normalize_qpp_with,
+        score_candidates,
+    )
 
-    corpus, n_real = _pad_corpus(corpus, mesh.shape[CORPUS_AXIS])
+    scorer = make_sparse_scorer(sparse_mode, sparse_candidates, k, p_cap)
+    n_shards = mesh.shape[CORPUS_AXIS]
+    n_local = idx.corpus_rows.shape[0] // n_shards
 
-    def sparse_local(qt, qw, off, docs, w, base):
-        vals, ids = sparse_score_topk(
-            docs[0], w[0], off[0], qt, qw, k=k, p_cap=p_cap, exact_topk=True,
-        )
-        gids = ids + base[0]
+    def to_global(vals, ids, base):
+        gids = ids + base
         keep = (ids >= 0) & (gids < n_docs)
         return _merge_over_corpus(
-            jnp.where(keep, vals, -jnp.inf), jnp.where(keep, gids, -1), k
-        )
+            jnp.where(keep, vals, -jnp.inf), jnp.where(keep, gids, -1), k)
 
-    def local(bt, bw, st, sw, q, proj, tf,
-              b_off, b_docs, b_w, b_base, s_off, s_docs, s_w, s_base, c):
-        bm25_s, bm25_i = sparse_local(bt, bw, b_off, b_docs, b_w, b_base)
-        spl_s, spl_i = sparse_local(st, sw, s_off, s_docs, s_w, s_base)
+    def local(bt, bw, st, sw, q, proj, tf, sidx):
+        base = sidx.doc_base[0]
+        bm25_s, bm25_i = to_global(*scorer(
+            sidx.bm25_packed[0], sidx.bm25_offsets[0], sidx.bm25_scales[0],
+            bt, bw, sidx.bm25_doc_packed[0], sidx.bm25_doc_scale[0]), base)
+        spl_s, spl_i = to_global(*scorer(
+            sidx.splade_packed[0], sidx.splade_offsets[0],
+            sidx.splade_scales[0], st, sw,
+            sidx.splade_doc_packed[0], sidx.splade_doc_scale[0]), base)
 
-        # dense view over the local row range
-        shard = jax.lax.axis_index(CORPUS_AXIS).astype(jnp.int32)
-        scores = q @ c.T                                   # [B_loc, N_loc]
-        lv, li = jax.lax.top_k(scores, min(k, c.shape[0]))
-        gids = li + shard * c.shape[0]
-        keep = gids < n_real
-        dense_s, dense_i = _merge_over_corpus(
-            jnp.where(keep, lv, -jnp.inf), jnp.where(keep, gids, -1), k
-        )
+        # dense view: production int8 kernel over the local column range
+        dense_s, dense_i = to_global(
+            *dense_view_topk(q, sidx.corpus_int, sidx.d_scale, k), base)
 
-        # rerank views: assemble candidate vectors with one psum
-        base = shard * c.shape[0]
+        # rerank views: each shard contributes its doc range's candidate
+        # rows (int8 values, exact in f32) and dequant scales; one psum
+        # assembles both, then the SHARED second-stage scorer runs
+        # replicated — numerically identical to the single-chip gather
         safe = jnp.maximum(bm25_i, 0)
-        local_idx = jnp.clip(safe - base, 0, c.shape[0] - 1)
-        own = (safe >= base) & (safe < base + c.shape[0])
-        cand_local = jnp.where(own[..., None], c[local_idx], 0.0)
-        cand = jax.lax.psum(cand_local, CORPUS_AXIS)       # [B_loc, K, D]
-        qv = jnp.einsum("bd,vdw->vbw", q, proj)            # [2, B_loc, D]
-        rs = jnp.einsum("vbd,bkd->vbk", qv, cand)
-        rs = jnp.where(bm25_i >= 0, rs, -jnp.inf)
-        order = jnp.argsort(-rs, axis=-1)
-        rids = jnp.broadcast_to(jnp.where(bm25_i >= 0, bm25_i, -1), rs.shape)
-        rr_s = jnp.take_along_axis(rs, order, axis=-1)
-        rr_i = jnp.take_along_axis(rids, order, axis=-1)
+        local_idx = jnp.clip(safe - base, 0, n_local - 1)
+        own = (safe >= base) & (safe < base + n_local)
+        rows = jnp.take(sidx.corpus_rows, local_idx.reshape(-1), axis=0)
+        rows = rows.reshape(*local_idx.shape, -1).astype(jnp.float32)
+        cand = jax.lax.psum(
+            jnp.where(own[..., None], rows, 0.0), CORPUS_AXIS)
+        scale_vals = jax.lax.psum(
+            jnp.where(own, sidx.d_scale[0][local_idx], 0.0), CORPUS_AXIS)
+        qv = jnp.einsum("bd,vdw->vbw", q.astype(jnp.float32), proj)
+        rr_s, rr_i = score_candidates(qv, cand, bm25_i, scale_vals)
 
         vals = jnp.stack([bm25_s, spl_s, dense_s, rr_s[0], rr_s[1]])
         ids = jnp.stack([bm25_i, spl_i, dense_i, rr_i[0], rr_i[1]])
-        # QPP min-max normalization couples across the WHOLE query batch
-        # (reference src/qpp.py:340-374 semantics); with the batch sharded
-        # over `data`, the extrema must be global — pmin/pmax over the
-        # data axis, then the same (v - min)/(max - min) as normalize_qpp
-        qpp = qpp_from_runs(vals, ids, tf, normalize=False)
-        vmin = jax.lax.pmin(jnp.min(qpp, axis=1, keepdims=True), DATA_AXIS)
-        vmax = jax.lax.pmax(jnp.max(qpp, axis=1, keepdims=True), DATA_AXIS)
-        scale = jnp.where(vmax > vmin, vmax - vmin, 1.0)
-        qpp = jnp.where(vmax > vmin, (qpp - vmin) / scale, 0.5)
-        norm = F._row_minmax(vals, ids >= 0, fill=-jnp.inf)
-        fused_ids, fused_scores = weight_and_fuse(
-            ids, norm, qpp[..., qpp_index], k_out=k_out
-        )
+        qpp_raw = qpp_from_runs(vals, ids, tf, normalize=False)
+        if qpp_norm_stats is None:
+            # whole-batch extrema: local min/max + pmin/pmax over `data`
+            vmin, vmax = minmax_extrema(qpp_raw)
+            vmin = jax.lax.pmin(vmin, DATA_AXIS)
+            vmax = jax.lax.pmax(vmax, DATA_AXIS)
+            qpp = apply_minmax(qpp_raw, vmin, vmax)
+        else:
+            qpp = normalize_qpp_with(qpp_raw, qpp_norm_stats)
+        fused_ids, fused_scores = fuse_tail(
+            vals, ids, qpp, F.COMBSUM, qpp_index, k_out, mlp_params)
         return fused_ids, fused_scores, qpp
 
+    shard_axis = P(CORPUS_AXIS)
+    idx_specs = ShardedEnsembleIndexes(
+        bm25_packed=shard_axis, bm25_scales=shard_axis,
+        bm25_offsets=shard_axis, bm25_doc_packed=shard_axis,
+        bm25_doc_scale=shard_axis,
+        splade_packed=shard_axis, splade_scales=shard_axis,
+        splade_offsets=shard_axis, splade_doc_packed=shard_axis,
+        splade_doc_scale=shard_axis,
+        corpus_int=P(None, CORPUS_AXIS), corpus_rows=P(CORPUS_AXIS, None),
+        d_scale=P(None, CORPUS_AXIS), doc_base=shard_axis,
+    )
     fn = shard_map(
         local,
         mesh=mesh,
@@ -318,11 +439,7 @@ def sharded_ensemble_step(
             P(DATA_AXIS, None), P(DATA_AXIS, None),
             P(DATA_AXIS, None), P(DATA_AXIS, None),
             P(DATA_AXIS, None), P(None, None, None), P(DATA_AXIS, None),
-            P(CORPUS_AXIS, None), P(CORPUS_AXIS, None),
-            P(CORPUS_AXIS, None), P(CORPUS_AXIS),
-            P(CORPUS_AXIS, None), P(CORPUS_AXIS, None),
-            P(CORPUS_AXIS, None), P(CORPUS_AXIS),
-            P(CORPUS_AXIS, None),
+            idx_specs,
         ),
         out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None),
                    P(None, DATA_AXIS, None)),
@@ -330,5 +447,5 @@ def sharded_ensemble_step(
     )
     return jax.jit(fn)(
         bm25_terms, bm25_qw, splade_terms, splade_qw, q_emb, rerank_proj,
-        text_feats, *bm25_shards, *splade_shards, corpus,
+        text_feats, idx,
     )

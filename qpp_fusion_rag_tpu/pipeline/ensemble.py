@@ -18,12 +18,20 @@ second stage: a full cross-encoder forward at serving rate is not a
 single-digit-millisecond op on any hardware — the reference runs MonoT5
 offline for the same reason. QPP + weighted fusion then run exactly as
 in the dense flagship step.
+
+The per-view primitives below (make_sparse_scorer / dense_view_topk /
+score_candidates / minmax_extrema + apply_minmax) are THE shared
+implementations: `ensemble_retrieval_step` composes them single-chip and
+`parallel.sharded.sharded_ensemble_step` composes the very same functions
+per corpus shard inside shard_map — the only differences at scale are
+global-id offsets, the ICI top-k merges, and the psum candidate-vector
+assembly. One code path, one kernel set, two compositions.
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -32,6 +40,8 @@ from qpp_fusion_rag_tpu.ops import fusion as F
 from qpp_fusion_rag_tpu.ops.sparse import (
     sparse_rescore_topk_packed,
     sparse_score_topk_packed,
+    sparse_score_topk_q8,
+    sparse_score_topk_q8_rescored,
 )
 from qpp_fusion_rag_tpu.pipeline.engine import qpp_from_runs, weight_and_fuse
 
@@ -41,7 +51,13 @@ class EnsembleIndexes(NamedTuple):
 
     Sparse views store PACKED postings — (doc << 8 | uint8 impact) int32,
     ops.sparse.pack_postings — halving the window-gather HBM traffic that
-    dominates sparse cost at p_cap >= 2048."""
+    dominates sparse cost at p_cap >= 2048.
+
+    The optional doc-major fields power the RANK-SAFE sparse mode
+    (sparse_mode="q8r"): ops.sparse.pack_doc_vectors rows used to exactly
+    rescore candidate docs against their FULL term contributions,
+    restoring the reference's exhaustive-scoring rank semantics
+    (src/retrievers/splade.py:75-80) at window-kernel speed."""
     bm25_packed: jnp.ndarray     # [P1] int32
     bm25_scales: jnp.ndarray     # [T1] f32
     bm25_offsets: jnp.ndarray    # [T1+1] int32
@@ -51,6 +67,96 @@ class EnsembleIndexes(NamedTuple):
     corpus_int: jnp.ndarray      # [D, N] int8 (dense kernel layout)
     corpus_rows: jnp.ndarray     # [N, D] int8 (rerank gather layout)
     d_scale: jnp.ndarray         # [1, N] f32
+    bm25_doc_packed: Optional[jnp.ndarray] = None    # [N, Td1] int32
+    bm25_doc_scale: Optional[jnp.ndarray] = None     # [N] f32
+    splade_doc_packed: Optional[jnp.ndarray] = None  # [N, Td2] int32
+    splade_doc_scale: Optional[jnp.ndarray] = None   # [N] f32
+
+
+# =============================================================================
+# Shared per-view primitives (single-chip AND per-shard inside shard_map)
+# =============================================================================
+
+def make_sparse_scorer(sparse_mode: str, sparse_candidates: int,
+                       k: int, p_cap: int):
+    """-> scorer(packed, offsets, scales, terms, qw, doc_packed, doc_scale)
+    -> (scores [B, k] desc, doc ids [B, k], -1 pad; LOCAL ids on a shard).
+
+    sparse_mode:
+      "sort" — segmented pair sort (exact dedup over the windows),
+      "q8"   — quantized single-key sort (recall@100 0.992 vs "sort",
+               ~10-20% faster; ops.sparse.sparse_score_topk_q8),
+      "q8r"  — RANK-SAFE production mode: q8 generates a top-pool of
+               `sparse_candidates` (default 512) candidates, every one
+               exactly rescored against its full doc vector
+               (ops.sparse.sparse_score_topk_q8_rescored; recall@10
+               >= 0.99 vs full-depth exact, docs/quality_rescore.json).
+    sparse_candidates > 0 with mode "sort"/"q8" selects the sort-free
+    window-rescore kernel instead (pool = candidates·k) — the winner at
+    small window counts, slower at bench shapes."""
+    if sparse_mode == "q8r":
+        cand = sparse_candidates if sparse_candidates > 0 else 512
+
+        def scorer(packed, offsets, scales, terms, qw,
+                   doc_packed=None, doc_scale=None):
+            if doc_packed is None:
+                raise ValueError(
+                    "sparse_mode='q8r' needs doc-major vectors "
+                    "(pack_doc_vectors) on the index")
+            return sparse_score_topk_q8_rescored(
+                packed, offsets, scales, doc_packed, doc_scale,
+                terms, qw, k=k, p_cap=p_cap, candidates=cand)
+    elif sparse_candidates > 0:
+        def scorer(packed, offsets, scales, terms, qw,
+                   doc_packed=None, doc_scale=None):
+            return sparse_rescore_topk_packed(
+                packed, offsets, scales, terms, qw,
+                k=k, p_cap=p_cap, candidates=sparse_candidates)
+    elif sparse_mode == "q8":
+        def scorer(packed, offsets, scales, terms, qw,
+                   doc_packed=None, doc_scale=None):
+            return sparse_score_topk_q8(
+                packed, offsets, scales, terms, qw,
+                k=k, p_cap=p_cap, exact_topk=False)
+    elif sparse_mode == "sort":
+        def scorer(packed, offsets, scales, terms, qw,
+                   doc_packed=None, doc_scale=None):
+            return sparse_score_topk_packed(
+                packed, offsets, scales, terms, qw,
+                k=k, p_cap=p_cap, exact_topk=False)
+    else:
+        raise ValueError(f"unknown sparse_mode {sparse_mode!r}")
+    return scorer
+
+
+def dense_view_topk(q_emb: jnp.ndarray, corpus_int: jnp.ndarray,
+                    d_scale: jnp.ndarray, k: int):
+    """Production dense view: int8 MXU fused top-k (Pallas; interpret mode
+    off-TPU). -> (scores [B, k], ids [B, k] local to `corpus_int`)."""
+    from qpp_fusion_rag_tpu.ops.pallas.dense_topk import pallas_dense_topk_int8
+
+    return pallas_dense_topk_int8(q_emb, corpus_int, d_scale, k=k)
+
+
+def score_candidates(
+    q_vec: jnp.ndarray,       # [..., B, D] second-stage queries
+    cand: jnp.ndarray,        # [B, K, D] candidate vectors (int8 or f32)
+    cand_ids: jnp.ndarray,    # [B, K] first-stage doc ids (-1 pad)
+    scale_vals: Optional[jnp.ndarray] = None,  # [B, K] per-candidate scales
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Shared second-stage scoring: bf16 einsum over candidate vectors,
+    optional per-candidate dequant scale, then per-view re-sort.
+    -> (scores [..., B, K] desc, ids [..., B, K])."""
+    s = jnp.einsum("...bd,bkd->...bk", q_vec.astype(jnp.bfloat16),
+                   cand.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
+    if scale_vals is not None:
+        s = s * scale_vals
+    s = jnp.where(cand_ids >= 0, s, -jnp.inf)
+    order = jnp.argsort(-s, axis=-1)
+    ids = jnp.broadcast_to(jnp.where(cand_ids >= 0, cand_ids, -1), s.shape)
+    return jnp.take_along_axis(s, order, axis=-1), jnp.take_along_axis(
+        ids, order, axis=-1)
 
 
 def rerank_candidates(
@@ -63,20 +169,83 @@ def rerank_candidates(
     -> (scores [..., B, K] desc, ids [..., B, K]). ~10 ms per 1024x100
     on v5e — the candidate-vector gather dominates, so multiple rerank
     views over the SAME candidates pass stacked queries [V, B, D] and
-    share one gather."""
+    share one gather. (The sharded path assembles `cand` with a psum
+    over the corpus axis instead, then calls the same score_candidates.)
+    """
     B, K = cand_ids.shape
     safe = jnp.maximum(cand_ids, 0)
-    cand = jnp.take(corpus_rows, safe.reshape(-1), axis=0)
-    cand = cand.reshape(B, K, -1).astype(jnp.bfloat16)
-    s = jnp.einsum("...bd,bkd->...bk", q_vec.astype(jnp.bfloat16), cand,
-                   preferred_element_type=jnp.float32)
-    s = s * d_scale[0][safe]
-    s = jnp.where(cand_ids >= 0, s, -jnp.inf)
-    order = jnp.argsort(-s, axis=-1)
-    ids = jnp.broadcast_to(jnp.where(cand_ids >= 0, cand_ids, -1), s.shape)
-    return jnp.take_along_axis(s, order, axis=-1), jnp.take_along_axis(
-        ids, order, axis=-1)
+    cand = jnp.take(corpus_rows, safe.reshape(-1), axis=0).reshape(B, K, -1)
+    return score_candidates(q_vec, cand, cand_ids, d_scale[0][safe])
 
+
+def minmax_extrema(qpp: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-(retriever, statistic) extrema over the query axis.
+    -> (vmin [R, 1, M], vmax [R, 1, M]). The sharded path pmin/pmaxes
+    these over the data axis to recover whole-batch semantics."""
+    return (jnp.min(qpp, axis=1, keepdims=True),
+            jnp.max(qpp, axis=1, keepdims=True))
+
+
+def apply_minmax(qpp: jnp.ndarray, vmin: jnp.ndarray,
+                 vmax: jnp.ndarray) -> jnp.ndarray:
+    """(v - min)/(max - min) per retriever × statistic (reference
+    src/qpp.py:340-374 semantics); degenerate columns get 0.5 — all-zero
+    weights would make every fused contribution vanish."""
+    scale = jnp.where(vmax > vmin, vmax - vmin, 1.0)
+    return jnp.where(vmax > vmin, (qpp - vmin) / scale, 0.5)
+
+
+def qpp_calibration_stats(qpp_raw: jnp.ndarray) -> jnp.ndarray:
+    """Freeze normalization statistics from a calibration batch of RAW
+    (unnormalized) QPP values -> stats [R, 2, M] (min, max rows).
+
+    Serving batches normalized against frozen stats are batch-size
+    INVARIANT and match the reference's whole-query-set normalization
+    (src/qpp.py:340-374) when the calibration set is the query set —
+    see docs/qpp_norm_sensitivity.json for the measured in-batch drift."""
+    vmin, vmax = minmax_extrema(qpp_raw)
+    return jnp.stack([vmin[:, 0, :], vmax[:, 0, :]], axis=1)
+
+
+def normalize_qpp_with(qpp_raw: jnp.ndarray,
+                       stats: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """Normalize raw QPP: against frozen calibration `stats` [R, 2, M]
+    when given (clipped to [0, 1] — unseen queries may exceed the
+    calibration range), else in-batch min-max."""
+    if stats is not None:
+        vmin = stats[:, 0][:, None, :]
+        vmax = stats[:, 1][:, None, :]
+        return jnp.clip(apply_minmax(qpp_raw, vmin, vmax), 0.0, 1.0)
+    vmin, vmax = minmax_extrema(qpp_raw)
+    return apply_minmax(qpp_raw, vmin, vmax)
+
+
+def fuse_tail(
+    vals: jnp.ndarray,        # [R, B, K] raw view scores (desc)
+    ids: jnp.ndarray,         # [R, B, K] global doc ids (-1 pad)
+    qpp: jnp.ndarray,         # [R, B, 13] NORMALIZED QPP
+    method: int,
+    qpp_index: int,
+    k_out: int,
+    mlp_params=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Shared fusion tail: per-view .norm.res min-max + weighted fusion,
+    weights from a QPP column or a learned MLP over the 5x13 features."""
+    norm = F._row_minmax(vals, ids >= 0, fill=-jnp.inf)
+    if mlp_params is not None:
+        from qpp_fusion_rag_tpu.pipeline.engine import mlp_apply
+
+        R, B, M = qpp.shape
+        feats = jnp.transpose(qpp, (1, 0, 2)).reshape(B, R * M)
+        weights = jax.nn.softmax(mlp_apply(mlp_params, feats), axis=-1).T
+    else:
+        weights = qpp[..., qpp_index]
+    return weight_and_fuse(ids, norm, weights, method=method, k_out=k_out)
+
+
+# =============================================================================
+# Single-chip composition
+# =============================================================================
 
 @partial(jax.jit, static_argnames=(
     "k", "k_out", "p_cap", "method", "qpp_index", "sparse_candidates",
@@ -98,68 +267,32 @@ def ensemble_retrieval_step(
     sparse_candidates: int = 0,
     sparse_mode: str = "sort",
     mlp_params=None,
+    qpp_norm_stats: jnp.ndarray = None,   # [5, 2, 13] calibration min/max
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """5-view heterogeneous retrieve → QPP → weighted fuse.
     -> (fused_ids [B, k_out], fused_scores [B, k_out], qpp [5, B, 13]).
 
-    sparse_mode picks the sparse scorer:
-      "sort" — segmented pair sort (exact dedup; the default),
-      "q8"   — quantized single-key sort (recall@100 0.992, ~10-20%
-               faster sort; ops.sparse.sparse_score_topk_q8),
-    and sparse_candidates > 0 overrides both with the sort-free rescore
-    kernel (pool = candidates·k, recall@100 >= 0.99 at 8) — MEASURED
-    SLOWER at bench shapes (256 vs 184 ms/batch: the [B, pool, M] match
-    materializes) but the winner at small M. All modes use the Pallas
-    DMA window gather on TPU (ops.pallas.window_gather)."""
-    from qpp_fusion_rag_tpu.ops.pallas.dense_topk import pallas_dense_topk_int8
-    from qpp_fusion_rag_tpu.ops.sparse import sparse_score_topk_q8
-
-    if sparse_candidates > 0:
-        def sparse(packed, offsets, scales, terms, qw):
-            return sparse_rescore_topk_packed(
-                packed, offsets, scales, terms, qw,
-                k=k, p_cap=p_cap, candidates=sparse_candidates)
-    elif sparse_mode == "q8":
-        def sparse(packed, offsets, scales, terms, qw):
-            return sparse_score_topk_q8(
-                packed, offsets, scales, terms, qw,
-                k=k, p_cap=p_cap, exact_topk=False)
-    else:
-        def sparse(packed, offsets, scales, terms, qw):
-            return sparse_score_topk_packed(
-                packed, offsets, scales, terms, qw,
-                k=k, p_cap=p_cap, exact_topk=False)
-
+    See make_sparse_scorer for sparse_mode semantics ("q8r" is the
+    rank-safe production mode). qpp_norm_stats switches QPP weight
+    normalization from in-batch min-max to frozen calibration statistics
+    (batch-size-invariant; qpp_calibration_stats)."""
+    sparse = make_sparse_scorer(sparse_mode, sparse_candidates, k, p_cap)
     bm25_s, bm25_i = sparse(
         idx.bm25_packed, idx.bm25_offsets, idx.bm25_scales,
-        bm25_terms, bm25_qw,
+        bm25_terms, bm25_qw, idx.bm25_doc_packed, idx.bm25_doc_scale,
     )
     splade_s, splade_i = sparse(
         idx.splade_packed, idx.splade_offsets, idx.splade_scales,
-        splade_terms, splade_qw,
+        splade_terms, splade_qw, idx.splade_doc_packed, idx.splade_doc_scale,
     )
-    dense_s, dense_i = pallas_dense_topk_int8(
-        q_emb, idx.corpus_int, idx.d_scale, k=k,
-    )
+    dense_s, dense_i = dense_view_topk(q_emb, idx.corpus_int, idx.d_scale, k)
     qv = jnp.einsum("bd,vdw->vbw", q_emb.astype(jnp.float32), rerank_proj)
     rr_s, rr_i = rerank_candidates(qv, bm25_i, idx.corpus_rows, idx.d_scale)
-    rr1_s, rr1_i, rr2_s, rr2_i = rr_s[0], rr_i[0], rr_s[1], rr_i[1]
 
-    vals = jnp.stack([bm25_s, splade_s, dense_s, rr1_s, rr2_s])   # [5, B, K]
-    ids = jnp.stack([bm25_i, splade_i, dense_i, rr1_i, rr2_i])
-    qpp = qpp_from_runs(vals, ids, text_feats)
-    norm = F._row_minmax(vals, ids >= 0, fill=-jnp.inf)
-    if mlp_params is not None:
-        # learned fusion: per-query softmax weights from the 5x13 QPP
-        # feature block (serving analogue of learned_fused_retrieval_step)
-        from qpp_fusion_rag_tpu.pipeline.engine import mlp_apply
-
-        R, B, M = qpp.shape
-        feats = jnp.transpose(qpp, (1, 0, 2)).reshape(B, R * M)
-        weights = jax.nn.softmax(mlp_apply(mlp_params, feats), axis=-1).T
-    else:
-        weights = qpp[..., qpp_index]
-    fused_ids, fused_scores = weight_and_fuse(
-        ids, norm, weights, method=method, k_out=k_out
-    )
+    vals = jnp.stack([bm25_s, splade_s, dense_s, rr_s[0], rr_s[1]])  # [5, B, K]
+    ids = jnp.stack([bm25_i, splade_i, dense_i, rr_i[0], rr_i[1]])
+    qpp_raw = qpp_from_runs(vals, ids, text_feats, normalize=False)
+    qpp = normalize_qpp_with(qpp_raw, qpp_norm_stats)
+    fused_ids, fused_scores = fuse_tail(
+        vals, ids, qpp, method, qpp_index, k_out, mlp_params)
     return fused_ids, fused_scores, qpp

@@ -76,27 +76,14 @@ def test_shard_sparse_csr_preserves_impact_order(rng):
             assert (np.diff(run) <= 0).all(), (s, t, run)
 
 
-def test_sharded_ensemble_equals_single_device():
-    """The full 5-view sharded ensemble on the (2, 4) mesh reproduces a
-    single-device composition of the same primitives exactly."""
-    import jax
-    import jax.numpy as jnp
+def _ensemble_fixture(N=512, D=32, B=8, T1=40, T2=50, seed=0):
+    """Shared raw data for the single-chip vs sharded ensemble tests."""
     import numpy as np
 
-    from qpp_fusion_rag_tpu.ops import fusion as F
-    from qpp_fusion_rag_tpu.ops.sparse import sparse_score_topk
-    from qpp_fusion_rag_tpu.parallel.mesh import build_mesh
-    from qpp_fusion_rag_tpu.parallel.sharded import (
-        shard_sparse_csr,
-        sharded_ensemble_step,
-    )
-    from qpp_fusion_rag_tpu.pipeline.engine import qpp_from_runs, weight_and_fuse
+    rng = np.random.default_rng(seed)
 
-    rng = np.random.default_rng(0)
-    N, D, B, K, T1, T2 = 512, 16, 8, 12, 40, 50
-
-    def csr(n_terms, df, seed):
-        r = np.random.default_rng(seed)
+    def csr(n_terms, df, s):
+        r = np.random.default_rng(s)
         terms = np.repeat(np.arange(n_terms), df)
         docs = np.concatenate(
             [r.choice(N, df, replace=False) for _ in range(n_terms)]
@@ -108,52 +95,95 @@ def test_sharded_ensemble_equals_single_device():
         np.cumsum(np.bincount(terms, minlength=n_terms), out=offsets[1:])
         return offsets, docs, w
 
-    bo, bd, bw = csr(T1, 25, 1)
-    so, sd, sw = csr(T2, 20, 2)
+    bm25 = csr(T1, 25, 1)
+    splade = csr(T2, 20, 2)
     corpus = rng.standard_normal((N, D)).astype(np.float32)
-    bt = rng.integers(0, T1, (B, 4)).astype(np.int32)
-    st = rng.integers(0, T2, (B, 6)).astype(np.int32)
-    bqw = np.ones((B, 4), np.float32)
-    sqw = np.ones((B, 6), np.float32)
-    q = rng.standard_normal((B, D)).astype(np.float32)
-    proj = (rng.standard_normal((2, D, D)) * 0.2).astype(np.float32)
-    tf = np.tile(np.array([4.0, 4.0, 8.0, 5.0], np.float32), (B, 1))
+    queries = dict(
+        bt=rng.integers(0, T1, (B, 4)).astype(np.int32),
+        bqw=np.ones((B, 4), np.float32),
+        st=rng.integers(0, T2, (B, 6)).astype(np.int32),
+        sqw=np.ones((B, 6), np.float32),
+        q=rng.standard_normal((B, D)).astype(np.float32),
+        proj=(rng.standard_normal((2, D, D)) * 0.2).astype(np.float32),
+        tf=np.tile(np.array([4.0, 4.0, 8.0, 5.0], np.float32), (B, 1)),
+    )
+    return bm25, splade, corpus, queries
 
-    mesh = build_mesh(2, 4)
-    bm25_shards = shard_sparse_csr(bo, bd, bw, n_docs=N, n_shards=4)
-    splade_shards = shard_sparse_csr(so, sd, sw, n_docs=N, n_shards=4)
-    fid_s, fsc_s, qpp_s = sharded_ensemble_step(
-        bt, bqw, st, sqw, q, proj, tf, bm25_shards, splade_shards,
-        jnp.asarray(corpus), mesh, n_docs=N, k=K, k_out=K, p_cap=32,
+
+def _single_chip_indexes(bm25, splade, corpus, with_doc_vectors=False):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from qpp_fusion_rag_tpu.ops.pallas.dense_topk import quantize_rows
+    from qpp_fusion_rag_tpu.ops.sparse import pack_doc_vectors, pack_postings
+    from qpp_fusion_rag_tpu.pipeline.ensemble import EnsembleIndexes
+
+    N = corpus.shape[0]
+    bo, bd, bw = bm25
+    so, sd, sw = splade
+    bp, bs = pack_postings(bd, bw, bo)
+    sp, ss = pack_postings(sd, sw, so)
+    rows_int, row_scale = quantize_rows(jnp.asarray(corpus), axis=-1)
+    extra = {}
+    if with_doc_vectors:
+        bdp, bds, _ = pack_doc_vectors(bo, bd, bw, N)
+        sdp, sds, _ = pack_doc_vectors(so, sd, sw, N)
+        extra = dict(
+            bm25_doc_packed=jnp.asarray(bdp), bm25_doc_scale=jnp.asarray(bds),
+            splade_doc_packed=jnp.asarray(sdp),
+            splade_doc_scale=jnp.asarray(sds),
+        )
+    return EnsembleIndexes(
+        bm25_packed=jnp.asarray(bp), bm25_scales=jnp.asarray(bs),
+        bm25_offsets=jnp.asarray(bo.astype(np.int32)),
+        splade_packed=jnp.asarray(sp), splade_scales=jnp.asarray(ss),
+        splade_offsets=jnp.asarray(so.astype(np.int32)),
+        corpus_int=jnp.transpose(rows_int), corpus_rows=rows_int,
+        d_scale=row_scale.reshape(1, -1), **extra,
     )
 
-    # single-device reference from the same primitives
-    def single():
-        b_s, b_i = sparse_score_topk(
-            jnp.asarray(bd), jnp.asarray(bw), jnp.asarray(bo.astype(np.int32)),
-            jnp.asarray(bt), jnp.asarray(bqw), k=K, p_cap=32, exact_topk=True)
-        s_s, s_i = sparse_score_topk(
-            jnp.asarray(sd), jnp.asarray(sw), jnp.asarray(so.astype(np.int32)),
-            jnp.asarray(st), jnp.asarray(sqw), k=K, p_cap=32, exact_topk=True)
-        scores = jnp.asarray(q) @ jnp.asarray(corpus).T
-        d_s, d_i = jax.lax.top_k(scores, K)
-        cand = jnp.asarray(corpus)[jnp.maximum(b_i, 0)]
-        qv = jnp.einsum("bd,vdw->vbw", jnp.asarray(q), jnp.asarray(proj))
-        rs = jnp.einsum("vbd,bkd->vbk", qv, cand)
-        rs = jnp.where(b_i >= 0, rs, -jnp.inf)
-        order = jnp.argsort(-rs, axis=-1)
-        rids = jnp.broadcast_to(jnp.where(b_i >= 0, b_i, -1), rs.shape)
-        rr_s = jnp.take_along_axis(rs, order, axis=-1)
-        rr_i = jnp.take_along_axis(rids, order, axis=-1)
-        vals = jnp.stack([b_s, s_s, d_s, rr_s[0], rr_s[1]])
-        ids = jnp.stack([b_i, s_i, d_i, rr_i[0], rr_i[1]])
-        qpp = qpp_from_runs(vals, ids, jnp.asarray(tf))
-        norm = F._row_minmax(vals, ids >= 0, fill=-jnp.inf)
-        return weight_and_fuse(ids, norm, qpp[..., 5], k_out=K) + (qpp,)
 
-    fid_1, fsc_1, qpp_1 = single()
-    np.testing.assert_array_equal(np.asarray(fid_s), np.asarray(fid_1))
-    np.testing.assert_allclose(np.asarray(fsc_s), np.asarray(fsc_1),
-                               rtol=1e-5, atol=1e-6)
+@pytest.mark.parametrize("sparse_mode", ["sort", "q8r"])
+def test_sharded_ensemble_equals_single_chip_production(sparse_mode):
+    """VERDICT r2 task 4: the sharded ensemble and the single-chip
+    production step are the SAME per-view kernels in two compositions —
+    outputs must agree on the virtual mesh (exact sparse settings)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from qpp_fusion_rag_tpu.parallel.mesh import build_mesh
+    from qpp_fusion_rag_tpu.parallel.sharded import (
+        shard_ensemble_indexes,
+        sharded_ensemble_step,
+    )
+    from qpp_fusion_rag_tpu.pipeline.ensemble import ensemble_retrieval_step
+
+    bm25, splade, corpus, qs = _ensemble_fixture()
+    N = corpus.shape[0]
+    K = 12
+    p_cap = int(max(np.diff(bm25[0]).max(), np.diff(splade[0]).max()))
+
+    idx1 = _single_chip_indexes(bm25, splade, corpus,
+                                with_doc_vectors=sparse_mode == "q8r")
+    fid_1, fsc_1, qpp_1 = ensemble_retrieval_step(
+        idx1, qs["bt"], qs["bqw"], qs["st"], qs["sqw"], qs["q"], qs["proj"],
+        qs["tf"], k=K, k_out=K, p_cap=p_cap, sparse_mode=sparse_mode,
+        sparse_candidates=64 if sparse_mode == "q8r" else 0,
+    )
+
+    mesh = build_mesh(2, 4)
+    sidx = shard_ensemble_indexes(bm25, splade, corpus, n_docs=N, n_shards=4)
+    fid_s, fsc_s, qpp_s = sharded_ensemble_step(
+        sidx, qs["bt"], qs["bqw"], qs["st"], qs["sqw"], qs["q"], qs["proj"],
+        qs["tf"], mesh, n_docs=N, k=K, k_out=K, p_cap=p_cap,
+        sparse_mode=sparse_mode,
+        sparse_candidates=64 if sparse_mode == "q8r" else 0,
+    )
+
     np.testing.assert_allclose(np.asarray(qpp_s), np.asarray(qpp_1),
                                rtol=1e-4, atol=1e-5)
+    # f32 accumulation order differs (whole-window segmented sum vs
+    # per-shard partial sums) -> ~1e-5 relative noise on fused scores
+    np.testing.assert_allclose(np.asarray(fsc_s), np.asarray(fsc_1),
+                               rtol=5e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(fid_s), np.asarray(fid_1))

@@ -420,16 +420,22 @@ def test_pallas_window_gather_interpret():
         pad_for_gather,
     )
 
+    import pytest as _pytest
+
     rng = np.random.default_rng(0)
-    flat = pad_for_gather(rng.integers(0, 2**30, 6000).astype(np.int32), 256)
+    flat = pad_for_gather(rng.integers(0, 2**30, 6000).astype(np.int32), 1024)
     assert len(flat) % ALIGN == 0
     src = jnp.asarray(flat)
     # starts exercise off == 0, off < 128, off across sublanes, near-end
     base = [0, 1, 127, 128, 129, 1023, 1024, 1025, 2048, 3000, 4095, 5000]
     starts = np.resize(np.asarray(base, np.int32), 32)
-    out = gather_windows_pallas(src, jnp.asarray(starts), 256)
-    ref = np.stack([flat[s:s + 256] for s in starts])
+    out = gather_windows_pallas(src, jnp.asarray(starts), 1024)
+    ref = np.stack([flat[s:s + 1024] for s in starts])
     np.testing.assert_array_equal(np.asarray(out), ref)
+    # cap must be ALIGN-aligned: 256 lowers to an 10-row tpu.dynamic_rotate
+    # that Mosaic rejects on hardware — the validator must refuse it
+    with _pytest.raises(ValueError, match="multiple of 1024"):
+        gather_windows_pallas(src, jnp.asarray(starts), 256)
 
 
 def test_dma_gather_matches_fallback_in_kernel():
@@ -449,9 +455,9 @@ def test_dma_gather_matches_fallback_in_kernel():
     qt, qw = zipf_queries(bo, 8, n_terms=4, seed=1)   # G = 32
     args = (jnp.asarray(bp), jnp.asarray(bo.astype(np.int32)),
             jnp.asarray(bs), qt, qw)
-    s1, i1 = sparse_score_topk_packed(*args, k=20, p_cap=128,
+    s1, i1 = sparse_score_topk_packed(*args, k=20, p_cap=1024,
                                       exact_topk=True, dma_gather=False)
-    s2, i2 = sparse_score_topk_packed(*args, k=20, p_cap=128,
+    s2, i2 = sparse_score_topk_packed(*args, k=20, p_cap=1024,
                                       exact_topk=True, dma_gather=True)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-6)
