@@ -12,6 +12,7 @@ from qpp_fusion_rag_tpu.encoders.bert import (
     l2_normalize,
     load_hf_bert,
     load_hf_tokenizer,
+    load_tokenizer,
     mlm_logits,
     params_from_hf_state_dict,
     pool_cls,
@@ -24,7 +25,7 @@ from qpp_fusion_rag_tpu.encoders.heads import (
 )
 
 __all__ = [
-    "BertConfig", "bert_encode", "params_from_hf_state_dict", "load_hf_bert", "load_hf_tokenizer",
+    "BertConfig", "bert_encode", "params_from_hf_state_dict", "load_hf_bert", "load_hf_tokenizer", "load_tokenizer",
     "pool_cls", "pool_mean", "l2_normalize", "mlm_logits", "classifier_logits",
     "DenseEncoder", "SpladeEncoder", "CrossEncoderScorer",
 ]

@@ -295,9 +295,46 @@ def params_from_hf_state_dict(
     return params
 
 
+def _find_vocab_txt(model_name_or_path: str):
+    """Resolve a checkpoint's vocab.txt without transformers: direct dir,
+    or the HF hub cache layout (~/.cache/huggingface/hub/models--org--name/
+    snapshots/<rev>/vocab.txt). -> Path | None."""
+    import os
+    from pathlib import Path
+
+    p = Path(model_name_or_path)
+    if (p / "vocab.txt").exists():
+        return p
+    cache = Path(os.environ.get(
+        "HF_HOME", Path.home() / ".cache" / "huggingface")) / "hub"
+    slug = "models--" + model_name_or_path.replace("/", "--")
+    snaps = cache / slug / "snapshots"
+    if snaps.is_dir():
+        for rev in sorted(snaps.iterdir()):
+            if (rev / "vocab.txt").exists():
+                return rev
+    return None
+
+
+def load_tokenizer(model_name_or_path: str, max_length: int = 256):
+    """Checkpoint tokenizer -> plain `text -> List[int]` callable (what the
+    encoder heads consume). DEFAULT path: the self-contained WordPiece
+    implementation (encoders.wordpiece) driven by the checkpoint's
+    vocab.txt — no foreign runtime. Falls back to transformers only when
+    no vocab.txt can be located (e.g. non-WordPiece checkpoints)."""
+    found = _find_vocab_txt(model_name_or_path)
+    if found is not None:
+        from qpp_fusion_rag_tpu.encoders.wordpiece import WordPieceTokenizer
+
+        return WordPieceTokenizer.from_pretrained_dir(found, max_length=max_length)
+    return load_hf_tokenizer(model_name_or_path, max_length=max_length)
+
+
 def load_hf_tokenizer(model_name_or_path: str, max_length: int = 256):
     """HF tokenizer -> plain `text -> List[int]` callable (what the encoder
-    heads consume). Requires the checkpoint locally, like load_hf_bert."""
+    heads consume). Requires the checkpoint locally, like load_hf_bert.
+    Prefer load_tokenizer (self-contained WordPiece) — this fallback pulls
+    in the transformers runtime."""
     import transformers
 
     tok = transformers.AutoTokenizer.from_pretrained(model_name_or_path)

@@ -32,13 +32,13 @@ def _dense(index_dir, model_name=None, pooling="cls", **kw):
         from qpp_fusion_rag_tpu.encoders import (
             DenseEncoder,
             load_hf_bert,
-            load_hf_tokenizer,
+            load_tokenizer,
         )
 
         params, cfg = load_hf_bert(model_name)
         encoder = DenseEncoder(params, cfg, pooling=pooling,
                                normalize=(pooling == "cls"),
-                               tokenizer=load_hf_tokenizer(model_name))
+                               tokenizer=load_tokenizer(model_name))
     return DenseRetriever.from_index_dir(index_dir, encoder=encoder, **kw)
 
 
@@ -64,12 +64,12 @@ def _splade(index_dir, encoder=None, **kw):
         from qpp_fusion_rag_tpu.encoders import (
             SpladeEncoder,
             load_hf_bert,
-            load_hf_tokenizer,
+            load_tokenizer,
         )
 
         name = config.models.splade.name
         params, cfg = load_hf_bert(name, with_mlm=True)
-        encoder = SpladeEncoder(params, cfg, tokenizer=load_hf_tokenizer(name))
+        encoder = SpladeEncoder(params, cfg, tokenizer=load_tokenizer(name))
     return SpladeRetriever(SpladeIndex.load(index_dir), encoder=encoder, **kw)
 
 
@@ -92,20 +92,20 @@ def _two_stage(index_dir, corpus=None, reranker=None, kind="cross", **kw):
             DenseReranker,
         )
 
-        from qpp_fusion_rag_tpu.encoders import load_hf_tokenizer
+        from qpp_fusion_rag_tpu.encoders import load_tokenizer
 
         if kind == "cross":
             name = config.models.cross_encoder.name
             params, cfg = load_hf_bert(name, with_classifier=True)
             reranker = CrossEncoderReranker(
-                CrossEncoderScorer(params, cfg, tokenizer=load_hf_tokenizer(name))
+                CrossEncoderScorer(params, cfg, tokenizer=load_tokenizer(name))
             )
         else:
             name = config.models.tct_colbert.name
             params, cfg = load_hf_bert(name)
             reranker = DenseReranker(
                 DenseEncoder(params, cfg, pooling="mean",
-                             tokenizer=load_hf_tokenizer(name))
+                             tokenizer=load_tokenizer(name))
             )
     return TwoStageRetriever(first, reranker, corpus, **kw)
 
