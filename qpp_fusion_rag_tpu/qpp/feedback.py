@@ -149,3 +149,38 @@ def rm3_rerank_candidates(
     scores = rm.kl_rerank(model, texts)
     order = np.argsort(-scores)
     return [(candidates[i][0], float(scores[i])) for i in order]
+
+
+def feedback_term_stats(
+    queries: Dict[str, str],                 # qid -> text
+    runs: Dict[str, List[str]],              # qid -> rank-ordered docnos
+    corpus,                                  # dict/LazyCorpus: docno -> text
+    num_top_docs: int = FB_DOCS,
+    fb_terms: int = FB_TERMS,
+    tokenizer=None,
+) -> Dict[str, List[Tuple[str, float]]]:
+    """Per-query feedback-term weights from a run's top docs — the
+    FdbkTermStats workflow (reference retrieval/FdbkTermStats.java:24-66:
+    RelevanceModelConditional over the run's top-`num_top_docs`, term
+    weights sorted desc). -> {qid: [(term, weight) desc]}.
+
+    `corpus[docno]` may be raw text or a {"text": ...} record (LazyCorpus
+    contract). Queries missing from `runs` are skipped, mirroring the
+    reference's discard of unmatched qids."""
+    rm = RelevanceModel(tokenizer=tokenizer)
+    out: Dict[str, List[Tuple[str, float]]] = {}
+    for qid, text in queries.items():
+        docnos = runs.get(qid)
+        if not docnos:
+            continue
+        doc_texts = []
+        for d in docnos[:num_top_docs]:
+            rec = corpus[d] if d in corpus else None
+            if rec is None:
+                continue
+            doc_texts.append(rec["text"] if isinstance(rec, dict) else str(rec))
+        if not doc_texts:
+            continue
+        model = rm.rm3(text, doc_texts, fb_terms=fb_terms)
+        out[qid] = sorted(model.items(), key=lambda kv: -kv[1])
+    return out
