@@ -188,6 +188,48 @@ def normalize_qpp(qpp: jnp.ndarray, method: str = "minmax") -> jnp.ndarray:
     return qpp
 
 
+def minmax_extrema(qpp: jnp.ndarray):
+    """Per-(retriever, statistic) extrema over the query axis of
+    [R, B, M] raw QPP -> (vmin [R, 1, M], vmax [R, 1, M]). The sharded
+    serving path pmin/pmaxes these over the data mesh axis to recover
+    whole-batch semantics."""
+    return (jnp.min(qpp, axis=1, keepdims=True),
+            jnp.max(qpp, axis=1, keepdims=True))
+
+
+def apply_minmax(qpp: jnp.ndarray, vmin: jnp.ndarray, vmax: jnp.ndarray):
+    """(v - min)/(max - min) per retriever × statistic (reference
+    src/qpp.py:340-374 semantics); degenerate columns get 0.5 — all-zero
+    weights would make every fused contribution vanish."""
+    scale = jnp.where(vmax > vmin, vmax - vmin, 1.0)
+    return jnp.where(vmax > vmin, (qpp - vmin) / scale, 0.5)
+
+
+def qpp_calibration_stats(qpp_raw: jnp.ndarray) -> jnp.ndarray:
+    """Freeze normalization statistics from a calibration batch of RAW
+    (unnormalized) [R, B, M] QPP values -> stats [R, 2, M] (min, max).
+
+    Serving batches normalized against frozen stats are batch-size
+    INVARIANT and match the reference's whole-query-set normalization
+    (src/qpp.py:340-374) when the calibration set is the query set —
+    docs/qpp_norm_sensitivity.json quantifies the in-batch drift these
+    stats eliminate."""
+    vmin, vmax = minmax_extrema(qpp_raw)
+    return jnp.stack([vmin[:, 0, :], vmax[:, 0, :]], axis=1)
+
+
+def normalize_qpp_with(qpp_raw: jnp.ndarray, stats) -> jnp.ndarray:
+    """Normalize raw [R, B, M] QPP: against frozen calibration `stats`
+    [R, 2, M] when given (clipped to [0, 1] — unseen queries may exceed
+    the calibration range), else in-batch min-max."""
+    if stats is not None:
+        vmin = stats[:, 0][:, None, :]
+        vmax = stats[:, 1][:, None, :]
+        return jnp.clip(apply_minmax(qpp_raw, vmin, vmax), 0.0, 1.0)
+    vmin, vmax = minmax_extrema(qpp_raw)
+    return apply_minmax(qpp_raw, vmin, vmax)
+
+
 METHOD_NAMES: List[str] = [
     "nqc", "smv", "wig", "SigmaMax", "SigmaX", "RSD", "UEF",
     "MaxIDF", "avgidf", "cumnqc", "snqc", "dense-qpp", "dense-qpp-m",

@@ -46,7 +46,8 @@ def weight_and_fuse(ids, norm, weights, method=F.COMBSUM, k_out=100):
 
 
 def _retrieve_qpp_norm(q_emb, view_proj, corpus, text_feats, k, chunk, use_pallas,
-                       corpus_transposed=False, corpus_scale=None):
+                       corpus_transposed=False, corpus_scale=None,
+                       qpp_norm_stats=None):
     """Shared pipeline front half: retrieval + QPP + .norm.res scores.
     Both the QPP-weighted and learned serving paths build on this, so
     kernel-path fixes apply to every flagship step at once.
@@ -69,7 +70,7 @@ def _retrieve_qpp_norm(q_emb, view_proj, corpus, text_feats, k, chunk, use_palla
         if corpus_transposed:
             raise ValueError("transposed corpus requires use_pallas=True")
         vals, ids = D.multi_view_topk(q_emb, view_proj, corpus, k=k, chunk=chunk)
-    qpp = qpp_from_runs(vals, ids, text_feats)
+    qpp = qpp_from_runs(vals, ids, text_feats, stats=qpp_norm_stats)
     norm = _row_minmax_scores(vals, ids >= 0)
     return vals, ids, qpp, norm
 
@@ -80,21 +81,20 @@ def qpp_from_runs(
     text_feats: jnp.ndarray,  # [B, 4]
     cutoff: int = Q.DEFAULT_CUTOFF,
     normalize: bool = True,
+    stats: Optional[jnp.ndarray] = None,   # [R, 2, 13] frozen calibration
 ) -> jnp.ndarray:
-    """-> qpp [R, B, 13]; per-retriever cross-query min-max normalized
-    (in-batch analogue of reference src/qpp.py:340-374)."""
+    """-> qpp [R, B, 13]; per-retriever cross-query min-max normalized —
+    in-batch (analogue of reference src/qpp.py:340-374; degenerate columns
+    get 0.5 so weights never all vanish) or, with `stats`, against frozen
+    calibration extrema (batch-size-invariant; Q.qpp_calibration_stats)."""
     n_valid = jnp.sum(ids >= 0, axis=-1).astype(jnp.int32)          # [R, B]
     clean = jnp.where(ids >= 0, vals, 0.0)
     kern = partial(Q.qpp_kernel, cutoff=cutoff)
     qpp = jax.vmap(kern, in_axes=(0, 0, None))(clean, n_valid, text_feats)
+    if stats is not None:
+        return Q.normalize_qpp_with(qpp, stats)
     if normalize:
-        # Degenerate columns (single-query batches, constant statistics) get
-        # 0.5 rather than minmax's 0: all-zero weights would make every
-        # fused contribution vanish (B=1 serving returned tie-break order).
-        vmin = jnp.min(qpp, axis=1, keepdims=True)
-        vmax = jnp.max(qpp, axis=1, keepdims=True)
-        normed = jax.vmap(lambda x: Q.normalize_qpp(x, method="minmax"))(qpp)
-        qpp = jnp.where(vmax > vmin, normed, 0.5)
+        qpp = Q.normalize_qpp_with(qpp, None)
     return qpp
 
 
@@ -116,6 +116,7 @@ def fused_retrieval_step(
     use_pallas: bool = False,
     corpus_transposed: bool = False,
     corpus_scale: jnp.ndarray = None,   # [1, N] f32 -> int8 quantized path
+    qpp_norm_stats: jnp.ndarray = None,  # [R, 2, 13] frozen calibration
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One fused-retrieval forward step -> (fused_ids [B, k_out],
     fused_scores [B, k_out], qpp [R, B, 13]). Multi-chip execution comes
@@ -124,6 +125,7 @@ def fused_retrieval_step(
     _vals, ids, qpp, norm = _retrieve_qpp_norm(
         q_emb, view_proj, corpus, text_feats, k, chunk, use_pallas,
         corpus_transposed=corpus_transposed, corpus_scale=corpus_scale,
+        qpp_norm_stats=qpp_norm_stats,
     )
     fused_ids, fused_scores = weight_and_fuse(
         ids, norm, qpp[..., qpp_index], method=method, k_out=k_out
@@ -145,6 +147,7 @@ def learned_fused_retrieval_step(
     use_pallas: bool = False,
     corpus_transposed: bool = False,
     corpus_scale: jnp.ndarray = None,   # [1, N] f32 -> int8 quantized path
+    qpp_norm_stats: jnp.ndarray = None,  # [R, 2, 13] frozen calibration
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Learned-fusion forward: retrieval → QPP features → MLP softmax
     weights → weighted CombSUM, one compiled program (serving-path analogue
@@ -152,6 +155,7 @@ def learned_fused_retrieval_step(
     _vals, ids, qpp, norm = _retrieve_qpp_norm(
         q_emb, view_proj, corpus, text_feats, k, chunk, use_pallas,
         corpus_transposed=corpus_transposed, corpus_scale=corpus_scale,
+        qpp_norm_stats=qpp_norm_stats,
     )
     R, B, M = qpp.shape
     feats = jnp.transpose(qpp, (1, 0, 2)).reshape(B, R * M)

@@ -178,46 +178,15 @@ def rerank_candidates(
     return score_candidates(q_vec, cand, cand_ids, d_scale[0][safe])
 
 
-def minmax_extrema(qpp: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-(retriever, statistic) extrema over the query axis.
-    -> (vmin [R, 1, M], vmax [R, 1, M]). The sharded path pmin/pmaxes
-    these over the data axis to recover whole-batch semantics."""
-    return (jnp.min(qpp, axis=1, keepdims=True),
-            jnp.max(qpp, axis=1, keepdims=True))
-
-
-def apply_minmax(qpp: jnp.ndarray, vmin: jnp.ndarray,
-                 vmax: jnp.ndarray) -> jnp.ndarray:
-    """(v - min)/(max - min) per retriever × statistic (reference
-    src/qpp.py:340-374 semantics); degenerate columns get 0.5 — all-zero
-    weights would make every fused contribution vanish."""
-    scale = jnp.where(vmax > vmin, vmax - vmin, 1.0)
-    return jnp.where(vmax > vmin, (qpp - vmin) / scale, 0.5)
-
-
-def qpp_calibration_stats(qpp_raw: jnp.ndarray) -> jnp.ndarray:
-    """Freeze normalization statistics from a calibration batch of RAW
-    (unnormalized) QPP values -> stats [R, 2, M] (min, max rows).
-
-    Serving batches normalized against frozen stats are batch-size
-    INVARIANT and match the reference's whole-query-set normalization
-    (src/qpp.py:340-374) when the calibration set is the query set —
-    see docs/qpp_norm_sensitivity.json for the measured in-batch drift."""
-    vmin, vmax = minmax_extrema(qpp_raw)
-    return jnp.stack([vmin[:, 0, :], vmax[:, 0, :]], axis=1)
-
-
-def normalize_qpp_with(qpp_raw: jnp.ndarray,
-                       stats: Optional[jnp.ndarray]) -> jnp.ndarray:
-    """Normalize raw QPP: against frozen calibration `stats` [R, 2, M]
-    when given (clipped to [0, 1] — unseen queries may exceed the
-    calibration range), else in-batch min-max."""
-    if stats is not None:
-        vmin = stats[:, 0][:, None, :]
-        vmax = stats[:, 1][:, None, :]
-        return jnp.clip(apply_minmax(qpp_raw, vmin, vmax), 0.0, 1.0)
-    vmin, vmax = minmax_extrema(qpp_raw)
-    return apply_minmax(qpp_raw, vmin, vmax)
+# QPP normalization helpers live in ops.qpp; re-exported here because the
+# sharded composition (parallel.sharded) imports the per-view surface from
+# this module.
+from qpp_fusion_rag_tpu.ops.qpp import (   # noqa: E402  (re-export)
+    apply_minmax,
+    minmax_extrema,
+    normalize_qpp_with,
+    qpp_calibration_stats,
+)
 
 
 def fuse_tail(
