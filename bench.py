@@ -1,22 +1,23 @@
-"""Benchmark: fused-retrieval throughput (queries/sec/chip).
+"""Benchmark: heterogeneous-ensemble throughput (queries/sec/chip).
 
-Workload = the BASELINE.json north star: the full 5-retriever
-retrieve → QPP → fuse path over an NQ-scale corpus (2.68M passages × 768
-dims, reference data/nq: BGE embedding matrix) on one chip. Target
-≥ 10,000 fused queries/sec/chip; `vs_baseline` is value / 10k.
+PRIMARY metric (BENCH_rN): the reference's ACTUAL 5-retriever mix —
+BM25 + SPLADE impact retrieval (packed postings, q8 quantized-sort
+kernel), int8 MXU dense, and two BM25→dense rerank views — fused with
+QPP weighting in ONE compiled program at NQ scale (2.62M docs), i.e.
+reference scripts/02_retrieve.py:98-284 + 03 + 05 as a single step.
+Target ≥ 10,000 fused queries/sec/chip (BASELINE.json north star);
+`vs_baseline` = value / 10k.
 
-Speed-of-light framing (measured on this v5e): the batch does
-2·R·B·N·D ≈ 20.6 TFLOP. At the bf16 nominal peak (197 TF/s) the zero-
-overhead bound is ~105 ms/batch ≈ 9.8k q/s — BELOW the 10k target, so the
-production path stores the corpus index int8-quantized (symmetric per-doc
-scales, ScaNN-style) and contracts on the MXU's int8 mode: the packed
-group-max kernel measures 251 TOP/s (82 ms) vs 155 TF/s (133 ms) bf16.
-Quality: recall@100 vs f32 exact stays ≥0.97 of the bf16 path's (see
-docs/QUALITY_NOTES.md + tests/test_pallas_dense.py int8 tests).
+SECONDARY lines carried in the same JSON object:
+  - rank_safe_qps: the same ensemble with sparse_mode="q8r" (exact
+    doc-vector rescore of the sparse candidate pool — the rank-safe
+    serving config; quality frontier in docs/quality_rescore.json)
+  - dense_flagship_qps: the 5-dense-projection-view flagship step
+    (the BENCH_r01/r02 workload, kept for cross-round comparability)
 
-Everything (corpus, queries, projections) is generated on device; the
-timed region is the jitted pipeline step with a final device sync.
-Prints exactly one JSON line on stdout.
+Everything (corpus, postings, queries) is generated on device/host; the
+timed region is the jitted step with a host-value sync. Prints exactly
+one JSON line on stdout.
 """
 
 import json
@@ -27,45 +28,130 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Persistent XLA compile cache: first-ever compile of the big fused program
-# costs minutes (remote-compile warmup); subsequent bench runs hit this cache.
 jax.config.update("jax_compilation_cache_dir", "/root/repo/cache/xla")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
-# NQ scale (reference: 2.68M passages, 768-dim BGE embeddings)
-N_DOCS = 2_621_440          # 40 * 65536
+N_DOCS = 2_621_440          # NQ scale (reference: 2.68M passages)
 DIM = 768
-R_VIEWS = 5                 # 5-retriever ensemble
 BATCH = 1024
 TOP_K = 100
-CHUNK = 131_072
+P_CAP = 2048                # nDCG@10 retention 0.988 (docs/quality_q8.json)
 NORTH_STAR_QPS = 10_000.0
 
 
-def main() -> None:
-    from qpp_fusion_rag_tpu.pipeline.engine import fused_retrieval_step
+def log(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
-    dev = jax.devices()[0]
-    on_tpu = dev.platform == "tpu"
-    if not on_tpu:
-        # CPU smoke mode: tiny shapes, still exercises the full path.
-        n_docs, batch, chunk = 65_536, 64, 8192
-    else:
-        n_docs, batch, chunk = N_DOCS, BATCH, CHUNK
+
+def sync(out):
+    _ = np.asarray(out[1]).ravel()[0]   # force through any dispatch tunnel
+
+
+def time_step(step, reps):
+    t0 = time.perf_counter()
+    out = step()
+    sync(out)
+    log(f"compile+first-run: {time.perf_counter()-t0:.1f}s")
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = step()
+    sync(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def bench_ensemble(on_tpu):
+    from qpp_fusion_rag_tpu.data.synthetic import zipf_bm25_csr, zipf_queries
+    from qpp_fusion_rag_tpu.ops.pallas.dense_topk import quantize_rows
+    from qpp_fusion_rag_tpu.ops.sparse import (
+        doc_vector_imp_bits,
+        pack_doc_vectors,
+        pack_postings,
+    )
+    from qpp_fusion_rag_tpu.pipeline.ensemble import (
+        EnsembleIndexes,
+        ensemble_retrieval_step,
+    )
+
+    n_docs, batch = (N_DOCS, BATCH) if on_tpu else (65_536, 64)
+    p_cap = P_CAP if on_tpu else 64
+
+    t0 = time.time()
+    bo, bd, bw, _ = zipf_bm25_csr(
+        n_docs, vocab_size=100_000, avg_doc_len=30.0, seed=0,
+        max_postings=80_000_000 if on_tpu else 2_000_000)
+    so, sd, sw, _ = zipf_bm25_csr(
+        n_docs, vocab_size=30_000, avg_doc_len=40.0, seed=7,
+        max_postings=60_000_000 if on_tpu else 1_500_000)
+    log(f"sparse indexes built {time.time()-t0:.0f}s: "
+        f"bm25 {len(bd)/1e6:.0f}M, splade {len(sd)/1e6:.0f}M postings")
 
     key = jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(key, 3)
-    # corpus stored [D, N] on TPU: the packed Pallas kernel contracts without
-    # an in-kernel transpose; int8-quantized with per-doc scales (the
-    # production index format — quantization runs once at index build).
-    q_emb = jax.random.normal(k2, (batch, DIM), dtype=jnp.float32)
-    view_proj = jax.random.normal(k3, (R_VIEWS, DIM, DIM), dtype=jnp.float32) * 0.05
-    text_feats = jnp.tile(jnp.asarray([6.0, 6.0, 9.0, 5.0], jnp.float32), (batch, 1))
+    corpus_f = jax.random.normal(k1, (DIM, n_docs), jnp.float32)
+    c_int, d_scale = jax.jit(lambda c: quantize_rows(c, axis=0))(corpus_f)
+    del corpus_f
+    corpus_rows = jnp.transpose(c_int)
+    jax.block_until_ready(corpus_rows)
+
+    t0 = time.time()
+    bp, bscale = pack_postings(bd, bw, bo)
+    sp, sscale = pack_postings(sd, sw, so)
+    imp_bits = doc_vector_imp_bits(len(bo) - 1)
+    bdp, bds, _ = pack_doc_vectors(bo, bd, bw, n_docs, imp_bits=imp_bits)
+    sdp, sds, _ = pack_doc_vectors(so, sd, sw, n_docs, imp_bits=imp_bits)
+    log(f"packed postings + doc vectors built {time.time()-t0:.0f}s")
+    idx = EnsembleIndexes(
+        bm25_packed=jnp.asarray(bp), bm25_scales=jnp.asarray(bscale),
+        bm25_offsets=jnp.asarray(bo.astype(np.int32)),
+        splade_packed=jnp.asarray(sp), splade_scales=jnp.asarray(sscale),
+        splade_offsets=jnp.asarray(so.astype(np.int32)),
+        corpus_int=c_int, corpus_rows=corpus_rows,
+        d_scale=d_scale.reshape(1, n_docs),
+        bm25_doc_packed=jnp.asarray(bdp), bm25_doc_scale=jnp.asarray(bds),
+        splade_doc_packed=jnp.asarray(sdp), splade_doc_scale=jnp.asarray(sds),
+    )
+    del bd, bw, sd, sw, bp, sp, bdp, sdp
+
+    bm25_t, bm25_w = zipf_queries(bo, batch, n_terms=8, seed=1)
+    splade_t, splade_w = zipf_queries(so, batch, n_terms=16, seed=2)
+    q_emb = jax.random.normal(k2, (batch, DIM), jnp.float32)
+    proj = jax.random.normal(k3, (2, DIM, DIM), jnp.float32) * 0.05
+    tf = jnp.tile(jnp.asarray([6.0, 6.0, 9.0, 5.0], jnp.float32), (batch, 1))
+
+    def step_mode(mode, cand):
+        return lambda: ensemble_retrieval_step(
+            idx, bm25_t, bm25_w, splade_t, splade_w, q_emb, proj, tf,
+            k=TOP_K, k_out=TOP_K, p_cap=p_cap,
+            sparse_mode=mode, sparse_candidates=cand, doc_imp_bits=imp_bits,
+        )
+
+    reps = 5 if on_tpu else 2
+    dt_q8 = time_step(step_mode("q8", 0), reps)
+    log(f"ensemble q8: {dt_q8*1e3:.1f} ms/batch -> {batch/dt_q8:.0f} q/s")
+    dt_q8r = time_step(step_mode("q8r", 1024 if on_tpu else 64), reps)
+    log(f"ensemble q8r: {dt_q8r*1e3:.1f} ms/batch -> {batch/dt_q8r:.0f} q/s")
+    return {
+        "qps": batch / dt_q8, "ms_per_batch": dt_q8 * 1e3,
+        "rank_safe_qps": batch / dt_q8r,
+        "rank_safe_ms_per_batch": dt_q8r * 1e3,
+        "batch": batch, "n_docs": n_docs, "p_cap": p_cap,
+        "imp_bits": imp_bits,
+    }
+
+
+def bench_dense(on_tpu):
+    from qpp_fusion_rag_tpu.ops.pallas.dense_topk import quantize_rows
+    from qpp_fusion_rag_tpu.pipeline.engine import fused_retrieval_step
+
+    n_docs, batch, chunk = (N_DOCS, BATCH, 131_072) if on_tpu else (65_536, 64, 8192)
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    q_emb = jax.random.normal(k2, (batch, DIM), jnp.float32)
+    view_proj = jax.random.normal(k3, (5, DIM, DIM), jnp.float32) * 0.05
+    tf = jnp.tile(jnp.asarray([6.0, 6.0, 9.0, 5.0], jnp.float32), (batch, 1))
 
     if on_tpu:
-        from qpp_fusion_rag_tpu.ops.pallas.dense_topk import quantize_rows
-
-        corpus_f = jax.random.normal(k1, (DIM, n_docs), dtype=jnp.float32)
+        corpus_f = jax.random.normal(k1, (DIM, n_docs), jnp.float32)
         corpus, corpus_scale = jax.jit(lambda c: quantize_rows(c, axis=0))(corpus_f)
         corpus_scale = corpus_scale.reshape(1, n_docs)
         del corpus_f
@@ -73,48 +159,41 @@ def main() -> None:
 
         def step():
             return fused_retrieval_step(
-                q_emb, view_proj, corpus, text_feats,
-                k=TOP_K, chunk=chunk, k_out=TOP_K,
-                corpus_scale=corpus_scale,
-            )
+                q_emb, view_proj, corpus, tf, k=TOP_K, chunk=chunk,
+                k_out=TOP_K, corpus_scale=corpus_scale)
     else:
-        corpus = jax.random.normal(k1, (n_docs, DIM), dtype=jnp.bfloat16)
-        jax.block_until_ready(corpus)
+        corpus = jax.random.normal(k1, (n_docs, DIM), jnp.bfloat16)
 
         def step():
             return fused_retrieval_step(
-                q_emb, view_proj, corpus, text_feats,
-                k=TOP_K, chunk=chunk, k_out=TOP_K,
-            )
+                q_emb, view_proj, corpus, tf, k=TOP_K, chunk=chunk,
+                k_out=TOP_K)
 
-    # Warmup/compile
-    t0 = time.perf_counter()
-    out = step()
-    # full sync through any async dispatch tunnel: read one host value
-    _ = np.asarray(out[1])[0, 0]
-    compile_s = time.perf_counter() - t0
-    print(f"[bench] compile+first-run: {compile_s:.1f}s", file=sys.stderr)
+    dt = time_step(step, 5 if on_tpu else 2)
+    log(f"dense flagship: {dt*1e3:.1f} ms/batch -> {batch/dt:.0f} q/s")
+    return batch / dt
 
-    reps = 5 if on_tpu else 2
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = step()
-    _ = np.asarray(out[1])[0, 0]
-    dt = (time.perf_counter() - t0) / reps
-    qps = batch / dt
 
-    flops = 2.0 * R_VIEWS * batch * n_docs * DIM
-    print(
-        f"[bench] {batch} queries x {n_docs} docs x {R_VIEWS} views: "
-        f"{dt * 1e3:.1f} ms/batch, {flops / dt / 1e12:.1f} TF/s, {qps:.0f} q/s "
-        f"({dev.device_kind})",
-        file=sys.stderr,
-    )
+def main() -> None:
+    dev = jax.devices()[0]
+    on_tpu = dev.platform == "tpu"
+    ens = bench_ensemble(on_tpu)
+    dense_qps = bench_dense(on_tpu)
     print(json.dumps({
-        "metric": "fused_retrieval_qps_per_chip",
-        "value": round(qps, 1),
-        "unit": f"queries/sec (5-retriever retrieve+qpp+fuse, {n_docs/1e6:.2f}M-doc corpus)",
-        "vs_baseline": round(qps / NORTH_STAR_QPS, 4),
+        "metric": "heterogeneous_ensemble_qps_per_chip",
+        "value": round(ens["qps"], 1),
+        "unit": (f"queries/sec (BM25+SPLADE+int8-dense+2 reranked views, "
+                 f"retrieve+qpp+fuse, {ens['n_docs']/1e6:.2f}M docs)"),
+        "vs_baseline": round(ens["qps"] / NORTH_STAR_QPS, 4),
+        "ms_per_batch": round(ens["ms_per_batch"], 1),
+        "batch": ens["batch"], "p_cap": ens["p_cap"],
+        "sparse_mode": "q8",
+        "rank_safe_qps": round(ens["rank_safe_qps"], 1),
+        "rank_safe_ms_per_batch": round(ens["rank_safe_ms_per_batch"], 1),
+        "rank_safe_config": (f"q8r cand=1024 imp_bits={ens['imp_bits']} "
+                             "(docs/quality_rescore.json)"),
+        "dense_flagship_qps": round(dense_qps, 1),
+        "device": dev.device_kind,
     }))
 
 

@@ -347,22 +347,34 @@ def sparse_rescore_topk_packed(
     B = q_terms.shape[0]
     return _rescore_pool(docs.reshape(B, -1), vals.reshape(B, -1), k, candidates)
 
+def doc_vector_imp_bits(n_terms: int, max_bits: int = 12) -> int:
+    """Widest impact field that still fits (term_id | sentinel) in int31:
+    term ids (incl. the all-ones sentinel) take ceil(log2(T+1)) bits, the
+    rest go to impact precision. 100k vocab -> 12 bits (quantization step
+    max_w/4095 — rank flips measured nil); >= 8 always fits for vocabs
+    below 2^23 - 1."""
+    need = max(int(np.ceil(np.log2(max(n_terms + 1, 2)))), 1)
+    return max(8, min(max_bits, 31 - need))
+
+
 def pack_doc_vectors(
     offsets: np.ndarray,       # [T+1] CSR term offsets
     flat_docs: np.ndarray,     # [P] doc ids
     flat_weights: np.ndarray,  # [P] f32 impacts
     n_docs: int,
     doc_cap: int = 0,          # 0 = fit the longest doc (exact)
+    imp_bits: int = 8,         # impact precision (doc_vector_imp_bits)
 ):
     """Invert term-major CSR postings to PACKED doc-major vectors for the
-    exact-rescore kernel: row d holds doc d's (term << 8 | uint8 impact)
-    entries, padded with the term sentinel 0x7FFFFF (matches no query).
+    exact-rescore kernel: row d holds doc d's (term << imp_bits | q-impact)
+    entries, padded with the all-ones term sentinel (matches no query).
 
     Impacts quantize per-DOC against the doc's max weight (scale =
-    max_w/255), so a rescored sum's relative error is bounded by
-    ~n_matched/510 · max_w — measured recall impact nil (the candidate
-    ORDER is what matters, and quantization noise is far below typical
-    BM25 score gaps; docs/quality_rescore.json).
+    max_w/(2^imp_bits - 1)); a rescored sum's error is bounded by
+    ~n_matched/2 quantization steps. At the default 8 bits that error
+    flips ~0.8% of top-10 ranks on tight BM25 score gaps
+    (docs/quality_rescore.json); pass doc_vector_imp_bits(T) (12 for a
+    100k vocab) to make it negligible at zero extra HBM traffic.
 
     doc_cap > 0 truncates docs to their `doc_cap` HIGHEST-weight terms
     (rescoring then lower-bounds the true score); 0 sizes rows to the
@@ -378,8 +390,12 @@ def pack_doc_vectors(
     flat_docs = np.asarray(flat_docs)
     flat_weights = np.asarray(flat_weights, dtype=np.float32)
     T = len(offsets) - 1
-    if T >= (1 << 23) - 1:
-        raise ValueError("doc-vector packing needs term ids < 2^23 - 1")
+    sentinel_term = (1 << (31 - imp_bits)) - 1
+    if T >= sentinel_term:
+        raise ValueError(
+            f"doc-vector packing with imp_bits={imp_bits} needs term ids "
+            f"< 2^{31 - imp_bits} - 1; lower imp_bits (doc_vector_imp_bits)")
+    qmax = (1 << imp_bits) - 1
     term_of = np.repeat(np.arange(T, dtype=np.int64), np.diff(offsets))
     # group postings by doc; stable keeps per-term impact order (unused)
     order = np.argsort(flat_docs, kind="stable")
@@ -398,7 +414,7 @@ def pack_doc_vectors(
     nz = counts > 0
     if nz.any():
         maxw = np.maximum.reduceat(w_sorted, bounds[:-1][nz])
-        doc_scale[nz] = np.where(maxw > 0, maxw / 255.0, 1.0)
+        doc_scale[nz] = np.where(maxw > 0, maxw / qmax, 1.0)
 
     if td < td_full:
         # keep each doc's heaviest `td` terms: rank entries per doc by -w
@@ -413,25 +429,26 @@ def pack_doc_vectors(
         counts = np.diff(bounds)
 
     q = np.clip(np.round(w_sorted / np.maximum(
-        np.repeat(doc_scale, counts), 1e-12)), 0, 255).astype(np.int64)
-    packed_flat = (t_sorted << 8) | q
-    doc_packed = np.full((n_docs, td), np.int64(0x7FFFFF) << 8,
+        np.repeat(doc_scale, counts), 1e-12)), 0, qmax).astype(np.int64)
+    packed_flat = (t_sorted << imp_bits) | q
+    doc_packed = np.full((n_docs, td), np.int64(sentinel_term) << imp_bits,
                          dtype=np.int64)
     col = np.arange(len(d_sorted)) - np.repeat(bounds[:-1], counts)
     doc_packed[d_sorted, col] = packed_flat
     return doc_packed.astype(np.int32), doc_scale, td
 
 
-@partial(jax.jit, static_argnames=("k",))
+@partial(jax.jit, static_argnames=("k", "imp_bits"))
 def sparse_exact_rescore(
     cand_scores: jnp.ndarray,  # [B, C] f32 candidate-gen scores (unused order)
     cand_ids: jnp.ndarray,     # [B, C] int32 candidate doc ids (-1 pad)
-    doc_packed: jnp.ndarray,   # [N, Td] int32 (term << 8 | uint8 impact)
+    doc_packed: jnp.ndarray,   # [N, Td] int32 (term << imp_bits | q-impact)
     doc_scale: jnp.ndarray,    # [N] f32
     q_terms: jnp.ndarray,      # [B, Tq] int32 (-1 pad)
     q_weights: jnp.ndarray,    # [B, Tq] f32
     term_scales: jnp.ndarray = None,  # [T] f32 (query-side dequant fold-in)
     k: int = 100,
+    imp_bits: int = 8,         # must match pack_doc_vectors
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact-rescore candidates against their FULL term contributions.
     -> (scores [B, k] desc, ids [B, k], -1 pad).
@@ -447,8 +464,8 @@ def sparse_exact_rescore(
         qw = qw * term_scales[jnp.maximum(q_terms, 0)]
     safe = jnp.maximum(cand_ids, 0)
     rows = jnp.take(doc_packed, safe.reshape(-1), axis=0).reshape(B, C, -1)
-    t = jax.lax.shift_right_logical(rows, 8)            # [B, C, Td]
-    imp = (rows & jnp.int32(0xFF)).astype(jnp.float32)
+    t = jax.lax.shift_right_logical(rows, imp_bits)     # [B, C, Td]
+    imp = (rows & jnp.int32((1 << imp_bits) - 1)).astype(jnp.float32)
     # single fused pass over [B, C, Td]: accumulate the matched query
     # weight per element (an elementwise where-chain XLA fuses into one
     # HBM sweep), then ONE reduction — ~3x faster than per-term reduces
@@ -468,7 +485,7 @@ def sparse_exact_rescore(
 
 
 @partial(jax.jit, static_argnames=("k", "p_cap", "candidates", "dma_gather",
-                                   "bitonic"))
+                                   "bitonic", "imp_bits", "pool_recall"))
 def sparse_score_topk_q8_rescored(
     packed: jnp.ndarray,        # [P] int32 (doc << 8 | uint8 impact)
     offsets: jnp.ndarray,       # [T+1] int32
@@ -482,28 +499,32 @@ def sparse_score_topk_q8_rescored(
     candidates: int = 512,
     dma_gather: bool = None,
     bitonic: bool = None,
+    imp_bits: int = 8,          # must match pack_doc_vectors
+    pool_recall: float = 0.999,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """RANK-SAFE production sparse scoring: q8 window kernel generates a
-    top-`candidates` pool, then every pooled doc is exactly rescored
-    against its full term vector (sparse_exact_rescore) and re-ranked.
+    top-`candidates` pool (approx_max_k at `pool_recall` — 0.95 loses
+    ~0.5% of true top-10 through pool-selection alone), then every pooled
+    doc is exactly rescored against its full term vector
+    (sparse_exact_rescore) and re-ranked.
 
     Closes the p_cap truncation hole (recall@10 0.88 at q8/p_cap=2048,
-    docs/quality_q8.json) to >= 0.99 vs full-depth exact at ~1.1-1.2x the
-    q8 latency (docs/quality_rescore.json). A true top-k doc is missed
-    only when NONE of its postings fall inside any query term's top-p_cap
-    impact window AND it is outside the pool — both measured < 1% jointly
-    at the production config."""
+    docs/quality_q8.json): window coverage of true top-10 docs is 100% at
+    p_cap=2048 (every miss mode is pool ranking, not coverage), so recall
+    climbs with the pool — see docs/quality_rescore.json for the
+    (candidates, imp_bits) → recall/latency frontier."""
     cs, ci = sparse_score_topk_q8(
         packed, offsets, term_scales, q_terms, q_weights,
         k=candidates, p_cap=p_cap, exact_topk=False,
-        dma_gather=dma_gather, bitonic=bitonic,
+        dma_gather=dma_gather, bitonic=bitonic, approx_recall=pool_recall,
     )
     return sparse_exact_rescore(
-        cs, ci, doc_packed, doc_scale, q_terms, q_weights, k=k)
+        cs, ci, doc_packed, doc_scale, q_terms, q_weights, k=k,
+        imp_bits=imp_bits)
 
 
 @partial(jax.jit, static_argnames=("k", "p_cap", "exact_topk", "dma_gather",
-                                   "bitonic"))
+                                   "bitonic", "approx_recall"))
 def sparse_score_topk_q8(
     packed: jnp.ndarray,        # [P] int32 (doc << 8 | uint8 impact)
     offsets: jnp.ndarray,       # [T+1] int32
@@ -515,6 +536,7 @@ def sparse_score_topk_q8(
     exact_topk: bool = False,
     dma_gather: bool = None,
     bitonic: bool = None,
+    approx_recall: float = 0.95,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Quantized-sort sparse scoring: ONE int32 sort key per posting.
 
@@ -582,7 +604,7 @@ def sparse_score_topk_q8(
             top_vals, top_idx = jax.lax.top_k(scores, kk)
         else:
             top_vals, top_idx = jax.lax.approx_max_k(
-                scores, kk, recall_target=0.95)
+                scores, kk, recall_target=approx_recall)
         top_ids = jnp.take_along_axis(sids, top_idx, axis=-1)
         ok = jnp.isfinite(top_vals)
         return (jnp.where(ok, top_vals, -jnp.inf),

@@ -241,6 +241,7 @@ def shard_ensemble_indexes(
     corpus,                  # [N, D] f32 dense rows
     n_docs: int,
     n_shards: int,
+    doc_imp_bits: int = 8,
 ) -> ShardedEnsembleIndexes:
     """Partition both CSR indexes by doc range (shard_sparse_csr), pack
     each shard's postings and doc-major vectors with the SAME host
@@ -280,14 +281,15 @@ def shard_ensemble_indexes(
             scales_l.append(sc)
             dp, ds, td = pack_doc_vectors(
                 offsets_s[s], docs_s[s, :n_post], weights_s[s, :n_post],
-                n_local)
+                n_local, imp_bits=doc_imp_bits)
             dp_l.append(dp)
             ds_l.append(ds)
             td_max = max(td_max, td)
         p_max = max(len(p) for p in packed_l)
         packed = np.zeros((n_shards, p_max), np.int32)
-        doc_packed = np.full(
-            (n_shards, n_local, td_max), np.int32(0x7FFFFF) << 8, np.int32)
+        pad_val = np.int32(
+            ((1 << (31 - doc_imp_bits)) - 1) << doc_imp_bits)
+        doc_packed = np.full((n_shards, n_local, td_max), pad_val, np.int32)
         for s in range(n_shards):
             packed[s, : len(packed_l[s])] = packed_l[s]
             doc_packed[s, :, : dp_l[s].shape[1]] = dp_l[s]
@@ -335,6 +337,7 @@ def sharded_ensemble_step(
     sparse_candidates: int = 0,
     mlp_params=None,
     qpp_norm_stats=None,
+    doc_imp_bits: int = 8,
 ):
     """The FULL heterogeneous 5-view ensemble over a (data, corpus) mesh —
     the SAME per-view production kernels as the single-chip
@@ -366,7 +369,8 @@ def sharded_ensemble_step(
         score_candidates,
     )
 
-    scorer = make_sparse_scorer(sparse_mode, sparse_candidates, k, p_cap)
+    scorer = make_sparse_scorer(sparse_mode, sparse_candidates, k, p_cap,
+                                imp_bits=doc_imp_bits)
     n_shards = mesh.shape[CORPUS_AXIS]
     n_local = idx.corpus_rows.shape[0] // n_shards
 

@@ -78,7 +78,7 @@ class EnsembleIndexes(NamedTuple):
 # =============================================================================
 
 def make_sparse_scorer(sparse_mode: str, sparse_candidates: int,
-                       k: int, p_cap: int):
+                       k: int, p_cap: int, imp_bits: int = 8):
     """-> scorer(packed, offsets, scales, terms, qw, doc_packed, doc_scale)
     -> (scores [B, k] desc, doc ids [B, k], -1 pad; LOCAL ids on a shard).
 
@@ -105,7 +105,8 @@ def make_sparse_scorer(sparse_mode: str, sparse_candidates: int,
                     "(pack_doc_vectors) on the index")
             return sparse_score_topk_q8_rescored(
                 packed, offsets, scales, doc_packed, doc_scale,
-                terms, qw, k=k, p_cap=p_cap, candidates=cand)
+                terms, qw, k=k, p_cap=p_cap, candidates=cand,
+                imp_bits=imp_bits)
     elif sparse_candidates > 0:
         def scorer(packed, offsets, scales, terms, qw,
                    doc_packed=None, doc_scale=None):
@@ -218,7 +219,7 @@ def fuse_tail(
 
 @partial(jax.jit, static_argnames=(
     "k", "k_out", "p_cap", "method", "qpp_index", "sparse_candidates",
-    "sparse_mode"))
+    "sparse_mode", "doc_imp_bits"))
 def ensemble_retrieval_step(
     idx: EnsembleIndexes,
     bm25_terms: jnp.ndarray,    # [B, T_bm] int32 (-1 pad)
@@ -237,6 +238,7 @@ def ensemble_retrieval_step(
     sparse_mode: str = "sort",
     mlp_params=None,
     qpp_norm_stats: jnp.ndarray = None,   # [5, 2, 13] calibration min/max
+    doc_imp_bits: int = 8,                # pack_doc_vectors precision
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """5-view heterogeneous retrieve → QPP → weighted fuse.
     -> (fused_ids [B, k_out], fused_scores [B, k_out], qpp [5, B, 13]).
@@ -245,7 +247,8 @@ def ensemble_retrieval_step(
     rank-safe production mode). qpp_norm_stats switches QPP weight
     normalization from in-batch min-max to frozen calibration statistics
     (batch-size-invariant; qpp_calibration_stats)."""
-    sparse = make_sparse_scorer(sparse_mode, sparse_candidates, k, p_cap)
+    sparse = make_sparse_scorer(sparse_mode, sparse_candidates, k, p_cap,
+                                imp_bits=doc_imp_bits)
     bm25_s, bm25_i = sparse(
         idx.bm25_packed, idx.bm25_offsets, idx.bm25_scales,
         bm25_terms, bm25_qw, idx.bm25_doc_packed, idx.bm25_doc_scale,

@@ -24,6 +24,7 @@ from qpp_fusion_rag_tpu.data.synthetic import (
     zipf_queries,
 )
 from qpp_fusion_rag_tpu.ops.sparse import (
+    doc_vector_imp_bits,
     pack_doc_vectors,
     pack_postings,
     sparse_score_topk_q8,
@@ -45,16 +46,23 @@ ex_s, ex_i = exact_sparse_scores_host(
 print(f"exact host scoring: {time.time()-t0:.0f}s", flush=True)
 
 packed, scales = pack_postings(docs, weights, offsets)
+IMP_BITS = doc_vector_imp_bits(len(offsets) - 1)
 t0 = time.time()
-doc_packed, doc_scale, td = pack_doc_vectors(offsets, docs, weights, N_DOCS)
-print(f"doc vectors: Td={td}, {doc_packed.nbytes/1e6:.0f} MB, "
-      f"built {time.time()-t0:.0f}s", flush=True)
+doc_packed, doc_scale, td = pack_doc_vectors(
+    offsets, docs, weights, N_DOCS, imp_bits=IMP_BITS)
+doc_packed64, doc_scale64, td64 = pack_doc_vectors(
+    offsets, docs, weights, N_DOCS, doc_cap=64, imp_bits=IMP_BITS)
+print(f"doc vectors: Td={td}, imp_bits={IMP_BITS}, "
+      f"{doc_packed.nbytes/1e6:.0f} MB, built {time.time()-t0:.0f}s",
+      flush=True)
 
 d_p = jnp.asarray(packed)
 d_off = jnp.asarray(offsets.astype(np.int32))
 d_s = jnp.asarray(scales)
 d_dp = jnp.asarray(doc_packed)
 d_ds = jnp.asarray(doc_scale)
+d_dp64 = jnp.asarray(doc_packed64)
+d_ds64 = jnp.asarray(doc_scale64)
 d_qt, d_qw = jnp.asarray(q_terms), jnp.asarray(q_weights)
 
 
@@ -101,21 +109,28 @@ def measure(fn, tag, p_cap, extra=None):
 
 
 results = []
-for p_cap in (1024, 2048, 4096):
+for p_cap in (2048, 4096):
     results.append(measure(
         lambda: sparse_score_topk_q8(
             d_p, d_off, d_s, d_qt, d_qw, k=K, p_cap=p_cap, exact_topk=False),
         "q8", p_cap))
-    for cand in (256, 512, 1024):
+    for cand in (512, 1024, 2048):
         results.append(measure(
             lambda: sparse_score_topk_q8_rescored(
                 d_p, d_off, d_s, d_dp, d_ds, d_qt, d_qw,
-                k=K, p_cap=p_cap, candidates=cand),
-            "q8_rescored", p_cap, {"candidates": cand}))
+                k=K, p_cap=p_cap, candidates=cand, imp_bits=IMP_BITS),
+            "q8_rescored", p_cap,
+            {"candidates": cand, "imp_bits": IMP_BITS}))
+    results.append(measure(
+        lambda: sparse_score_topk_q8_rescored(
+            d_p, d_off, d_s, d_dp64, d_ds64, d_qt, d_qw,
+            k=K, p_cap=p_cap, candidates=1024, imp_bits=IMP_BITS),
+        "q8_rescored_cap64", p_cap,
+        {"candidates": 1024, "imp_bits": IMP_BITS, "doc_cap": 64}))
 
 out = {
     "n_docs": N_DOCS, "postings": int(len(docs)), "batch": B,
-    "query_terms": TQ, "doc_vector_td": td,
+    "query_terms": TQ, "doc_vector_td": td, "imp_bits": IMP_BITS,
     "platform": jax.devices()[0].device_kind,
     "truth": "exact full-depth host scoring (f64 sums)",
     "sweep": results,
