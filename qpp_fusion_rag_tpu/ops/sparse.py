@@ -511,8 +511,13 @@ def sparse_score_topk_q8_rescored(
     Closes the p_cap truncation hole (recall@10 0.88 at q8/p_cap=2048,
     docs/quality_q8.json): window coverage of true top-10 docs is 100% at
     p_cap=2048 (every miss mode is pool ranking, not coverage), so recall
-    climbs with the pool — see docs/quality_rescore.json for the
-    (candidates, imp_bits) → recall/latency frontier."""
+    climbs with the pool. Measured vs full-depth exact at p_cap=2048,
+    imp_bits=12 (docs/quality_rescore.json): cand=1024 -> recall@10
+    0.980 / nDCG@10 retention 0.9995 at 2.5x plain-q8 latency; cand=2048
+    -> 0.990 / retention 1.0000 at 3.5x. The reference's exhaustive
+    Lucene scoring is rank-exact at unbounded postings-traversal cost;
+    this buys back rank safety at a bounded, documented multiple of the
+    approximate kernel."""
     cs, ci = sparse_score_topk_q8(
         packed, offsets, term_scales, q_terms, q_weights,
         k=candidates, p_cap=p_cap, exact_topk=False,
