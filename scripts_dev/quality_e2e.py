@@ -45,7 +45,7 @@ N_DOCS = 2_621_440 if ON_TPU else 65_536
 DIM = 768 if ON_TPU else 64
 B, K = 256, 100
 P_CAP = 2048 if ON_TPU else 64
-CANDIDATES = 1024 if ON_TPU else 128
+CANDIDATES = 2048 if ON_TPU else 128
 
 
 def log(msg):
@@ -113,7 +113,11 @@ log("exact views done")
 
 # ---- production views (int8 dense + q8r sparse + int8 rerank) -----------
 from qpp_fusion_rag_tpu.ops.pallas.dense_topk import quantize_rows
-from qpp_fusion_rag_tpu.ops.sparse import pack_doc_vectors, pack_postings
+from qpp_fusion_rag_tpu.ops.sparse import (
+    doc_vector_imp_bits,
+    pack_doc_vectors,
+    pack_postings,
+)
 from qpp_fusion_rag_tpu.pipeline.ensemble import (
     EnsembleIndexes,
     dense_view_topk,
@@ -131,8 +135,9 @@ d_scale = row_scale.reshape(1, N_DOCS)
 
 bp, bs = pack_postings(bd, bw, bo)
 sp, ss = pack_postings(sd, sw, so)
-bdp, bds, _ = pack_doc_vectors(bo, bd, bw, N_DOCS)
-sdp, sds, _ = pack_doc_vectors(so, sd, sw, N_DOCS)
+IMP_BITS = doc_vector_imp_bits(len(bo) - 1)
+bdp, bds, _ = pack_doc_vectors(bo, bd, bw, N_DOCS, imp_bits=IMP_BITS)
+sdp, sds, _ = pack_doc_vectors(so, sd, sw, N_DOCS, imp_bits=IMP_BITS)
 idx = EnsembleIndexes(
     bm25_packed=jnp.asarray(bp), bm25_scales=jnp.asarray(bs),
     bm25_offsets=jnp.asarray(bo.astype(np.int32)),
@@ -144,20 +149,27 @@ idx = EnsembleIndexes(
 )
 log(f"production arrays built {time.time()-t0:.0f}s")
 
-scorer = make_sparse_scorer("q8r", CANDIDATES, K, P_CAP)
-pb_s, pb_i = scorer(idx.bm25_packed, idx.bm25_offsets, idx.bm25_scales,
-                    jnp.asarray(bm25_t), jnp.asarray(bm25_w),
-                    idx.bm25_doc_packed, idx.bm25_doc_scale)
-ps_s, ps_i = scorer(idx.splade_packed, idx.splade_offsets, idx.splade_scales,
-                    jnp.asarray(splade_t), jnp.asarray(splade_w),
-                    idx.splade_doc_packed, idx.splade_doc_scale)
-pd_s, pd_i = dense_view_topk(q_emb, idx.corpus_int, idx.d_scale, K)
-pr_s, pr_i = rerank_candidates(qv, pb_i, idx.corpus_rows, idx.d_scale)
-prod_vals = np.stack([np.asarray(pb_s), np.asarray(ps_s), np.asarray(pd_s),
-                      np.asarray(pr_s[0]), np.asarray(pr_s[1])])
-prod_ids = np.stack([np.asarray(pb_i), np.asarray(ps_i), np.asarray(pd_i),
-                     np.asarray(pr_i[0]), np.asarray(pr_i[1])])
-log("production views done")
+def production_views(mode):
+    scorer = make_sparse_scorer(mode, CANDIDATES if mode == "q8r" else 0,
+                                K, P_CAP, imp_bits=IMP_BITS)
+    pb_s, pb_i = scorer(idx.bm25_packed, idx.bm25_offsets, idx.bm25_scales,
+                        jnp.asarray(bm25_t), jnp.asarray(bm25_w),
+                        idx.bm25_doc_packed, idx.bm25_doc_scale)
+    ps_s, ps_i = scorer(idx.splade_packed, idx.splade_offsets,
+                        idx.splade_scales,
+                        jnp.asarray(splade_t), jnp.asarray(splade_w),
+                        idx.splade_doc_packed, idx.splade_doc_scale)
+    pd_s, pd_i = dense_view_topk(q_emb, idx.corpus_int, idx.d_scale, K)
+    pr_s, pr_i = rerank_candidates(qv, pb_i, idx.corpus_rows, idx.d_scale)
+    return (np.stack([np.asarray(pb_s), np.asarray(ps_s), np.asarray(pd_s),
+                      np.asarray(pr_s[0]), np.asarray(pr_s[1])]),
+            np.stack([np.asarray(pb_i), np.asarray(ps_i), np.asarray(pd_i),
+                      np.asarray(pr_i[0]), np.asarray(pr_i[1])]))
+
+
+prod_vals, prod_ids = production_views("q8r")
+q8_vals, q8_ids = production_views("q8")
+log("production views done (q8r + q8)")
 
 # ---- per-view recall diagnostics ----------------------------------------
 VIEWS = ["bm25", "splade", "dense", "rerank1", "rerank2"]
@@ -200,6 +212,7 @@ def fuse_all(vals, ids):
 
 exact_fused, exact_qpp = fuse_all(exact_vals, exact_ids)
 prod_fused, prod_qpp = fuse_all(prod_vals, prod_ids)
+q8_fused, _q8_qpp = fuse_all(q8_vals, q8_ids)
 log("fusion done")
 
 
@@ -216,13 +229,16 @@ def ndcg10_retention(prod, exact):
 
 methods = {}
 for name in exact_fused:
-    prod, exact = prod_fused[name], exact_fused[name]
-    r100 = np.mean([len(set(prod[i]) & set(exact[i])) / 100 for i in range(B)])
-    methods[name] = {
-        "ndcg10_retention": round(ndcg10_retention(prod, exact), 4),
-        "recall100": round(float(r100), 4),
-    }
-    log(f"{name}: {methods[name]}")
+    exact = exact_fused[name]
+    row = {}
+    for tag, fused in (("q8r", prod_fused[name]), ("q8", q8_fused[name])):
+        r100 = np.mean([len(set(fused[i]) & set(exact[i])) / 100
+                        for i in range(B)])
+        row[f"ndcg10_retention_{tag}"] = round(
+            ndcg10_retention(fused, exact), 4)
+        row[f"recall100_{tag}"] = round(float(r100), 4)
+    methods[name] = row
+    log(f"{name}: {row}")
 
 qpp_drift = np.abs(prod_qpp - exact_qpp)
 out = {
@@ -238,8 +254,11 @@ out = {
         "p99_abs": round(float(np.quantile(qpp_drift, 0.99)), 5),
         "rsd_mean_abs": round(float(qpp_drift[..., 5].mean()), 5),
     },
-    "min_ndcg10_retention": round(
-        min(m["ndcg10_retention"] for m in methods.values()), 4),
+    "imp_bits": IMP_BITS,
+    "min_ndcg10_retention_q8r": round(
+        min(m["ndcg10_retention_q8r"] for m in methods.values()), 4),
+    "min_ndcg10_retention_q8": round(
+        min(m["ndcg10_retention_q8"] for m in methods.values()), 4),
 }
 if ON_TPU:
     with open("/root/repo/docs/quality_e2e.json", "w") as f:

@@ -1,0 +1,197 @@
+"""On-TPU generation: decoder LM, KV-cache decode, BPE, local transport."""
+
+import json
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    import jax
+
+    from qpp_fusion_rag_tpu.generation.local_lm import (
+        GPTConfig,
+        init_gpt_params,
+    )
+
+    cfg = GPTConfig(vocab_size=97, n_positions=64, hidden=32, layers=2,
+                    heads=4, eos_token_id=96)
+    params = init_gpt_params(jax.random.PRNGKey(0), cfg, scale=0.5)
+    return params, cfg
+
+
+def test_greedy_generate_matches_full_reforward(tiny):
+    """KV-cache decode must produce the SAME tokens as re-running the full
+    forward at every step (the correctness bar for any cache scheme)."""
+    import jax.numpy as jnp
+
+    from qpp_fusion_rag_tpu.generation.local_lm import (
+        gpt_logits,
+        greedy_generate,
+    )
+
+    params, cfg = tiny
+    rng = np.random.default_rng(0)
+    lens = np.array([5, 9], np.int32)
+    T_p = 16
+    prompt = np.zeros((2, T_p), np.int32)
+    for i, L in enumerate(lens):
+        prompt[i, :L] = rng.integers(0, cfg.vocab_size - 1, L)
+
+    max_new = 6
+    toks, n_gen = greedy_generate(params, cfg, jnp.asarray(prompt),
+                                  jnp.asarray(lens), max_new=max_new)
+    toks = np.asarray(toks)
+
+    # naive reference: grow the sequence, full forward, argmax at the end
+    for b in range(2):
+        seq = list(prompt[b, : lens[b]])
+        got = []
+        for _ in range(max_new):
+            ids = jnp.asarray(np.array(seq, np.int32)[None])
+            logits = gpt_logits(params, cfg, ids)
+            nxt = int(np.argmax(np.asarray(logits)[0, -1]))
+            got.append(nxt)
+            if nxt == cfg.eos_token_id:
+                break
+            seq.append(nxt)
+        want = np.array(got, np.int32)
+        have = toks[b][toks[b] >= 0][: len(want)]
+        np.testing.assert_array_equal(have, want)
+
+
+def test_eos_stops_counting(tiny):
+    import jax.numpy as jnp
+
+    from qpp_fusion_rag_tpu.generation.local_lm import greedy_generate
+
+    params, cfg = tiny
+    prompt = np.full((1, 8), 3, np.int32)
+    toks, n_gen = greedy_generate(params, cfg, jnp.asarray(prompt),
+                                  jnp.asarray([8], np.int32), max_new=10)
+    toks = np.asarray(toks)[0]
+    n = int(np.asarray(n_gen)[0])
+    assert n <= 10
+    # everything after the recorded tokens is -1 padding
+    assert (toks[n:] == -1).all()
+
+
+VOCAB_TOKENS = None
+
+
+def _bpe_fixture_files(tmp_path):
+    """A small byte-level BPE vocab: all single bytes + a few merges."""
+    from qpp_fusion_rag_tpu.generation.local_lm import _bytes_to_unicode
+
+    b2u = _bytes_to_unicode()
+    base = [b2u[i] for i in range(256)]
+    merges = [("h", "e"), ("l", "l"), ("he", "ll"), ("hell", "o"),
+              ("Ġ", "w"), ("Ġw", "o"), ("Ġwo", "r"), ("Ġwor", "ld")]
+    vocab_tokens = base + ["".join(m) for m in merges] + ["<|endoftext|>"]
+    vocab = {t: i for i, t in enumerate(vocab_tokens)}
+    (tmp_path / "vocab.json").write_text(json.dumps(vocab), encoding="utf-8")
+    (tmp_path / "merges.txt").write_text(
+        "#version: 0.2\n" + "\n".join(f"{a} {b}" for a, b in merges) + "\n",
+        encoding="utf-8")
+    return vocab
+
+
+def test_bpe_matches_transformers(tmp_path):
+    transformers = pytest.importorskip("transformers")
+
+    from qpp_fusion_rag_tpu.generation.local_lm import BPETokenizer
+
+    _bpe_fixture_files(tmp_path)
+    ours = BPETokenizer.from_pretrained_dir(tmp_path)
+    hf = transformers.GPT2Tokenizer(str(tmp_path / "vocab.json"),
+                                    str(tmp_path / "merges.txt"))
+    for text in ["hello world", "hello, World!", "  spaces  here ",
+                 "unicode: café 中", "hellohello worldworld", ""]:
+        assert ours.encode(text) == hf.encode(text), text
+        assert ours.decode(ours.encode(text)) == text or text == ""
+
+
+def test_bpe_roundtrip(tmp_path):
+    from qpp_fusion_rag_tpu.generation.local_lm import BPETokenizer
+
+    _bpe_fixture_files(tmp_path)
+    tok = BPETokenizer.from_pretrained_dir(tmp_path)
+    ids = tok.encode("hello world")
+    assert tok.decode(ids) == "hello world"
+    # merges actually applied: far fewer ids than bytes
+    assert len(ids) < len("hello world")
+
+
+def test_local_transport_serves_qa_generator(tiny, tmp_path):
+    """The on-TPU transport slots into GenerationOperation + QAGenerator
+    with zero changes — stage 07 can run self-contained."""
+    from qpp_fusion_rag_tpu.generation.client import (
+        GenerationOperation,
+        QAGenerator,
+    )
+    from qpp_fusion_rag_tpu.generation.local_lm import (
+        BPETokenizer,
+        LocalLMTransport,
+    )
+
+    params, cfg = tiny
+    _bpe_fixture_files(tmp_path)
+    tok = BPETokenizer.from_pretrained_dir(tmp_path)
+
+    # tiny vocab (353) > cfg.vocab_size (97): clamp by re-mapping ids
+    class ClampTok:
+        def encode(self, text):
+            return [i % (cfg.vocab_size - 1) for i in tok.encode(text)]
+
+        def decode(self, ids):
+            return tok.decode([i for i in ids if 0 <= i < 256])
+
+    transport = LocalLMTransport(params, cfg, ClampTok(), max_new=4,
+                                 prompt_buckets=(32,))
+    gen = QAGenerator(op=GenerationOperation(transport=transport))
+    res = gen.generate("what is jax?", ["jax is a library"])
+    assert isinstance(res.text, str)
+    assert res.latency_ms >= 0.0
+
+
+def test_hf_gpt2_state_dict_mapping(tiny):
+    """params_from_hf_gpt2 consumes a synthetic HF-shaped state dict."""
+    import torch
+
+    from qpp_fusion_rag_tpu.generation.local_lm import (
+        GPTConfig,
+        gpt_logits,
+        params_from_hf_gpt2,
+    )
+
+    cfg = GPTConfig(vocab_size=50, n_positions=16, hidden=8, layers=1,
+                    heads=2, eos_token_id=49)
+    g = torch.Generator().manual_seed(0)
+
+    def t(*shape):
+        return torch.randn(*shape, generator=g) * 0.1
+
+    sd = {
+        "transformer.wte.weight": t(50, 8),
+        "transformer.wpe.weight": t(16, 8),
+        "transformer.ln_f.weight": torch.ones(8),
+        "transformer.ln_f.bias": torch.zeros(8),
+        "transformer.h.0.ln_1.weight": torch.ones(8),
+        "transformer.h.0.ln_1.bias": torch.zeros(8),
+        "transformer.h.0.attn.c_attn.weight": t(8, 24),
+        "transformer.h.0.attn.c_attn.bias": torch.zeros(24),
+        "transformer.h.0.attn.c_proj.weight": t(8, 8),
+        "transformer.h.0.attn.c_proj.bias": torch.zeros(8),
+        "transformer.h.0.ln_2.weight": torch.ones(8),
+        "transformer.h.0.ln_2.bias": torch.zeros(8),
+        "transformer.h.0.mlp.c_fc.weight": t(8, 32),
+        "transformer.h.0.mlp.c_fc.bias": torch.zeros(32),
+        "transformer.h.0.mlp.c_proj.weight": t(32, 8),
+        "transformer.h.0.mlp.c_proj.bias": torch.zeros(8),
+    }
+    params = params_from_hf_gpt2(sd, cfg)
+    ids = np.array([[1, 2, 3, 4]], np.int32)
+    logits = np.asarray(gpt_logits(params, cfg, ids))
+    assert logits.shape == (1, 4, 50)
+    assert np.isfinite(logits).all()
