@@ -152,6 +152,7 @@ log(f"production arrays built {time.time()-t0:.0f}s")
 def production_views(mode):
     scorer = make_sparse_scorer(mode, CANDIDATES if mode == "q8r" else 0,
                                 K, P_CAP, imp_bits=IMP_BITS)
+    # CANDIDATES is rebound by the sweep loop below
     pb_s, pb_i = scorer(idx.bm25_packed, idx.bm25_offsets, idx.bm25_scales,
                         jnp.asarray(bm25_t), jnp.asarray(bm25_w),
                         idx.bm25_doc_packed, idx.bm25_doc_scale)
@@ -167,9 +168,16 @@ def production_views(mode):
                       np.asarray(pr_i[0]), np.asarray(pr_i[1])]))
 
 
-prod_vals, prod_ids = production_views("q8r")
+CAND_LEVELS = (1024, 2048, 4096) if ON_TPU else (128,)
+prod_by_cand = {}
+for c in CAND_LEVELS:
+    CANDIDATES = c
+    prod_by_cand[c] = production_views("q8r")
+    log(f"q8r views done at candidates={c}")
+prod_vals, prod_ids = prod_by_cand[CAND_LEVELS[-1] if len(CAND_LEVELS) == 1
+                                   else 2048]
 q8_vals, q8_ids = production_views("q8")
-log("production views done (q8r + q8)")
+log("production views done (q8r sweep + q8)")
 
 # ---- per-view recall diagnostics ----------------------------------------
 VIEWS = ["bm25", "splade", "dense", "rerank1", "rerank2"]
@@ -212,6 +220,7 @@ def fuse_all(vals, ids):
 
 exact_fused, exact_qpp = fuse_all(exact_vals, exact_ids)
 prod_fused, prod_qpp = fuse_all(prod_vals, prod_ids)
+fused_by_cand = {c: fuse_all(*prod_by_cand[c])[0] for c in prod_by_cand}
 q8_fused, _q8_qpp = fuse_all(q8_vals, q8_ids)
 log("fusion done")
 
@@ -231,7 +240,9 @@ methods = {}
 for name in exact_fused:
     exact = exact_fused[name]
     row = {}
-    for tag, fused in (("q8r", prod_fused[name]), ("q8", q8_fused[name])):
+    variants = [("q8", q8_fused[name])] + [
+        (f"q8r_c{c}", fused_by_cand[c][name]) for c in sorted(fused_by_cand)]
+    for tag, fused in variants:
         r100 = np.mean([len(set(fused[i]) & set(exact[i])) / 100
                         for i in range(B)])
         row[f"ndcg10_retention_{tag}"] = round(
@@ -255,10 +266,11 @@ out = {
         "rsd_mean_abs": round(float(qpp_drift[..., 5].mean()), 5),
     },
     "imp_bits": IMP_BITS,
-    "min_ndcg10_retention_q8r": round(
-        min(m["ndcg10_retention_q8r"] for m in methods.values()), 4),
-    "min_ndcg10_retention_q8": round(
-        min(m["ndcg10_retention_q8"] for m in methods.values()), 4),
+    "min_ndcg10_retention": {
+        tag: round(min(m[f"ndcg10_retention_{tag}"]
+                       for m in methods.values()), 4)
+        for tag in ["q8"] + [f"q8r_c{c}" for c in sorted(fused_by_cand)]
+    },
 }
 if ON_TPU:
     with open("/root/repo/docs/quality_e2e.json", "w") as f:
