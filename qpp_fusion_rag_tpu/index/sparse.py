@@ -233,6 +233,28 @@ class SparseIndex:
             self._device_q8 = (jnp.asarray(packed), jnp.asarray(scales))
         return self._device_q8
 
+    def _device_doc_vectors(self):
+        """Lazily build packed doc-major vectors + per-doc scales for the
+        rank-safe rescore engine (ops.sparse.pack_doc_vectors; impact
+        precision auto-sized to the vocab via doc_vector_imp_bits)."""
+        import jax.numpy as jnp
+
+        from qpp_fusion_rag_tpu.ops.sparse import (
+            doc_vector_imp_bits,
+            pack_doc_vectors,
+        )
+
+        if getattr(self, "_device_docvec", None) is None:
+            w = self.weights
+            if w.dtype == np.uint8:
+                df = np.diff(self.offsets).astype(np.int64)
+                w = w.astype(np.float32) * np.repeat(self.term_scales, df)
+            bits = doc_vector_imp_bits(self.num_terms)
+            dp, ds, _ = pack_doc_vectors(
+                self.offsets, self.docs, w, self.num_docs, imp_bits=bits)
+            self._device_docvec = (jnp.asarray(dp), jnp.asarray(ds), bits)
+        return self._device_docvec
+
     def search(
         self,
         queries: Sequence[str],
@@ -240,6 +262,7 @@ class SparseIndex:
         p_cap: Optional[int] = None,
         exact_topk: bool = True,
         engine: str = "exact",
+        candidates: int = 2048,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Batch search -> (scores [B, k], doc row indices [B, k], -1 pad).
 
@@ -252,16 +275,36 @@ class SparseIndex:
         (>= the 0.99 bar) at 2.3x the QPS of 8192; terms with df <= p_cap
         are always scored exactly.
 
-        engine: "exact" (default — Terrier-parity pair-sort scoring) or
-        "q8" — the production serving kernel (packed postings, Pallas DMA
+        engine: "exact" (default — Terrier-parity pair-sort scoring),
+        "q8" — the throughput serving kernel (packed postings, Pallas DMA
         window gather + quantized single-key sort on TPU; nDCG@10
         retention measured identical to exact at every p_cap,
-        docs/quality_q8.json). q8 needs doc ids < 2^23 - 1.
+        docs/quality_q8.json), or "q8r" — the RANK-SAFE serving kernel:
+        q8 generates a top-`candidates` pool and every pooled doc is
+        exactly rescored against its full doc-major term vector
+        (recall@10 0.99 at candidates=2048 vs full-depth exact,
+        docs/quality_rescore.json). q8/q8r need doc ids < 2^23 - 1.
         """
         q_terms, q_weights = self.encode_queries(queries)
         if p_cap is None:
             p_cap = int(self.params.get("p_cap", 0)) or min(self.max_df, 4096)
         p_cap = max(min(p_cap, self.max_df), 1)
+        if engine == "q8r":
+            from qpp_fusion_rag_tpu.ops.sparse import (
+                sparse_score_topk_q8_rescored,
+            )
+
+            packed, pscales = self._device_packed()
+            dp, ds, bits = self._device_doc_vectors()
+            import jax.numpy as jnp
+
+            scores, ids = sparse_score_topk_q8_rescored(
+                packed, jnp.asarray(self._offsets_i32()), pscales, dp, ds,
+                q_terms, q_weights, k=k, p_cap=p_cap,
+                candidates=min(candidates, max(k, self.num_docs)),
+                imp_bits=bits,
+            )
+            return np.asarray(scores), np.asarray(ids)
         if engine == "q8":
             from qpp_fusion_rag_tpu.ops.sparse import sparse_score_topk_q8
 

@@ -514,3 +514,28 @@ def test_search_q8_engine(index):
     np.testing.assert_allclose(s_q8, s_ex, rtol=0.02, atol=1e-3)
     with pytest.raises(ValueError):
         index.search(["x"], engine="nope")
+
+
+def test_sparse_index_q8r_engine_matches_exact():
+    """SparseIndex.search(engine='q8r') — the rank-safe serving engine —
+    reproduces the exact engine's ranking when the pool covers the corpus."""
+    from qpp_fusion_rag_tpu.index.sparse import SparseIndex
+
+    rng = np.random.default_rng(5)
+    vocab = [f"term{i}" for i in range(80)]
+    corpus = []
+    for d in range(300):
+        words = rng.choice(vocab, size=rng.integers(5, 25), replace=True)
+        corpus.append((f"d{d}", " ".join(words)))
+    idx = SparseIndex.build_bm25(corpus)
+
+    queries = ["term1 term7 term40", "term3 term3 term12 term77"]
+    s_exact, i_exact = idx.search(queries, k=20, engine="exact")
+    s_q8r, i_q8r = idx.search(queries, k=20, engine="q8r", candidates=512)
+    for b in range(len(queries)):
+        # same docs (scores differ only by the 12-bit impact quantization)
+        assert set(i_q8r[b][i_q8r[b] >= 0].tolist()) == \
+            set(i_exact[b][i_exact[b] >= 0].tolist())
+        valid = i_q8r[b] >= 0
+        np.testing.assert_allclose(s_q8r[b][valid], s_exact[b][valid],
+                                   rtol=2e-2)
