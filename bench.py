@@ -89,6 +89,9 @@ def bench_ensemble(on_tpu):
     k1, k2, k3 = jax.random.split(key, 3)
     corpus_f = jax.random.normal(k1, (DIM, n_docs), jnp.float32)
     c_int, d_scale = jax.jit(lambda c: quantize_rows(c, axis=0))(corpus_f)
+    # bf16 row copy for the rank-safe config (dense pool rescore + bf16
+    # rerank rows); int8 rows serve the throughput config
+    rows_bf16 = jax.jit(lambda c: jnp.transpose(c).astype(jnp.bfloat16))(corpus_f)
     del corpus_f
     corpus_rows = jnp.transpose(c_int)
     jax.block_until_ready(corpus_rows)
@@ -118,17 +121,22 @@ def bench_ensemble(on_tpu):
     proj = jax.random.normal(k3, (2, DIM, DIM), jnp.float32) * 0.05
     tf = jnp.tile(jnp.asarray([6.0, 6.0, 9.0, 5.0], jnp.float32), (batch, 1))
 
-    def step_mode(mode, cand):
+    def step_mode(the_idx, mode, cand, pool):
         return lambda: ensemble_retrieval_step(
-            idx, bm25_t, bm25_w, splade_t, splade_w, q_emb, proj, tf,
+            the_idx, bm25_t, bm25_w, splade_t, splade_w, q_emb, proj, tf,
             k=TOP_K, k_out=TOP_K, p_cap=p_cap,
             sparse_mode=mode, sparse_candidates=cand, doc_imp_bits=imp_bits,
+            dense_rescore_pool=pool,
         )
 
     reps = 5 if on_tpu else 2
-    dt_q8 = time_step(step_mode("q8", 0), reps)
+    dt_q8 = time_step(step_mode(idx, "q8", 0, 0), reps)
     log(f"ensemble q8: {dt_q8*1e3:.1f} ms/batch -> {batch/dt_q8:.0f} q/s")
-    dt_q8r = time_step(step_mode("q8r", 1024 if on_tpu else 64), reps)
+    # rank-safe config: q8r sparse + bf16 rerank rows + dense pool rescore
+    idx_rs = idx._replace(corpus_rows=rows_bf16)
+    dt_q8r = time_step(
+        step_mode(idx_rs, "q8r", 1024 if on_tpu else 64,
+                  512 if on_tpu else 32), reps)
     log(f"ensemble q8r: {dt_q8r*1e3:.1f} ms/batch -> {batch/dt_q8r:.0f} q/s")
     return {
         "qps": batch / dt_q8, "ms_per_batch": dt_q8 * 1e3,
@@ -190,8 +198,9 @@ def main() -> None:
         "sparse_mode": "q8",
         "rank_safe_qps": round(ens["rank_safe_qps"], 1),
         "rank_safe_ms_per_batch": round(ens["rank_safe_ms_per_batch"], 1),
-        "rank_safe_config": (f"q8r cand=1024 imp_bits={ens['imp_bits']} "
-                             "(docs/quality_rescore.json)"),
+        "rank_safe_config": (f"q8r cand=1024 imp_bits={ens['imp_bits']} + "
+                             "bf16 rows + dense rescore pool 512 "
+                             "(docs/quality_rescore.json, quality_e2e.json)"),
         "dense_flagship_qps": round(dense_qps, 1),
         "device": dev.device_kind,
     }))

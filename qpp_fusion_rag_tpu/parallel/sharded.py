@@ -242,6 +242,7 @@ def shard_ensemble_indexes(
     n_docs: int,
     n_shards: int,
     doc_imp_bits: int = 8,
+    rows_dtype: str = "int8",   # "bf16" stores rerank/rescore rows at bf16
 ) -> ShardedEnsembleIndexes:
     """Partition both CSR indexes by doc range (shard_sparse_csr), pack
     each shard's postings and doc-major vectors with the SAME host
@@ -305,6 +306,12 @@ def shard_ensemble_indexes(
         corpus = np.concatenate(
             [corpus, np.zeros((pad, corpus.shape[1]), np.float32)])
     rows_int, row_scale = quantize_rows(jnp.asarray(corpus), axis=-1)
+    if rows_dtype == "bf16":
+        rows = jnp.asarray(corpus, jnp.bfloat16)
+    elif rows_dtype == "int8":
+        rows = rows_int
+    else:
+        raise ValueError(f"unknown rows_dtype {rows_dtype!r}")
     return ShardedEnsembleIndexes(
         bm25_packed=jnp.asarray(b_p), bm25_scales=jnp.asarray(b_s),
         bm25_offsets=jnp.asarray(b_o), bm25_doc_packed=jnp.asarray(b_dp),
@@ -312,7 +319,7 @@ def shard_ensemble_indexes(
         splade_packed=jnp.asarray(s_p), splade_scales=jnp.asarray(s_s),
         splade_offsets=jnp.asarray(s_o), splade_doc_packed=jnp.asarray(s_dp),
         splade_doc_scale=jnp.asarray(s_ds),
-        corpus_int=jnp.transpose(rows_int), corpus_rows=rows_int,
+        corpus_int=jnp.transpose(rows_int), corpus_rows=rows,
         d_scale=row_scale.reshape(1, -1),
         doc_base=jnp.asarray(doc_base),
     )
@@ -338,6 +345,7 @@ def sharded_ensemble_step(
     mlp_params=None,
     qpp_norm_stats=None,
     doc_imp_bits: int = 8,
+    dense_rescore_pool: int = 0,
 ):
     """The FULL heterogeneous 5-view ensemble over a (data, corpus) mesh —
     the SAME per-view production kernels as the single-chip
@@ -361,6 +369,7 @@ def sharded_ensemble_step(
     from qpp_fusion_rag_tpu.pipeline.engine import qpp_from_runs
     from qpp_fusion_rag_tpu.pipeline.ensemble import (
         apply_minmax,
+        dense_view_rescored,
         dense_view_topk,
         fuse_tail,
         make_sparse_scorer,
@@ -391,8 +400,14 @@ def sharded_ensemble_step(
             sidx.splade_doc_packed[0], sidx.splade_doc_scale[0]), base)
 
         # dense view: production int8 kernel over the local column range
-        dense_s, dense_i = to_global(
-            *dense_view_topk(q, sidx.corpus_int, sidx.d_scale, k), base)
+        # (optionally pool-rescored at row precision, same as single-chip)
+        if dense_rescore_pool > 0:
+            dense_local = dense_view_rescored(
+                q, sidx.corpus_int, sidx.d_scale, sidx.corpus_rows, k,
+                dense_rescore_pool)
+        else:
+            dense_local = dense_view_topk(q, sidx.corpus_int, sidx.d_scale, k)
+        dense_s, dense_i = to_global(*dense_local, base)
 
         # rerank views: each shard contributes its doc range's candidate
         # rows (int8 values, exact in f32) and dequant scales; one psum
@@ -405,8 +420,11 @@ def sharded_ensemble_step(
         rows = rows.reshape(*local_idx.shape, -1).astype(jnp.float32)
         cand = jax.lax.psum(
             jnp.where(own[..., None], rows, 0.0), CORPUS_AXIS)
-        scale_vals = jax.lax.psum(
-            jnp.where(own, sidx.d_scale[0][local_idx], 0.0), CORPUS_AXIS)
+        if sidx.corpus_rows.dtype == jnp.int8:
+            scale_vals = jax.lax.psum(
+                jnp.where(own, sidx.d_scale[0][local_idx], 0.0), CORPUS_AXIS)
+        else:
+            scale_vals = None
         qv = jnp.einsum("bd,vdw->vbw", q.astype(jnp.float32), proj)
         rr_s, rr_i = score_candidates(qv, cand, bm25_i, scale_vals)
 

