@@ -120,6 +120,7 @@ from qpp_fusion_rag_tpu.ops.sparse import (
 )
 from qpp_fusion_rag_tpu.pipeline.ensemble import (
     EnsembleIndexes,
+    dense_view_rescored,
     dense_view_topk,
     make_sparse_scorer,
     rerank_candidates,
@@ -128,10 +129,12 @@ from qpp_fusion_rag_tpu.pipeline.ensemble import (
 t0 = time.time()
 corpus_rows_f = jax.random.normal(k1, (N_DOCS, DIM), jnp.float32)
 rows_int, row_scale = jax.jit(lambda c: quantize_rows(c, axis=-1))(corpus_rows_f)
+rows_bf16 = jax.jit(lambda c: c.astype(jnp.bfloat16))(corpus_rows_f)
 rows_int.block_until_ready()
 del corpus_rows_f
 corpus_int = jnp.transpose(rows_int)
 d_scale = row_scale.reshape(1, N_DOCS)
+DENSE_POOL = 512 if ON_TPU else 64
 
 bp, bs = pack_postings(bd, bw, bo)
 sp, ss = pack_postings(sd, sw, so)
@@ -150,9 +153,11 @@ idx = EnsembleIndexes(
 log(f"production arrays built {time.time()-t0:.0f}s")
 
 def production_views(mode):
+    """q8 = the throughput config (int8 everything); q8r = the RANK-SAFE
+    config (sparse doc-vector rescore + dense pool rescore + bf16 rows).
+    CANDIDATES is rebound by the sweep loop below."""
     scorer = make_sparse_scorer(mode, CANDIDATES if mode == "q8r" else 0,
                                 K, P_CAP, imp_bits=IMP_BITS)
-    # CANDIDATES is rebound by the sweep loop below
     pb_s, pb_i = scorer(idx.bm25_packed, idx.bm25_offsets, idx.bm25_scales,
                         jnp.asarray(bm25_t), jnp.asarray(bm25_w),
                         idx.bm25_doc_packed, idx.bm25_doc_scale)
@@ -160,8 +165,13 @@ def production_views(mode):
                         idx.splade_scales,
                         jnp.asarray(splade_t), jnp.asarray(splade_w),
                         idx.splade_doc_packed, idx.splade_doc_scale)
-    pd_s, pd_i = dense_view_topk(q_emb, idx.corpus_int, idx.d_scale, K)
-    pr_s, pr_i = rerank_candidates(qv, pb_i, idx.corpus_rows, idx.d_scale)
+    if mode == "q8r":
+        pd_s, pd_i = dense_view_rescored(
+            q_emb, idx.corpus_int, idx.d_scale, rows_bf16, K, DENSE_POOL)
+        pr_s, pr_i = rerank_candidates(qv, pb_i, rows_bf16, idx.d_scale)
+    else:
+        pd_s, pd_i = dense_view_topk(q_emb, idx.corpus_int, idx.d_scale, K)
+        pr_s, pr_i = rerank_candidates(qv, pb_i, idx.corpus_rows, idx.d_scale)
     return (np.stack([np.asarray(pb_s), np.asarray(ps_s), np.asarray(pd_s),
                       np.asarray(pr_s[0]), np.asarray(pr_s[1])]),
             np.stack([np.asarray(pb_i), np.asarray(ps_i), np.asarray(pd_i),
@@ -198,10 +208,13 @@ from qpp_fusion_rag_tpu.pipeline.engine import qpp_from_runs
 mlp_params = init_mlp_params(jax.random.PRNGKey(7), [5 * 13, 32, 16, 5])
 
 
+CAL_STATS = None  # frozen from the exact pipeline below
+
+
 def fuse_all(vals, ids):
     vals = jnp.asarray(vals)
     ids = jnp.asarray(ids)
-    qpp = qpp_from_runs(vals, ids, tf)
+    qpp = qpp_from_runs(vals, ids, tf, stats=CAL_STATS)
     norm = F._row_minmax(vals, ids >= 0, fill=-jnp.inf)
     uniform = jnp.ones_like(qpp[..., 5])
     rsd = qpp[..., 5]
@@ -218,6 +231,13 @@ def fuse_all(vals, ids):
     return out, np.asarray(qpp)
 
 
+# production recommendation (docs/qpp_norm_sensitivity.json): normalize
+# QPP against FROZEN calibration stats, not the serving batch — freeze
+# them from the exact pipeline's raw QPP and use for every variant
+from qpp_fusion_rag_tpu.ops import qpp as Q
+
+CAL_STATS = Q.qpp_calibration_stats(qpp_from_runs(
+    jnp.asarray(exact_vals), jnp.asarray(exact_ids), tf, normalize=False))
 exact_fused, exact_qpp = fuse_all(exact_vals, exact_ids)
 prod_fused, prod_qpp = fuse_all(prod_vals, prod_ids)
 fused_by_cand = {c: fuse_all(*prod_by_cand[c])[0] for c in prod_by_cand}
@@ -255,7 +275,11 @@ qpp_drift = np.abs(prod_qpp - exact_qpp)
 out = {
     "n_docs": N_DOCS, "dim": DIM, "batch": B,
     "p_cap": P_CAP, "candidates": CANDIDATES,
-    "production": "int8 dense + q8r rank-safe sparse + int8 rerank",
+    "production": ("q8r = rank-safe config (sparse doc-vector rescore + "
+                   "dense pool rescore + bf16 rows); q8 = throughput "
+                   "config (int8 everything)"),
+    "dense_pool": DENSE_POOL,
+    "qpp_normalization": "frozen calibration stats (batch-invariant)",
     "exact": "f32 full top-k dense + full-depth f64 host sparse + f32 rerank",
     "platform": jax.devices()[0].device_kind,
     "per_view": view_rows,
