@@ -21,8 +21,11 @@ OUT = "/root/repo/docs/bench_scaling.json"
 DIM, R, K = 768, 5, 100
 N_FULL = 2_621_440
 
-state = {"device": jax.devices()[0].device_kind, "batch_scaling": [],
-         "corpus_scaling": [], "latency": []}
+state = {"device": jax.devices()[0].device_kind,
+         "measurement": ("SYNCHRONOUS per-request latency (each rep "
+                         "round-trips the host incl. dispatch-tunnel RTT); "
+                         "bench.py pipelines steps -> higher throughput"),
+         "batch_scaling": [], "corpus_scaling": [], "latency": []}
 
 
 def save():
