@@ -31,6 +31,11 @@ def main(argv=None) -> int:
     ap.add_argument("--top-k", type=int, default=None)
     ap.add_argument("--k-out", type=int, default=100)
     ap.add_argument("--timing-jsonl", default=None)
+    ap.add_argument("--sparse-engine", default="exact",
+                    choices=["exact", "q8", "q8r"],
+                    help="BM25/SPLADE scoring engine: exact pair-sort, q8 "
+                         "throughput kernel, or q8r rank-safe rescore "
+                         "(docs/quality_rescore.json)")
     args = ap.parse_args(argv)
     if args.method.lower() == "learned" and not args.model_path:
         ap.error("--method learned requires --model-path")
@@ -60,10 +65,13 @@ def main(argv=None) -> int:
     )
 
     with timer.stage("load_indexes"):
-        retrievers = {
-            name: get_retriever(name, index_dir=Path(args.index_dir) / name)
-            for name in args.retrievers
-        }
+        retrievers = {}
+        for name in args.retrievers:
+            kw = {}
+            if name == "bm25" and args.sparse_engine != "exact":
+                kw["engine"] = args.sparse_engine
+            retrievers[name] = get_retriever(
+                name, index_dir=Path(args.index_dir) / name, **kw)
 
     # QPP must see RAW scores (stage-03 computes on *.res, not *.norm.res —
     # per-query min-max would flatten the magnitude statistics WIG/NQC/Sigma);

@@ -18,9 +18,13 @@ from qpp_fusion_rag_tpu.retrievers.base import BaseRetriever, RetrieverResult, r
 class BM25Retriever(BaseRetriever):
     name = "bm25"
 
-    def __init__(self, index: SparseIndex, p_cap: Optional[int] = None):
+    def __init__(self, index: SparseIndex, p_cap: Optional[int] = None,
+                 engine: str = "exact"):
+        # engine: "exact" | "q8" (throughput) | "q8r" (rank-safe rescore)
+        # — SparseIndex.search semantics
         self.index = index
         self.p_cap = p_cap
+        self.engine = engine
 
     @classmethod
     def from_corpus(cls, corpus: Iterable[Tuple[str, str]], **kw) -> "BM25Retriever":
@@ -31,7 +35,8 @@ class BM25Retriever(BaseRetriever):
         return cls(SparseIndex.load(path), **kw)
 
     def retrieve(self, query: str, qid: str, top_k: int = 100) -> RetrieverResult:
-        out, ms = self._timed(lambda: self.index.search([query], k=top_k, p_cap=self.p_cap))
+        out, ms = self._timed(lambda: self.index.search(
+            [query], k=top_k, p_cap=self.p_cap, engine=self.engine))
         scores, rows = out
         results = rows_to_results(scores[0], rows[0], self.index.docno)
         return RetrieverResult(qid, results, latency_ms=ms)
@@ -42,6 +47,8 @@ class BM25Retriever(BaseRetriever):
         batch_size = batch_size or int(config.processing.batch_sizes.retrieval)
         return self._batched_retrieve(
             queries, batch_size,
-            lambda texts: self.index.search(texts, k=top_k, p_cap=self.p_cap),
+            lambda texts: self.index.search(texts, k=top_k,
+                                            p_cap=self.p_cap,
+                                            engine=self.engine),
             self.index.docno,
         )
