@@ -340,6 +340,7 @@ def sharded_ensemble_step(
     k_out: int = 100,
     p_cap: int = 1024,
     qpp_index: int = 5,
+    method: int = F.COMBSUM,
     sparse_mode: str = "sort",
     sparse_candidates: int = 0,
     mlp_params=None,
@@ -440,7 +441,7 @@ def sharded_ensemble_step(
         else:
             qpp = normalize_qpp_with(qpp_raw, qpp_norm_stats)
         fused_ids, fused_scores = fuse_tail(
-            vals, ids, qpp, F.COMBSUM, qpp_index, k_out, mlp_params)
+            vals, ids, qpp, method, qpp_index, k_out, mlp_params)
         return fused_ids, fused_scores, qpp
 
     shard_axis = P(CORPUS_AXIS)
