@@ -328,6 +328,88 @@ class SparseIndex:
         )
         return np.asarray(scores), np.asarray(ids)
 
+    def search_certified(
+        self,
+        queries: Sequence[str],
+        k: int = 100,
+        p_cap: Optional[int] = None,
+        candidates: int = 1024,
+        max_rounds: int = 2,
+    ) -> Tuple[np.ndarray, np.ndarray, Dict]:
+        """PROVABLY rank-exact batch search at adaptive cost.
+        -> (scores [B, k], doc rows [B, k], info).
+
+        Runs the certified q8r kernel
+        (ops.sparse.sparse_score_topk_q8_certified): the windowed q8
+        engine generates a candidate pool, every pooled doc is exactly
+        rescored, and a MaxScore-style upper bound proves per query
+        whether the result equals full exhaustive scoring. Queries the
+        certificate cannot prove escalate — p_cap x4 and candidates x2
+        per round (`max_rounds`), then a final full-depth exact pass —
+        so EVERY returned ranking is rank-exact w.r.t. the stored
+        weights, like the reference's exhaustive Lucene/Terrier
+        traversal (src/retrievers/bm25.py:43-52), but at windowed-kernel
+        cost for the (typically large) certified fraction.
+
+        info: {"certified_round": [B] (0-based round that certified each
+        query; -1 = final exhaustive pass), "rounds": per-round counts}.
+        """
+        import jax.numpy as jnp
+
+        from qpp_fusion_rag_tpu.ops.sparse import (
+            sparse_score_topk_q8_certified,
+        )
+
+        q_terms, q_weights = self.encode_queries(queries)
+        B = len(queries)
+        if p_cap is None:
+            p_cap = int(self.params.get("p_cap", 0)) or min(self.max_df, 4096)
+        p_cap = max(min(p_cap, self.max_df), 1)
+        packed, pscales = self._device_packed()
+        dp, ds, bits = self._device_doc_vectors()
+        offs = jnp.asarray(self._offsets_i32())
+
+        out_s = np.full((B, k), -np.inf, np.float32)
+        out_i = np.full((B, k), -1, np.int32)
+        cert_round = np.full(B, -1, np.int64)
+        rounds = []
+        pending = np.arange(B)
+        cap, cand = p_cap, candidates
+        for rnd in range(max_rounds):
+            if not len(pending):
+                break
+            # pad the pending subset to a power of two: bounded jit shapes
+            n = 1
+            while n < len(pending):
+                n *= 2
+            sel = np.pad(pending, (0, n - len(pending)), mode="edge")
+            s, i, ok, _slack = sparse_score_topk_q8_certified(
+                packed, offs, pscales, dp, ds,
+                q_terms[sel], q_weights[sel], k=k, p_cap=cap,
+                candidates=min(cand, max(k, self.num_docs)), imp_bits=bits)
+            s, i = np.asarray(s), np.asarray(i)
+            ok = np.asarray(ok)[: len(pending)]
+            done = pending[ok]
+            out_s[done], out_i[done] = s[: len(pending)][ok], i[: len(pending)][ok]
+            cert_round[done] = rnd
+            rounds.append({"p_cap": cap, "candidates": cand,
+                           "certified": int(ok.sum()),
+                           "pending": int(len(pending))})
+            pending = pending[~ok]
+            if cap >= self.max_df:
+                break
+            cap = min(cap * 4, self.max_df)
+            cand = min(cand * 2, max(self.num_docs, k))
+        if len(pending):
+            # full-depth exhaustive pass: exact by construction
+            s, i = self.search([queries[j] for j in pending], k=k,
+                               p_cap=self.max_df, exact_topk=True,
+                               engine="exact")
+            out_s[pending], out_i[pending] = s, i
+            rounds.append({"p_cap": int(self.max_df), "exhaustive": True,
+                           "pending": int(len(pending))})
+        return out_s, out_i, {"certified_round": cert_round, "rounds": rounds}
+
     def docno(self, row: int) -> str:
         return self.docnos[row]
 

@@ -528,6 +528,112 @@ def sparse_score_topk_q8_rescored(
         imp_bits=imp_bits)
 
 
+@partial(jax.jit, static_argnames=("k", "p_cap", "candidates", "dma_gather",
+                                   "bitonic", "imp_bits"))
+def sparse_score_topk_q8_certified(
+    packed: jnp.ndarray,        # [P] int32 (doc << 8 | uint8 impact)
+    offsets: jnp.ndarray,       # [T+1] int32
+    term_scales: jnp.ndarray,   # [T] f32
+    doc_packed: jnp.ndarray,    # [N, Td] int32 doc-major (pack_doc_vectors)
+    doc_scale: jnp.ndarray,     # [N] f32
+    q_terms: jnp.ndarray,       # [B, Tq] int32 (-1 pad)
+    q_weights: jnp.ndarray,     # [B, Tq] f32 (>= 0)
+    k: int = 100,
+    p_cap: int = 1024,
+    candidates: int = 1024,
+    dma_gather: bool = None,
+    bitonic: bool = None,
+    imp_bits: int = 8,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """CERTIFIED rank-exact sparse scoring: the q8r pipeline plus a sound
+    per-query exactness certificate.
+    -> (scores [B, k] desc, ids [B, k], certified [B] bool, slack [B] f32).
+
+    The reference's Lucene/Terrier scoring is rank-exact by exhaustive
+    postings traversal (reference src/retrievers/splade.py:75-80,
+    src/retrievers/bm25.py:43-52). Here the windowed kernel is a candidate
+    generator, and a MaxScore-style upper bound PROVES per query whether
+    the returned top-k is the true top-k of the stored index:
+
+      any doc outside the candidate pool scores at most
+
+        bound = pool_min + eps_q8 + eps_u8 + U_hidden
+
+      where pool_min is the smallest windowed q8 score admitted to the
+      pool (EXACT pool top-k — approx_max_k would void the proof),
+      eps_q8/eps_u8 bound the kernel's contribution-requantization and the
+      packed postings' uint8 rounding, and U_hidden = sum_t qw_t *
+      (edge_impact_t + 0.5) * [df_t > p_cap] bounds the mass hidden behind
+      every truncated window (impact-ordered lists: a tail posting never
+      beats the window edge). Every pooled doc is exactly rescored against
+      its FULL doc vector, so the query is certified when the k-th
+      rescored score (minus the 12-bit doc-vector slack) clears `bound` —
+      then the returned k ids ARE the true top-k set of the index.
+
+    Certificates are conservative (sound, not tight): an uncertified
+    query's result may still be exact. SparseIndex.search_certified
+    escalates uncertified queries to exact scoring, making the whole
+    batch provably rank-exact at adaptive cost."""
+    cs, ci = sparse_score_topk_q8(
+        packed, offsets, term_scales, q_terms, q_weights,
+        k=candidates, p_cap=p_cap, exact_topk=True,   # exact pool: sound min
+        dma_gather=dma_gather, bitonic=bitonic,
+    )
+    # rescore k+1 deep: the (k+1)-th score powers the within-pool gap check
+    scores1, ids1 = sparse_exact_rescore(
+        cs, ci, doc_packed, doc_scale, q_terms, q_weights,
+        k=min(k + 1, ci.shape[1]), imp_bits=imp_bits)
+    scores, ids = scores1[:, :k], ids1[:, :k]
+
+    # ---- certificate ----
+    tq_valid = q_terms >= 0
+    terms = jnp.where(tq_valid, q_terms, 0)
+    starts = offsets[terms]
+    lens = jnp.where(tq_valid, offsets[terms + 1] - starts, 0)
+    qw_raw = jnp.where(tq_valid, jnp.maximum(q_weights, 0.0), 0.0)
+    qw = qw_raw * term_scales[terms]                  # folded, per impact unit
+    qw = jnp.where(tq_valid, jnp.maximum(qw, 0.0), 0.0)
+    wmax = jnp.maximum(jnp.max(qw, axis=1), 1e-30)    # [B]
+
+    P_total = packed.shape[0]
+    cap = min(p_cap, P_total)
+    eff = jnp.minimum(lens, cap)
+    truncated = tq_valid & (lens > cap)
+    edge_pos = jnp.clip(starts + eff - 1, 0, P_total - 1)
+    edge_q = (packed[edge_pos] & jnp.int32(0xFF)).astype(jnp.float32)
+    # hidden mass: tail impacts <= edge impact (+0.5 uint8 rounding)
+    u_hidden = jnp.sum(
+        jnp.where(truncated, qw * (edge_q + 0.5), 0.0), axis=1)
+    # visible-part slack: one posting per (doc, term) at most
+    seen = tq_valid & (eff > 0)
+    eps_u8 = 0.5 * jnp.sum(jnp.where(seen, qw, 0.0), axis=1)
+    eps_q8 = 0.5 * wmax * jnp.sum(seen.astype(jnp.float32), axis=1)
+    pool_min = cs[:, -1]                              # [B]; -inf = pool exhausted
+    vis_bound = jnp.where(
+        jnp.isfinite(pool_min),
+        jnp.maximum(pool_min, 0.0) + eps_q8 + eps_u8, 0.0)
+    bound = u_hidden + vis_bound
+
+    # rescore-precision slack: 12-bit doc-vector rounding, bounded by the
+    # LARGEST pooled doc scale so it covers every returned doc and every
+    # displaced pool doc at once
+    pool_scale = jnp.where(ci >= 0, doc_scale[jnp.maximum(ci, 0)], 0.0)
+    eps_r = 0.5 * jnp.max(pool_scale, axis=1) * jnp.sum(qw_raw, axis=1)
+
+    kk = min(k, scores.shape[1])
+    kth = scores[:, kk - 1]
+    # (a) every returned doc's true score clears any NON-POOL doc
+    slack_out = (kth - eps_r) - bound
+    # (b) within-pool set stability: the k/k+1 rescored gap exceeds twice
+    # the rescore noise, so no unreturned pool doc can truly outrank a
+    # returned one (trivially true when the pool holds <= k docs)
+    nxt = scores1[:, -1] if scores1.shape[1] > kk else jnp.full_like(kth, -jnp.inf)
+    slack_in = jnp.where(jnp.isfinite(nxt), (kth - nxt) - 2.0 * eps_r, jnp.inf)
+    slack = jnp.minimum(slack_out, slack_in)
+    certified = jnp.isfinite(kth) & (slack >= 0.0)
+    return scores, ids, certified, slack
+
+
 @partial(jax.jit, static_argnames=("k", "p_cap", "exact_topk", "dma_gather",
                                    "bitonic", "approx_recall"))
 def sparse_score_topk_q8(

@@ -1,0 +1,154 @@
+"""Certified rank-exact sparse scoring (ops.sparse.sparse_score_topk_q8_certified).
+
+Soundness contract: whenever the certificate fires, the returned top-k
+is the true top-k of the stored f32 index weights — the same result the
+reference's exhaustive Lucene/Terrier traversal produces (reference
+src/retrievers/bm25.py:43-52, splade.py:75-80). The bound must hold at
+ANY p_cap / pool size, so the tests sweep truncation levels that force
+both certified and uncertified queries.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qpp_fusion_rag_tpu.data.synthetic import zipf_bm25_csr, zipf_queries
+from qpp_fusion_rag_tpu.index.sparse import SparseIndex
+from qpp_fusion_rag_tpu.ops.sparse import (
+    doc_vector_imp_bits,
+    pack_doc_vectors,
+    pack_postings,
+    sparse_score_topk_q8_certified,
+)
+
+N_DOCS = 8192
+K = 10
+
+
+@pytest.fixture(scope="module")
+def csr():
+    offsets, docs, weights, _ = zipf_bm25_csr(
+        N_DOCS, vocab_size=2048, avg_doc_len=24.0, seed=3)
+    return offsets, docs, weights
+
+
+@pytest.fixture(scope="module")
+def device_index(csr):
+    offsets, docs, weights = csr
+    packed, scales = pack_postings(docs, weights, offsets)
+    bits = doc_vector_imp_bits(len(offsets) - 1)
+    dp, ds, _ = pack_doc_vectors(offsets, docs, weights, N_DOCS,
+                                 imp_bits=bits)
+    return (jnp.asarray(packed), jnp.asarray(offsets.astype(np.int32)),
+            jnp.asarray(scales), jnp.asarray(dp), jnp.asarray(ds), bits)
+
+
+@pytest.fixture(scope="module")
+def queries(csr):
+    qt, qw = zipf_queries(csr[0], 32, n_terms=8, seed=11)
+    return qt, qw
+
+
+def host_scores(csr, q_terms, q_weights):
+    """Full-depth exhaustive scoring of the stored f32 weights (f64 acc)."""
+    offsets, docs, weights = csr
+    B = q_terms.shape[0]
+    out = np.zeros((B, N_DOCS), np.float64)
+    for b in range(B):
+        for t, w in zip(q_terms[b], q_weights[b]):
+            if t < 0:
+                continue
+            lo, hi = int(offsets[t]), int(offsets[t + 1])
+            np.add.at(out[b], docs[lo:hi], w * weights[lo:hi].astype(np.float64))
+    return out
+
+
+def assert_true_topk(true_row, ids_row, k):
+    """Returned ids must carry the k largest true scores (tie-tolerant)."""
+    got = np.sort(true_row[ids_row[:k]])[::-1]
+    best = np.sort(true_row)[::-1][:k]
+    np.testing.assert_allclose(got, best, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("p_cap,candidates", [(128, 256), (512, 512)])
+def test_certified_queries_are_exact(device_index, queries, csr,
+                                     p_cap, candidates):
+    packed, offs, scales, dp, ds, bits = device_index
+    qt, qw = queries
+    s, i, ok, slack = sparse_score_topk_q8_certified(
+        packed, offs, scales, dp, ds, jnp.asarray(qt), jnp.asarray(qw),
+        k=K, p_cap=p_cap, candidates=candidates, imp_bits=bits)
+    s, i, ok, slack = map(np.asarray, (s, i, ok, slack))
+    true = host_scores(csr, qt, qw)
+    # soundness: every certified query is the true top-k
+    for b in range(len(qt)):
+        if ok[b]:
+            assert_true_topk(true[b], i[b], K)
+    # certified <=> slack >= 0 for finite rows
+    assert np.array_equal(ok, np.isfinite(s[:, K - 1]) & (slack >= 0))
+
+
+def test_certificate_not_vacuous(device_index, queries):
+    """At a generous window the certificate must actually fire."""
+    packed, offs, scales, dp, ds, bits = device_index
+    qt, qw = queries
+    _, _, ok, _ = sparse_score_topk_q8_certified(
+        packed, offs, scales, dp, ds, jnp.asarray(qt), jnp.asarray(qw),
+        k=K, p_cap=2048, candidates=1024, imp_bits=bits)
+    assert np.asarray(ok).mean() > 0.5
+
+
+def test_tight_window_forces_uncertified(device_index, queries):
+    """Brutal truncation must leave the certificate unable to prove
+    (otherwise the bound is not doing anything)."""
+    packed, offs, scales, dp, ds, bits = device_index
+    qt, qw = queries
+    _, _, ok, _ = sparse_score_topk_q8_certified(
+        packed, offs, scales, dp, ds, jnp.asarray(qt), jnp.asarray(qw),
+        k=K, p_cap=16, candidates=64, imp_bits=bits)
+    assert (~np.asarray(ok)).any()
+
+
+DOCS = [(f"d{i}", t) for i, t in enumerate([
+    "the quick brown fox jumps over the lazy dog",
+    "a fast brown fox leaps across lazy dogs daily",
+    "information retrieval systems rank documents by relevance",
+    "neural retrieval models learn dense representations of documents",
+    "the dog sleeps all day and dreams of foxes",
+    "ranking documents with learned sparse representations",
+    "dense retrieval needs large document collections indexed well",
+    "sparse impact lists rank fox documents quickly",
+] * 40)]
+
+
+def test_search_certified_is_exhaustive_exact():
+    """The escalating wrapper returns full-exhaustive results for EVERY
+    query, certified or escalated."""
+    idx = SparseIndex.build_bm25(DOCS)
+    qs = ["brown fox documents", "dense sparse retrieval",
+          "lazy dog sleeps", "ranking relevance systems"]
+    s_cert, i_cert, info = idx.search_certified(qs, k=8, p_cap=4,
+                                                candidates=16, max_rounds=2)
+    s_ex, i_ex = idx.search(qs, k=8, p_cap=idx.max_df, exact_topk=True,
+                            engine="exact")
+    # compare by score multiset (tie-tolerant: equal-scoring docs may swap)
+    np.testing.assert_allclose(
+        np.sort(s_cert, axis=1), np.sort(s_ex, axis=1), rtol=1e-3, atol=1e-3)
+    assert info["certified_round"].shape == (4,)
+    assert len(info["rounds"]) >= 1
+
+
+def test_search_certified_no_escalation_when_generous():
+    # distinct docs (tie-free scores): exact-score ties are inherently
+    # uncertifiable by the k/k+1 gap check, so avoid the replicated corpus
+    rng = np.random.default_rng(5)
+    words = ("fox dog retrieval dense sparse rank document neural learn "
+             "impact list index query term weight score fusion brown "
+             "lazy quick systems relevance representations").split()
+    docs = [(f"u{i}", " ".join(rng.choice(words, size=rng.integers(6, 14))))
+            for i in range(300)]
+    idx = SparseIndex.build_bm25(docs)
+    qs = ["brown fox documents", "dense sparse retrieval"]
+    _, _, info = idx.search_certified(qs, k=5, p_cap=idx.max_df,
+                                      candidates=512)
+    assert (info["certified_round"] == 0).all()
