@@ -43,6 +43,27 @@ def segmented_topk(
         sids, svals, k, count_bonus=count_bonus, exact_topk=exact_topk)
 
 
+def segmented_sums_presorted(
+    sids: jnp.ndarray,   # [M] int32 ids, ASCENDING (SENTINEL = invalid)
+    svals: jnp.ndarray,  # [M] f32 contributions, NON-NEGATIVE
+) -> jnp.ndarray:
+    """Per-run sums placed at each run's LAST position, -inf elsewhere.
+
+    The scan half of segmented_topk_presorted without the top-k tail, for
+    callers that need the full per-run score row (e.g. the certified
+    sparse kernel's outside-pool maximum). Values must be >= 0 (no
+    negativity shift); integer-valued f32 inputs stay exact as long as
+    the row total < 2^24."""
+    svalid = sids != SENTINEL
+    last = jnp.concatenate([sids[1:] != sids[:-1], jnp.ones((1,), bool)])
+    c = jnp.cumsum(jnp.where(svalid, svals, 0.0))
+    marked = jnp.where(last, c, -jnp.inf)
+    shifted = jnp.concatenate([jnp.full((1,), -jnp.inf, c.dtype), marked[:-1]])
+    prev = jax.lax.cummax(shifted)
+    sums = c - jnp.where(jnp.isneginf(prev), 0.0, prev)
+    return jnp.where(last & svalid, sums, -jnp.inf)
+
+
 def segmented_topk_presorted(
     sids: jnp.ndarray,   # [M] int32 doc ids, ASCENDING (SENTINEL = invalid)
     svals: jnp.ndarray,  # [M] f32 contributions aligned with sids

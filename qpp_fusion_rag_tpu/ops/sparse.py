@@ -529,7 +529,7 @@ def sparse_score_topk_q8_rescored(
 
 
 @partial(jax.jit, static_argnames=("k", "p_cap", "candidates", "dma_gather",
-                                   "bitonic", "imp_bits"))
+                                   "bitonic", "imp_bits", "pool_recall"))
 def sparse_score_topk_q8_certified(
     packed: jnp.ndarray,        # [P] int32 (doc << 8 | uint8 impact)
     offsets: jnp.ndarray,       # [T+1] int32
@@ -544,6 +544,7 @@ def sparse_score_topk_q8_certified(
     dma_gather: bool = None,
     bitonic: bool = None,
     imp_bits: int = 8,
+    pool_recall: float = 0.95,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """CERTIFIED rank-exact sparse scoring: the q8r pipeline plus a sound
     per-query exactness certificate.
@@ -557,35 +558,31 @@ def sparse_score_topk_q8_certified(
 
       any doc outside the candidate pool scores at most
 
-        bound = pool_min + eps_q8 + eps_u8 + U_hidden
+        bound = outside_max + eps_q8 + eps_u8 + U_hidden
 
-      where pool_min is the smallest windowed q8 score admitted to the
-      pool (EXACT pool top-k — approx_max_k would void the proof),
-      eps_q8/eps_u8 bound the kernel's contribution-requantization and the
-      packed postings' uint8 rounding, and U_hidden = sum_t qw_t *
-      (edge_impact_t + 0.5) * [df_t > p_cap] bounds the mass hidden behind
-      every truncated window (impact-ordered lists: a tail posting never
-      beats the window edge). Every pooled doc is exactly rescored against
-      its FULL doc vector, so the query is certified when the k-th
-      rescored score (minus the 12-bit doc-vector slack) clears `bound` —
-      then the returned k ids ARE the true top-k set of the index.
+      where outside_max is the true maximum windowed q8 score over
+      positions NOT selected into the pool (computed directly, so the
+      pool itself may come from fast approx_max_k — exact pool top-k at
+      pool-sized k is pathologically slow on TPU and is NOT needed for
+      soundness), eps_q8/eps_u8 bound the kernel's contribution
+      requantization and the packed postings' uint8 rounding, and
+      U_hidden = sum_t qw_t * (edge_impact_t + 0.5) * [df_t > p_cap]
+      bounds the mass hidden behind every truncated window
+      (impact-ordered lists: a tail posting never beats the window edge).
+      Every pooled doc is exactly rescored against its FULL doc vector,
+      so the query is certified when the k-th rescored score (minus the
+      12-bit doc-vector slack, with a k/k+1 gap check for within-pool
+      stability) clears `bound` — then the returned k ids ARE the true
+      top-k set of the index.
 
     Certificates are conservative (sound, not tight): an uncertified
     query's result may still be exact. SparseIndex.search_certified
     escalates uncertified queries to exact scoring, making the whole
     batch provably rank-exact at adaptive cost."""
-    cs, ci = sparse_score_topk_q8(
-        packed, offsets, term_scales, q_terms, q_weights,
-        k=candidates, p_cap=p_cap, exact_topk=True,   # exact pool: sound min
-        dma_gather=dma_gather, bitonic=bitonic,
-    )
-    # rescore k+1 deep: the (k+1)-th score powers the within-pool gap check
-    scores1, ids1 = sparse_exact_rescore(
-        cs, ci, doc_packed, doc_scale, q_terms, q_weights,
-        k=min(k + 1, ci.shape[1]), imp_bits=imp_bits)
-    scores, ids = scores1[:, :k], ids1[:, :k]
+    from qpp_fusion_rag_tpu.ops.segment import segmented_sums_presorted
 
-    # ---- certificate ----
+    # ---- windowed q8 row sums (same formulation as sparse_score_topk_q8,
+    # but keeping the full per-run score row for the outside-pool max) ----
     tq_valid = q_terms >= 0
     terms = jnp.where(tq_valid, q_terms, 0)
     starts = offsets[terms]
@@ -593,11 +590,66 @@ def sparse_score_topk_q8_certified(
     qw_raw = jnp.where(tq_valid, jnp.maximum(q_weights, 0.0), 0.0)
     qw = qw_raw * term_scales[terms]                  # folded, per impact unit
     qw = jnp.where(tq_valid, jnp.maximum(qw, 0.0), 0.0)
-    wmax = jnp.maximum(jnp.max(qw, axis=1), 1e-30)    # [B]
+    wmax_col = jnp.maximum(jnp.max(qw, axis=1, keepdims=True), 1e-30)
+    wmax = wmax_col[:, 0]                             # [B]
+    ratio = qw / wmax_col
 
     P_total = packed.shape[0]
     cap = min(p_cap, P_total)
+    s_clamped = jnp.minimum(starts, max(P_total - cap, 0)).astype(jnp.int32)
+    win, s_clamped = _packed_windows(packed, s_clamped, cap, dma_gather)
+    pos = s_clamped[..., None] + jnp.arange(cap, dtype=jnp.int32)
     eff = jnp.minimum(lens, cap)
+    wanted = (pos >= starts[..., None]) & (pos < (starts + eff)[..., None])
+    imp = (win & jnp.int32(0xFF)).astype(jnp.float32)
+    q8 = jnp.round(imp * ratio[..., None]).astype(jnp.int32)
+    keys = jnp.where(wanted, (win & jnp.int32(~0xFF)) | q8,
+                     jnp.int32(2**31 - 1))
+
+    B = q_terms.shape[0]
+    keys = keys.reshape(B, -1)
+    M = keys.shape[1]
+    if bitonic is None:
+        bitonic = (jax.default_backend() == "tpu"
+                   and M & (M - 1) == 0 and M % 1024 == 0
+                   and M <= 65536
+                   and B % BITONIC_ROW_TILE == 0)
+    if bitonic:
+        from qpp_fusion_rag_tpu.ops.pallas.bitonic import bitonic_segsum_rows
+
+        sums, sids = bitonic_segsum_rows(keys)
+        valid = (sums >= 0) & (sids != jnp.int32(0x7FFFFF))
+        row_scores = jnp.where(valid, sums.astype(jnp.float32) * wmax_col,
+                               -jnp.inf)
+    else:
+        skeys = jax.lax.sort(keys, dimension=-1)
+        sids = jnp.right_shift(skeys, 8)
+        q8v = (skeys & jnp.int32(0xFF)).astype(jnp.float32)
+        q8v = jnp.where(sids == jnp.int32(0x7FFFFF), 0.0, q8v)
+        sid_m = jnp.where(sids == jnp.int32(0x7FFFFF), SENTINEL, sids)
+        # integer-exact per-run sums (q8 totals < 2^24), scaled after
+        row_scores = jax.vmap(segmented_sums_presorted)(sid_m, q8v) * wmax_col
+        sids = jnp.where(sid_m == SENTINEL, jnp.int32(0x7FFFFF), sid_m)
+
+    # ---- candidate pool (approx ok) + EXACT outside-pool maximum ----
+    pool = min(candidates, M)
+    if M <= max(4 * pool, 256):
+        cv, cidx = jax.lax.top_k(row_scores, pool)
+    else:
+        cv, cidx = jax.lax.approx_max_k(row_scores, pool,
+                                        recall_target=pool_recall)
+    ci = jnp.where(jnp.isfinite(cv),
+                   jnp.take_along_axis(sids, cidx, axis=-1), -1)
+    masked = row_scores.at[jnp.arange(B)[:, None], cidx].set(-jnp.inf)
+    outside_max = jnp.max(masked, axis=1)             # [B]; -inf = none left
+
+    # rescore k+1 deep: the (k+1)-th score powers the within-pool gap check
+    scores1, ids1 = sparse_exact_rescore(
+        cv, ci, doc_packed, doc_scale, q_terms, q_weights,
+        k=min(k + 1, ci.shape[1]), imp_bits=imp_bits)
+    scores, ids = scores1[:, :k], ids1[:, :k]
+
+    # ---- certificate ----
     truncated = tq_valid & (lens > cap)
     edge_pos = jnp.clip(starts + eff - 1, 0, P_total - 1)
     edge_q = (packed[edge_pos] & jnp.int32(0xFF)).astype(jnp.float32)
@@ -607,11 +659,11 @@ def sparse_score_topk_q8_certified(
     # visible-part slack: one posting per (doc, term) at most
     seen = tq_valid & (eff > 0)
     eps_u8 = 0.5 * jnp.sum(jnp.where(seen, qw, 0.0), axis=1)
-    eps_q8 = 0.5 * wmax * jnp.sum(seen.astype(jnp.float32), axis=1)
-    pool_min = cs[:, -1]                              # [B]; -inf = pool exhausted
+    # +2 units: f32-cumsum rounding headroom when the row total nears 2^24
+    eps_q8 = wmax * (0.5 * jnp.sum(seen.astype(jnp.float32), axis=1) + 2.0)
     vis_bound = jnp.where(
-        jnp.isfinite(pool_min),
-        jnp.maximum(pool_min, 0.0) + eps_q8 + eps_u8, 0.0)
+        jnp.isfinite(outside_max),
+        jnp.maximum(outside_max, 0.0) + eps_q8 + eps_u8, 0.0)
     bound = u_hidden + vis_bound
 
     # rescore-precision slack: 12-bit doc-vector rounding, bounded by the
