@@ -347,12 +347,13 @@ def sparse_rescore_topk_packed(
     B = q_terms.shape[0]
     return _rescore_pool(docs.reshape(B, -1), vals.reshape(B, -1), k, candidates)
 
-def doc_vector_imp_bits(n_terms: int, max_bits: int = 12) -> int:
+def doc_vector_imp_bits(n_terms: int, max_bits: int = 14) -> int:
     """Widest impact field that still fits (term_id | sentinel) in int31:
     term ids (incl. the all-ones sentinel) take ceil(log2(T+1)) bits, the
-    rest go to impact precision. 100k vocab -> 12 bits (quantization step
-    max_w/4095 — rank flips measured nil); >= 8 always fits for vocabs
-    below 2^23 - 1."""
+    rest go to impact precision. 100k vocab -> 14 bits (quantization step
+    max_w/16383 — rank flips measured nil at 12 already; the extra 2 bits
+    quarter the certified mode's rescore slack eps_r, its binding term,
+    at zero HBM cost); >= 8 always fits for vocabs below 2^23 - 1."""
     need = max(int(np.ceil(np.log2(max(n_terms + 1, 2)))), 1)
     return max(8, min(max_bits, 31 - need))
 
@@ -484,6 +485,93 @@ def sparse_exact_rescore(
             jnp.where(ok, top_ids, -1))
 
 
+def _q8_row_sums(packed, offsets, term_scales, q_terms, q_weights,
+                 p_cap, dma_gather, bitonic):
+    """Shared windowed-q8 core: gather posting windows, requantize
+    contributions to 8 bits, sort by packed (doc<<8|q8) key, segment-sum
+    per doc. -> (sums_i32 [B, M] per-run totals at run-LAST positions
+    (-1 elsewhere/invalid), sids [B, M] doc ids (0x7FFFFF sentinel),
+    wmax_col [B, 1] f32 dequant scale, bitonic_used).
+
+    Integer-exact in both branches (Pallas in-kernel int32 scan, or
+    segmented_sums_presorted over q8 ints < 2^24)."""
+    from qpp_fusion_rag_tpu.ops.segment import segmented_sums_presorted
+
+    tq_valid = q_terms >= 0
+    terms = jnp.where(tq_valid, q_terms, 0)
+    starts = offsets[terms]
+    lens = jnp.where(tq_valid, offsets[terms + 1] - starts, 0)
+    qw = q_weights * term_scales[terms]
+    qw = jnp.where(tq_valid, jnp.maximum(qw, 0.0), 0.0)
+    wmax_col = jnp.maximum(jnp.max(qw, axis=1, keepdims=True), 1e-30)
+    ratio = qw / wmax_col
+
+    P_total = packed.shape[0]
+    cap = min(p_cap, P_total)
+    s_clamped = jnp.minimum(starts, max(P_total - cap, 0)).astype(jnp.int32)
+    win, s_clamped = _packed_windows(packed, s_clamped, cap, dma_gather)
+    pos = s_clamped[..., None] + jnp.arange(cap, dtype=jnp.int32)
+    eff = jnp.minimum(lens, cap)
+    wanted = (pos >= starts[..., None]) & (pos < (starts + eff)[..., None])
+    imp = (win & jnp.int32(0xFF)).astype(jnp.float32)
+    q8 = jnp.round(imp * ratio[..., None]).astype(jnp.int32)
+    keys = jnp.where(wanted, (win & jnp.int32(~0xFF)) | q8,
+                     jnp.int32(2**31 - 1))
+
+    B = q_terms.shape[0]
+    keys = keys.reshape(B, -1)
+    M = keys.shape[1]
+    if bitonic is None:
+        bitonic = (jax.default_backend() == "tpu"
+                   and M & (M - 1) == 0 and M % 1024 == 0
+                   and M <= 65536
+                   and B % BITONIC_ROW_TILE == 0)
+    if bitonic:
+        from qpp_fusion_rag_tpu.ops.pallas.bitonic import bitonic_segsum_rows
+
+        sums, sids = bitonic_segsum_rows(keys)
+        sums = jnp.where(sids == jnp.int32(0x7FFFFF), -1, sums)
+    else:
+        skeys = jax.lax.sort(keys, dimension=-1)
+        sids = jnp.right_shift(skeys, 8)
+        q8v = (skeys & jnp.int32(0xFF)).astype(jnp.float32)
+        q8v = jnp.where(sids == jnp.int32(0x7FFFFF), 0.0, q8v)
+        sid_m = jnp.where(sids == jnp.int32(0x7FFFFF), SENTINEL, sids)
+        fsums = jax.vmap(segmented_sums_presorted)(sid_m, q8v)
+        sums = jnp.where(jnp.isfinite(fsums),
+                         jnp.round(fsums).astype(jnp.int32), -1)
+    return sums, sids, wmax_col, bitonic
+
+
+def _bitonic_pool(sums, sids, pool, wmax_col):
+    """EXACT top-`pool` selection from per-run q8 sums via a second
+    Pallas bitonic pass over (sum << 16 | position) keys — replaces
+    `approx_max_k`, whose recall>=0.97 regime falls off a perf cliff on
+    TPU (docs/KERNEL_NOTES.md). Requires M <= 65536 (16-bit positions)
+    and row sums < 2^15 (Tq <= 128 at 8-bit contributions) — both hold
+    for every production shape.
+    -> (cand_scores [B, pool] f32 desc, cand_ids [B, pool] (-1 pad),
+        outside_max [B] f32: the true (pool+1)-th value, -inf if none)."""
+    from qpp_fusion_rag_tpu.ops.pallas.bitonic import bitonic_sort_rows
+
+    B, M = sums.shape
+    posi = jax.lax.broadcasted_iota(jnp.int32, (B, M), 1)
+    key = jnp.where(sums >= 0, jnp.left_shift(sums, 16) | posi, -1)
+    skey = bitonic_sort_rows(key)                       # ascending
+    top = skey[:, M - pool:][:, ::-1]                   # descending pool
+    cidx = jnp.where(top >= 0, top & jnp.int32(0xFFFF), 0)
+    cv = jnp.where(top >= 0,
+                   jnp.right_shift(top, 16).astype(jnp.float32) * wmax_col,
+                   -jnp.inf)
+    ci = jnp.where(top >= 0,
+                   jnp.take_along_axis(sids, cidx, axis=-1), -1)
+    nxt = skey[:, M - pool - 1] if M > pool else jnp.full((B,), -1, jnp.int32)
+    outside_max = jnp.where(
+        nxt >= 0, jnp.right_shift(nxt, 16).astype(jnp.float32) * wmax_col[:, 0],
+        -jnp.inf)
+    return cv, ci, outside_max
+
+
 @partial(jax.jit, static_argnames=("k", "p_cap", "candidates", "dma_gather",
                                    "bitonic", "imp_bits", "pool_recall"))
 def sparse_score_topk_q8_rescored(
@@ -517,12 +605,31 @@ def sparse_score_topk_q8_rescored(
     -> 0.990 / retention 1.0000 at 3.5x. The reference's exhaustive
     Lucene scoring is rank-exact at unbounded postings-traversal cost;
     this buys back rank safety at a bounded, documented multiple of the
-    approximate kernel."""
-    cs, ci = sparse_score_topk_q8(
+    approximate kernel.
+
+    Pool selection: on TPU the pool comes from a second Pallas bitonic
+    pass over (sum << 16 | position) keys (_bitonic_pool) — EXACT pool
+    top-k with no approx_max_k recall loss, and ~an order of magnitude
+    faster than approx_max_k at the >= 0.97 recall regime where XLA's
+    kernel falls off a cliff (docs/KERNEL_NOTES.md). Off-TPU (or at
+    non-power-of-two shapes) approx_max_k at `pool_recall` remains."""
+    sums, sids, wmax_col, bit_used = _q8_row_sums(
         packed, offsets, term_scales, q_terms, q_weights,
-        k=candidates, p_cap=p_cap, exact_topk=False,
-        dma_gather=dma_gather, bitonic=bitonic, approx_recall=pool_recall,
-    )
+        p_cap, dma_gather, bitonic)
+    M = sums.shape[1]
+    pool = min(candidates, M)
+    if bit_used and pool < M and q_terms.shape[1] * 255 < (1 << 15):
+        cs, ci, _ = _bitonic_pool(sums, sids, pool, wmax_col)
+    else:
+        scores = jnp.where(sums >= 0,
+                           sums.astype(jnp.float32) * wmax_col, -jnp.inf)
+        if M <= max(4 * pool, 256):
+            cs, cidx = jax.lax.top_k(scores, pool)
+        else:
+            cs, cidx = jax.lax.approx_max_k(scores, pool,
+                                            recall_target=pool_recall)
+        ci = jnp.where(jnp.isfinite(cs),
+                       jnp.take_along_axis(sids, cidx, axis=-1), -1)
     return sparse_exact_rescore(
         cs, ci, doc_packed, doc_scale, q_terms, q_weights, k=k,
         imp_bits=imp_bits)
@@ -579,10 +686,31 @@ def sparse_score_topk_q8_certified(
     query's result may still be exact. SparseIndex.search_certified
     escalates uncertified queries to exact scoring, making the whole
     batch provably rank-exact at adaptive cost."""
-    from qpp_fusion_rag_tpu.ops.segment import segmented_sums_presorted
+    sums, sids, wmax_col, bit_used = _q8_row_sums(
+        packed, offsets, term_scales, q_terms, q_weights,
+        p_cap, dma_gather, bitonic)
+    wmax = wmax_col[:, 0]                             # [B]
+    B, M = sums.shape
 
-    # ---- windowed q8 row sums (same formulation as sparse_score_topk_q8,
-    # but keeping the full per-run score row for the outside-pool max) ----
+    # ---- candidate pool + EXACT outside-pool maximum (sound with an
+    # approximate pool: the bound is on what the pool does NOT hold) ----
+    pool = min(candidates, M)
+    if bit_used and pool < M and q_terms.shape[1] * 255 < (1 << 15):
+        cv, ci, outside_max = _bitonic_pool(sums, sids, pool, wmax_col)
+    else:
+        row_scores = jnp.where(sums >= 0,
+                               sums.astype(jnp.float32) * wmax_col, -jnp.inf)
+        if M <= max(4 * pool, 256):
+            cv, cidx = jax.lax.top_k(row_scores, pool)
+        else:
+            cv, cidx = jax.lax.approx_max_k(row_scores, pool,
+                                            recall_target=pool_recall)
+        ci = jnp.where(jnp.isfinite(cv),
+                       jnp.take_along_axis(sids, cidx, axis=-1), -1)
+        masked = row_scores.at[jnp.arange(B)[:, None], cidx].set(-jnp.inf)
+        outside_max = jnp.max(masked, axis=1)         # [B]; -inf = none left
+
+    # ---- per-term window stats for the hidden-mass bound ----
     tq_valid = q_terms >= 0
     terms = jnp.where(tq_valid, q_terms, 0)
     starts = offsets[terms]
@@ -590,58 +718,9 @@ def sparse_score_topk_q8_certified(
     qw_raw = jnp.where(tq_valid, jnp.maximum(q_weights, 0.0), 0.0)
     qw = qw_raw * term_scales[terms]                  # folded, per impact unit
     qw = jnp.where(tq_valid, jnp.maximum(qw, 0.0), 0.0)
-    wmax_col = jnp.maximum(jnp.max(qw, axis=1, keepdims=True), 1e-30)
-    wmax = wmax_col[:, 0]                             # [B]
-    ratio = qw / wmax_col
-
     P_total = packed.shape[0]
     cap = min(p_cap, P_total)
-    s_clamped = jnp.minimum(starts, max(P_total - cap, 0)).astype(jnp.int32)
-    win, s_clamped = _packed_windows(packed, s_clamped, cap, dma_gather)
-    pos = s_clamped[..., None] + jnp.arange(cap, dtype=jnp.int32)
     eff = jnp.minimum(lens, cap)
-    wanted = (pos >= starts[..., None]) & (pos < (starts + eff)[..., None])
-    imp = (win & jnp.int32(0xFF)).astype(jnp.float32)
-    q8 = jnp.round(imp * ratio[..., None]).astype(jnp.int32)
-    keys = jnp.where(wanted, (win & jnp.int32(~0xFF)) | q8,
-                     jnp.int32(2**31 - 1))
-
-    B = q_terms.shape[0]
-    keys = keys.reshape(B, -1)
-    M = keys.shape[1]
-    if bitonic is None:
-        bitonic = (jax.default_backend() == "tpu"
-                   and M & (M - 1) == 0 and M % 1024 == 0
-                   and M <= 65536
-                   and B % BITONIC_ROW_TILE == 0)
-    if bitonic:
-        from qpp_fusion_rag_tpu.ops.pallas.bitonic import bitonic_segsum_rows
-
-        sums, sids = bitonic_segsum_rows(keys)
-        valid = (sums >= 0) & (sids != jnp.int32(0x7FFFFF))
-        row_scores = jnp.where(valid, sums.astype(jnp.float32) * wmax_col,
-                               -jnp.inf)
-    else:
-        skeys = jax.lax.sort(keys, dimension=-1)
-        sids = jnp.right_shift(skeys, 8)
-        q8v = (skeys & jnp.int32(0xFF)).astype(jnp.float32)
-        q8v = jnp.where(sids == jnp.int32(0x7FFFFF), 0.0, q8v)
-        sid_m = jnp.where(sids == jnp.int32(0x7FFFFF), SENTINEL, sids)
-        # integer-exact per-run sums (q8 totals < 2^24), scaled after
-        row_scores = jax.vmap(segmented_sums_presorted)(sid_m, q8v) * wmax_col
-        sids = jnp.where(sid_m == SENTINEL, jnp.int32(0x7FFFFF), sid_m)
-
-    # ---- candidate pool (approx ok) + EXACT outside-pool maximum ----
-    pool = min(candidates, M)
-    if M <= max(4 * pool, 256):
-        cv, cidx = jax.lax.top_k(row_scores, pool)
-    else:
-        cv, cidx = jax.lax.approx_max_k(row_scores, pool,
-                                        recall_target=pool_recall)
-    ci = jnp.where(jnp.isfinite(cv),
-                   jnp.take_along_axis(sids, cidx, axis=-1), -1)
-    masked = row_scores.at[jnp.arange(B)[:, None], cidx].set(-jnp.inf)
-    outside_max = jnp.max(masked, axis=1)             # [B]; -inf = none left
 
     # rescore k+1 deep: the (k+1)-th score powers the within-pool gap check
     scores1, ids1 = sparse_exact_rescore(
@@ -666,21 +745,25 @@ def sparse_score_topk_q8_certified(
         jnp.maximum(outside_max, 0.0) + eps_q8 + eps_u8, 0.0)
     bound = u_hidden + vis_bound
 
-    # rescore-precision slack: 12-bit doc-vector rounding, bounded by the
-    # LARGEST pooled doc scale so it covers every returned doc and every
-    # displaced pool doc at once
+    # rescore-precision slack (imp_bits doc-vector rounding): per-doc for
+    # the RETURNED side (min lower bound over the k returned), pool-max
+    # for the displaced side (we only hold the (k+1)-th rescored value)
+    sum_qw = jnp.sum(qw_raw, axis=1)                  # [B]
     pool_scale = jnp.where(ci >= 0, doc_scale[jnp.maximum(ci, 0)], 0.0)
-    eps_r = 0.5 * jnp.max(pool_scale, axis=1) * jnp.sum(qw_raw, axis=1)
+    eps_pool = 0.5 * jnp.max(pool_scale, axis=1) * sum_qw
+    eps_ret = 0.5 * doc_scale[jnp.maximum(ids, 0)] * sum_qw[:, None]
+    ret_lb = jnp.min(jnp.where(ids >= 0, scores - eps_ret, jnp.inf), axis=1)
 
     kk = min(k, scores.shape[1])
     kth = scores[:, kk - 1]
     # (a) every returned doc's true score clears any NON-POOL doc
-    slack_out = (kth - eps_r) - bound
-    # (b) within-pool set stability: the k/k+1 rescored gap exceeds twice
-    # the rescore noise, so no unreturned pool doc can truly outrank a
-    # returned one (trivially true when the pool holds <= k docs)
+    slack_out = ret_lb - bound
+    # (b) within-pool set stability: every returned doc's true lower bound
+    # clears the (k+1)-th rescored value plus its possible upward noise,
+    # so no unreturned pool doc can truly outrank a returned one
+    # (trivially true when the pool holds <= k docs)
     nxt = scores1[:, -1] if scores1.shape[1] > kk else jnp.full_like(kth, -jnp.inf)
-    slack_in = jnp.where(jnp.isfinite(nxt), (kth - nxt) - 2.0 * eps_r, jnp.inf)
+    slack_in = jnp.where(jnp.isfinite(nxt), ret_lb - (nxt + eps_pool), jnp.inf)
     slack = jnp.minimum(slack_out, slack_in)
     certified = jnp.isfinite(kth) & (slack >= 0.0)
     return scores, ids, certified, slack

@@ -533,9 +533,19 @@ def test_sparse_index_q8r_engine_matches_exact():
     s_exact, i_exact = idx.search(queries, k=20, engine="exact")
     s_q8r, i_q8r = idx.search(queries, k=20, engine="q8r", candidates=512)
     for b in range(len(queries)):
-        # same docs (scores differ only by the 12-bit impact quantization)
-        assert set(i_q8r[b][i_q8r[b] >= 0].tolist()) == \
-            set(i_exact[b][i_exact[b] >= 0].tolist())
+        # same docs, except that 14-bit impact quantization may legally
+        # swap true near-ties at the k boundary: any disagreement must
+        # involve only docs whose exact scores sit within quantization
+        # distance of the k-th exact score
+        got = set(i_q8r[b][i_q8r[b] >= 0].tolist())
+        want = set(i_exact[b][i_exact[b] >= 0].tolist())
+        kth = s_exact[b][s_exact[b] > -np.inf][-1]
+        s_full, i_full = idx.search([queries[b]], k=idx.num_docs,
+                                    engine="exact")
+        full = dict(zip(i_full[0].tolist(), s_full[0].tolist()))
+        for d in got ^ want:
+            assert abs(full[d] - kth) < 1e-3 * max(abs(kth), 1.0), \
+                f"doc {d} not a boundary tie ({full[d]} vs kth {kth})"
         valid = i_q8r[b] >= 0
         np.testing.assert_allclose(s_q8r[b][valid], s_exact[b][valid],
                                    rtol=2e-2)
