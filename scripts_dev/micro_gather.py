@@ -1,19 +1,24 @@
-"""Micro-benchmark: doc-row gather strategies for the q8r exact rescore.
+"""Micro-benchmark: doc-row gather layouts for the q8r exact rescore.
 
-The [B, C, Td] doc-row gather is the q8r rescore's wall
+The [B, C, Td] doc-row gather dominates the q8r rescore
 (docs/KERNEL_NOTES.md: ~26 GB/s effective via XLA's sequential
-dynamic-slice lowering). Candidates measured here:
+dynamic-slice lowering). Two traps this script avoids:
 
-  a) row gather    — jnp.take rows [Td] from [N, Td]      (today's path)
-  b) group gather  — jnp.take rows [8*Td] from [N8, 8*Td] (8-doc groups:
-                     tile-aligned 8x larger rows; useful BW = 1/8 of raw)
-  c) fused rescore — today's sparse_exact_rescore end-to-end for scale
+  - reduce(gather(x)) gets rewritten to gather(rowreduce(x)) — measure
+    the REAL rescore computation (per-query term masks defeat it);
+  - repeated executions with IDENTICAL args can be served from a cache
+    under the remote-execution tunnel — every rep gets fresh ids.
+
+Candidates:
+  a) row rescore   — sparse_exact_rescore on [N, Td]        (today)
+  b) group rescore — gather [8*Td] rows of [N//8, 8*Td] (8-doc groups,
+                     tile-aligned rows), rescore all 8 docs per group,
+                     candidate chunking bounds the HBM temp
 
 Run on TPU. Prints one JSON line per config.
 """
 
 import json
-import sys
 import time
 from functools import partial
 
@@ -21,45 +26,77 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from qpp_fusion_rag_tpu.ops.sparse import sparse_exact_rescore
+
 jax.config.update("jax_compilation_cache_dir", "/root/repo/cache/xla")
 
-B, C = 256, 2048
+B, C, K = 256, 2048, 100
 N = 1_000_000
+TQ = 8
+IMP_BITS = 14
 TDS = [256, 512]
+CHUNK = 512
+REPS = 5
 
 
-def timed(fn, *args, reps=5):
-    out = jax.block_until_ready(fn(*args))
+def timed(fn, ids_list, *args, **kw):
+    fn = partial(fn, **kw) if kw else fn
+    out = jax.block_until_ready(fn(ids_list[-1], *args))
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
+    for r in range(REPS):
+        out = fn(ids_list[r], *args)
     jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / reps
+    return out, (time.perf_counter() - t0) / REPS
 
 
-@partial(jax.jit, donate_argnums=())
-def row_gather(doc, ids):
-    rows = jnp.take(doc, ids.reshape(-1), axis=0).reshape(B, C, -1)
-    return jnp.sum(rows, axis=(1, 2))         # force materialization
+@jax.jit
+def row_rescore(cand_ids, cand_s, dp, ds, qt, qw):
+    return sparse_exact_rescore(cand_s, cand_ids, dp, ds, qt, qw,
+                                k=K, imp_bits=IMP_BITS)
 
 
-@partial(jax.jit, donate_argnums=())
-def group_gather(doc8, gids):
-    rows = jnp.take(doc8, gids.reshape(-1), axis=0).reshape(B, C, -1)
-    return jnp.sum(rows, axis=(1, 2))
+@partial(jax.jit, static_argnames=("td",))
+def group_rescore(cand_ids, cand_s, dp8, ds, qt, qw, td=256):
+    def chunk(carry, ids_c):                       # ids_c [B, CHUNK]
+        rows = jnp.take(dp8, (ids_c // 8).reshape(-1), axis=0)
+        rows = rows.reshape(B, CHUNK, 8, td)
+        t = jax.lax.shift_right_logical(rows, IMP_BITS)
+        imp = (rows & jnp.int32((1 << IMP_BITS) - 1)).astype(jnp.float32)
+        matched = jnp.zeros_like(imp)
+        for j in range(TQ):
+            matched = matched + jnp.where(
+                t == qt[:, j, None, None, None],
+                qw[:, j, None, None, None], 0.0)
+        s8 = jnp.sum(matched * imp, axis=-1)       # [B, CHUNK, 8]
+        sc = jnp.take_along_axis(s8, (ids_c % 8)[..., None], axis=-1)[..., 0]
+        return carry, sc
+
+    chunks = cand_ids.reshape(B, C // CHUNK, CHUNK).transpose(1, 0, 2)
+    _, scs = jax.lax.scan(chunk, 0, chunks)        # [C/CHUNK, B, CHUNK]
+    scores = scs.transpose(1, 0, 2).reshape(B, C)
+    scores = scores * ds[jnp.maximum(cand_ids, 0)]
+    scores = jnp.where(cand_ids >= 0, scores, -jnp.inf)
+    tv, ti = jax.lax.top_k(scores, K)
+    return tv, jnp.take_along_axis(cand_ids, ti, axis=-1)
 
 
 def main():
     rng = np.random.default_rng(0)
-    ids = jnp.asarray(rng.integers(0, N, size=(B, C), dtype=np.int32))
+    ids_list = [jnp.asarray(rng.integers(0, N, size=(B, C), dtype=np.int32))
+                for _ in range(REPS + 1)]
+    cs = jnp.zeros((B, C), jnp.float32)
+    qt = jnp.asarray(rng.integers(0, 100_000, size=(B, TQ), dtype=np.int32))
+    qw = jnp.asarray(rng.random((B, TQ), dtype=np.float32))
+    ds = jnp.asarray(rng.random((N,), dtype=np.float32))
     out = []
     for td in TDS:
-        doc = jnp.asarray(
+        dp = jnp.asarray(
             rng.integers(0, 2**31 - 1, size=(N, td), dtype=np.int32))
-        t_row = timed(row_gather, doc, ids)
-        doc8 = doc.reshape(N // 8, 8 * td)
-        gids = ids // 8
-        t_grp = timed(group_gather, doc8, gids)
+        (rv, ri), t_row = timed(row_rescore, ids_list, cs, dp, ds, qt, qw)
+        dp8 = dp.reshape(N // 8, 8 * td)
+        (gv, gi), t_grp = timed(group_rescore, ids_list, cs, dp8, ds, qt, qw,
+                                td=td)
+        agree = float(jnp.mean((jnp.abs(rv - gv) < 1e-3) | ~jnp.isfinite(rv)))
         useful = B * C * td * 4
         rec = {
             "td": td,
@@ -68,10 +105,11 @@ def main():
             "group_ms": round(t_grp * 1e3, 2),
             "group_raw_gbps": round(8 * useful / t_grp / 1e9, 1),
             "group_useful_gbps": round(useful / t_grp / 1e9, 1),
+            "score_agreement": agree,
         }
         out.append(rec)
         print(json.dumps(rec), flush=True)
-        del doc, doc8
+        del dp, dp8
     json.dump(out, open("/tmp/micro_gather.json", "w"))
 
 
