@@ -39,13 +39,20 @@ CHUNK = 512
 REPS = 5
 
 
+def _sync(out):
+    # host scalar readback: block_until_ready alone does NOT guarantee
+    # completion through the remote-execution tunnel (see bench.py)
+    _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0]
+
+
 def timed(fn, ids_list, *args, **kw):
     fn = partial(fn, **kw) if kw else fn
-    out = jax.block_until_ready(fn(ids_list[-1], *args))
+    out = fn(ids_list[-1], *args)
+    _sync(out)
     t0 = time.perf_counter()
     for r in range(REPS):
         out = fn(ids_list[r], *args)
-    jax.block_until_ready(out)
+    _sync(out)
     return out, (time.perf_counter() - t0) / REPS
 
 

@@ -34,13 +34,20 @@ BATCH = 256 if ON_TPU else 32
 K = 100
 
 
+def _sync(out):
+    # host scalar readback: block_until_ready alone does NOT guarantee
+    # completion through the remote-execution tunnel (see bench.py)
+    import numpy as _np
+    _ = _np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0]
+
+
 def timed(fn, reps=3):
     out = fn()
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn()
-    jax.block_until_ready(out)
+    _sync(out)
     return out, (time.perf_counter() - t0) / reps
 
 
