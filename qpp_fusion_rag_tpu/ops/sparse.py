@@ -178,6 +178,19 @@ def _packed_windows(packed, s_clamped, cap, dma_gather):
             and P % WG.ALIGN == 0
             and P >= cap + 2 * WG.ALIGN
         )
+        if (not dma_gather and jax.default_backend() == "tpu"
+                and P % WG.ALIGN != 0 and P >= cap + 2 * WG.ALIGN):
+            # the ~4x perf trap that bit round 3: postings not run through
+            # pack_postings/pad_for_gather silently fall back to the slow
+            # dynamic_slice gather (docs/KERNEL_NOTES.md). Trace-time only.
+            import warnings
+
+            warnings.warn(
+                f"sparse posting array length {P} is not {WG.ALIGN}-aligned;"
+                " the Pallas DMA window gather is DISABLED (~4x slower"
+                " dynamic_slice fallback). Build postings with"
+                " pack_postings (which tail-pads) or pad_for_gather.",
+                stacklevel=3)
     if dma_gather:
         s2 = jnp.minimum(s_clamped, P - cap - WG.ALIGN).astype(jnp.int32)
         win = WG.gather_windows_pallas(packed, s2.reshape(-1), cap)
