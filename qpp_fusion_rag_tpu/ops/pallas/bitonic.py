@@ -34,14 +34,14 @@ LANES = 128
 ROW_TILE = 8  # query rows sorted per grid step
 
 
-def _bitonic_kernel(x_ref, o_ref):
+def _bitonic_kernel(x_ref, o_ref, *, start_block=2):
     TB, S, L = x_ref.shape
     M = S * L
     x = x_ref[:]
     lane = jax.lax.broadcasted_iota(jnp.int32, (TB, S, L), 2)
     subl = jax.lax.broadcasted_iota(jnp.int32, (TB, S, L), 1)
 
-    k = 2
+    k = start_block
     while k <= M:
         j = k // 2
         while j >= 1:
@@ -69,19 +69,30 @@ def _bitonic_kernel(x_ref, o_ref):
     o_ref[:] = x
 
 
-@partial(jax.jit, static_argnames=())
-def bitonic_sort_rows(x: jnp.ndarray) -> jnp.ndarray:
+@partial(jax.jit, static_argnames=("start_block",))
+def bitonic_sort_rows(x: jnp.ndarray, start_block: int = 2) -> jnp.ndarray:
     """Sort each row of [B, M] int32 ascending. M must be a power of two
-    and a multiple of 1024; B a multiple of ROW_TILE."""
+    and a multiple of 1024; B a multiple of ROW_TILE.
+
+    start_block > 2 skips the first log2(start_block) - 1 rounds: the
+    input must then consist of aligned blocks of start_block/2 already
+    sorted ALTERNATELY ascending (even block index) / descending (odd) —
+    the state the full network would have produced at that round. Used
+    by the presorted-postings sparse layout (ops.sparse
+    pack_postings_presorted), cutting e.g. 120 -> 54 stages at M=32768
+    with 2048-sorted windows."""
     B, M = x.shape
     if M & (M - 1) or M % (8 * LANES):
         raise ValueError(f"M={M} must be a power of two >= 1024")
     if B % ROW_TILE:
         raise ValueError(f"B={B} must be a multiple of {ROW_TILE}")
+    if start_block & (start_block - 1) or not 2 <= start_block <= M:
+        raise ValueError(f"start_block={start_block} must be a power of "
+                         f"two in [2, {M}]")
     S = M // LANES
     x3 = x.reshape(B, S, LANES)
     out = pl.pallas_call(
-        _bitonic_kernel,
+        partial(_bitonic_kernel, start_block=start_block),
         out_shape=jax.ShapeDtypeStruct((B, S, LANES), x.dtype),
         grid=(B // ROW_TILE,),
         in_specs=[pl.BlockSpec((ROW_TILE, S, LANES), lambda i: (i, 0, 0),
@@ -111,12 +122,17 @@ def _shift_up1_flat(x, lane, subl, S, L):
     return jnp.where(lane < L - 1, a, b)
 
 
-def _bitonic_segsum_kernel(x_ref, sums_ref, sids_ref):
+def _bitonic_segsum_kernel(x_ref, sums_ref, sids_ref, *, start_block=2):
     """Sort + segmented run-sum fused: sort int32 keys (doc << 8 | q8),
     then an int32 segmented Hillis-Steele scan sums each doc run's low
     bytes entirely in VMEM. Outputs: sums (run total at each run's LAST
     position, -1 elsewhere) and the sorted doc ids. Integer sums are
     EXACT — no f32 cumsum-difference error (ops.segment precision note).
+
+    start_block: see bitonic_sort_rows. NOTE keys may include the
+    negative descending-window sentinel INT32_MIN; its doc id unpacks
+    (logical shift) to 0x800000, outside the 23-bit real-id range —
+    callers mask sids >= 0x7FFFFF.
     """
     TB, S, L = x_ref.shape
     M = S * L
@@ -124,7 +140,7 @@ def _bitonic_segsum_kernel(x_ref, sums_ref, sids_ref):
     lane = jax.lax.broadcasted_iota(jnp.int32, (TB, S, L), 2)
     subl = jax.lax.broadcasted_iota(jnp.int32, (TB, S, L), 1)
 
-    k = 2
+    k = start_block
     while k <= M:
         j = k // 2
         while j >= 1:
@@ -176,22 +192,27 @@ def _bitonic_segsum_kernel(x_ref, sums_ref, sids_ref):
     sids_ref[:] = sid
 
 
-@partial(jax.jit, static_argnames=())
-def bitonic_segsum_rows(x: jnp.ndarray):
+@partial(jax.jit, static_argnames=("start_block",))
+def bitonic_segsum_rows(x: jnp.ndarray, start_block: int = 2):
     """Sort rows of packed (doc << 8 | q8) int32 keys AND sum each doc's
     q8 run in one VMEM-resident kernel.
     -> (sums [B, M] int32: run total at run-last positions, -1 elsewhere;
-        sids [B, M] int32: sorted doc ids)."""
+        sids [B, M] int32: sorted doc ids — logical-shift unpacked, so
+        the INT32_MIN sentinel appears as id 0x800000).
+    start_block: see bitonic_sort_rows (presorted alternating blocks)."""
     B, M = x.shape
     if M & (M - 1) or M % (8 * LANES):
         raise ValueError(f"M={M} must be a power of two >= 1024")
     if B % ROW_TILE:
         raise ValueError(f"B={B} must be a multiple of {ROW_TILE}")
+    if start_block & (start_block - 1) or not 2 <= start_block <= M:
+        raise ValueError(f"start_block={start_block} must be a power of "
+                         f"two in [2, {M}]")
     S = M // LANES
     spec = pl.BlockSpec((ROW_TILE, S, LANES), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     sums, sids = pl.pallas_call(
-        _bitonic_segsum_kernel,
+        partial(_bitonic_segsum_kernel, start_block=start_block),
         out_shape=(jax.ShapeDtypeStruct((B, S, LANES), jnp.int32),
                    jax.ShapeDtypeStruct((B, S, LANES), jnp.int32)),
         grid=(B // ROW_TILE,),

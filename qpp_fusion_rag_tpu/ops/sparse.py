@@ -28,11 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from qpp_fusion_rag_tpu.ops.pallas.bitonic import ROW_TILE as BITONIC_ROW_TILE
-from qpp_fusion_rag_tpu.ops.segment import (
-    SENTINEL,
-    segmented_topk,
-    segmented_topk_presorted,
-)
+from qpp_fusion_rag_tpu.ops.segment import SENTINEL, segmented_topk
 
 
 def _gather_windows(flat_docs, flat_weights, starts, lens, cap):
@@ -157,6 +153,78 @@ def pack_postings(
 
 
 _MAX_DMA_CAP = 4096  # largest p_cap the DMA gather pads for
+
+
+def pack_postings_presorted(
+    flat_docs: np.ndarray,     # [P] doc ids (impact-ordered per term)
+    flat_weights: np.ndarray,  # [P] f32 impacts
+    offsets: np.ndarray,       # [T+1]
+    cap: int,                  # the p_cap this layout is built for
+    scales: np.ndarray = None,
+):
+    """DUAL DOC-ORDERED window layout: per term, the top-min(df, cap)
+    postings BY IMPACT (the impact-ordered list's prefix) re-sorted by
+    doc id and stored twice — ascending, then the same entries reversed.
+
+    Why: the q8 scorers' row sort is the dominant sparse cost. If every
+    gathered window arrives as a doc-sorted run (even query-term slots
+    read the ascending copy, odd slots the descending one), the bitonic
+    network can skip its first log2(cap) rounds — the state a full sort
+    would have reached — cutting 120 -> 54 stages at Tq=16, cap=2048
+    (ops.pallas.bitonic start_block). The candidate SET and all scores
+    are identical to pack_postings at p_cap == cap; this is purely a
+    storage-order change, at 2x window-region HBM (tail postings beyond
+    `cap` are dropped — this layout is a candidate generator; pair it
+    with pack_doc_vectors for rank-safe rescoring).
+
+    Searches MUST use p_cap == cap (a smaller p_cap would read a
+    doc-id-prefix subset, not the impact top — sparse_score_topk_q8
+    with presorted=True asserts nothing at trace time; keep the caps
+    aligned in config). Quantization matches pack_postings (8-bit vs
+    the term's max impact), so term_scales are interchangeable.
+
+    -> (packed int32 [2·Σ min(df, cap)] tail-padded, offsets2 [T+1]
+        int64 dual-block starts, term_scales f32 [T])."""
+    flat_docs = np.asarray(flat_docs)
+    flat_weights = np.asarray(flat_weights, dtype=np.float32)
+    offsets = np.asarray(offsets, dtype=np.int64)
+    if len(flat_docs) and int(flat_docs.max()) >= (1 << 23) - 1:
+        raise ValueError("packed postings need doc ids < 2^23 - 1; shard the corpus")
+    T = len(offsets) - 1
+    counts = np.diff(offsets)
+    eff = np.minimum(counts, cap)
+    if scales is None:
+        maxima = np.zeros(T, dtype=np.float32)
+        nonempty = counts > 0
+        maxima[nonempty] = flat_weights[offsets[:-1][nonempty]]
+        scales = np.where(maxima > 0, maxima / 255.0, 1.0).astype(np.float32)
+    else:
+        scales = np.asarray(scales, dtype=np.float32)
+
+    total = int(eff.sum())
+    cum = np.zeros(T + 1, dtype=np.int64)
+    np.cumsum(eff, out=cum[1:])
+    within = np.arange(total, dtype=np.int64) - np.repeat(cum[:-1], eff)
+    src = np.repeat(offsets[:-1], eff) + within
+    sel_docs = flat_docs[src].astype(np.int64)
+    q = np.clip(np.round(flat_weights[src] /
+                         np.maximum(np.repeat(scales, eff), 1e-12)),
+                0, 255).astype(np.int64)
+    vals = (sel_docs << 8) | q
+    term_of = np.repeat(np.arange(T, dtype=np.int64), eff)
+    order = np.lexsort((vals, term_of))      # per-term doc-ascending
+    vals_sorted = vals[order]
+
+    offsets2 = 2 * cum
+    out = np.zeros(2 * total, dtype=np.int64)
+    dst_asc = np.repeat(offsets2[:-1], eff) + within
+    out[dst_asc] = vals_sorted
+    eff_rep = np.repeat(eff, eff)
+    dst_desc = np.repeat(offsets2[:-1] + eff, eff) + (eff_rep - 1 - within)
+    out[dst_desc] = vals_sorted
+    from qpp_fusion_rag_tpu.ops.pallas.window_gather import pad_for_gather
+
+    return pad_for_gather(out.astype(np.int32), _MAX_DMA_CAP), offsets2, scales
 
 
 def _packed_windows(packed, s_clamped, cap, dma_gather):
@@ -498,13 +566,37 @@ def sparse_exact_rescore(
             jnp.where(ok, top_ids, -1))
 
 
+def _presorted_geometry(offsets, terms, tq_valid, q_terms):
+    """Window starts/lens for the DUAL doc-ordered layout
+    (pack_postings_presorted): each term's region is [asc copy | desc
+    copy], each of length eff = (offsets[t+1] - offsets[t]) / 2. Even
+    query-term slots read the ascending copy, odd slots the descending
+    one, so the flattened row arrives as alternating-direction sorted
+    blocks — the bitonic network's state after its first log2(cap)
+    rounds. -> (starts, lens, parity [1, Tq] int32)."""
+    base = offsets[terms]
+    eff_st = jax.lax.shift_right_logical(offsets[terms + 1] - base, 1)
+    parity = (jnp.arange(q_terms.shape[1], dtype=jnp.int32) & 1)[None, :]
+    starts = base + parity.astype(base.dtype) * eff_st
+    lens = jnp.where(tq_valid, eff_st, 0)
+    return starts, lens, parity
+
+
 def _q8_row_sums(packed, offsets, term_scales, q_terms, q_weights,
-                 p_cap, dma_gather, bitonic):
+                 p_cap, dma_gather, bitonic, presorted=False):
     """Shared windowed-q8 core: gather posting windows, requantize
     contributions to 8 bits, sort by packed (doc<<8|q8) key, segment-sum
     per doc. -> (sums_i32 [B, M] per-run totals at run-LAST positions
-    (-1 elsewhere/invalid), sids [B, M] doc ids (0x7FFFFF sentinel),
+    (-1 elsewhere/invalid), sids [B, M] doc ids (>= 0x7FFFFF sentinel),
     wmax_col [B, 1] f32 dequant scale, bitonic_used).
+
+    presorted=True reads the dual doc-ordered layout
+    (pack_postings_presorted; p_cap MUST equal the layout's build cap)
+    and, on the Pallas path, skips the bitonic network's first
+    log2(p_cap) rounds — tail pads become INT32_MIN on descending
+    (odd-slot) windows so every block stays monotone. Requantizing the
+    low byte preserves block order: round(imp * ratio) is non-decreasing
+    in imp and doc bits dominate the key.
 
     Integer-exact in both branches (Pallas in-kernel int32 scan, or
     segmented_sums_presorted over q8 ints < 2^24)."""
@@ -512,8 +604,12 @@ def _q8_row_sums(packed, offsets, term_scales, q_terms, q_weights,
 
     tq_valid = q_terms >= 0
     terms = jnp.where(tq_valid, q_terms, 0)
-    starts = offsets[terms]
-    lens = jnp.where(tq_valid, offsets[terms + 1] - starts, 0)
+    if presorted:
+        starts, lens, parity = _presorted_geometry(
+            offsets, terms, tq_valid, q_terms)
+    else:
+        starts = offsets[terms]
+        lens = jnp.where(tq_valid, offsets[terms + 1] - starts, 0)
     qw = q_weights * term_scales[terms]
     qw = jnp.where(tq_valid, jnp.maximum(qw, 0.0), 0.0)
     wmax_col = jnp.maximum(jnp.max(qw, axis=1, keepdims=True), 1e-30)
@@ -528,8 +624,15 @@ def _q8_row_sums(packed, offsets, term_scales, q_terms, q_weights,
     wanted = (pos >= starts[..., None]) & (pos < (starts + eff)[..., None])
     imp = (win & jnp.int32(0xFF)).astype(jnp.float32)
     q8 = jnp.round(imp * ratio[..., None]).astype(jnp.int32)
-    keys = jnp.where(wanted, (win & jnp.int32(~0xFF)) | q8,
-                     jnp.int32(2**31 - 1))
+    if presorted:
+        # descending (odd-slot) windows pad with INT32_MIN so the block
+        # stays monotone for the skip-rounds entry condition; pads unpack
+        # (logical shift) to doc id 0x800000, masked below
+        padkey = jnp.where(parity[..., None] == 1,
+                           jnp.int32(-(2**31)), jnp.int32(2**31 - 1))
+    else:
+        padkey = jnp.int32(2**31 - 1)
+    keys = jnp.where(wanted, (win & jnp.int32(~0xFF)) | q8, padkey)
 
     B = q_terms.shape[0]
     keys = keys.reshape(B, -1)
@@ -542,9 +645,18 @@ def _q8_row_sums(packed, offsets, term_scales, q_terms, q_weights,
     if bitonic:
         from qpp_fusion_rag_tpu.ops.pallas.bitonic import bitonic_segsum_rows
 
-        sums, sids = bitonic_segsum_rows(keys)
-        sums = jnp.where(sids == jnp.int32(0x7FFFFF), -1, sums)
+        start_block = 2
+        if (presorted and cap == p_cap and cap & (cap - 1) == 0
+                and 2 * cap <= M):
+            start_block = 2 * cap
+        sums, sids = bitonic_segsum_rows(keys, start_block=start_block)
+        sums = jnp.where(sids >= jnp.int32(0x7FFFFF), -1, sums)
     else:
+        if presorted:
+            # no skip benefit for lax.sort: fold the descending-window
+            # sentinel back into the sorts-last invalid key
+            keys = jnp.where(keys == jnp.int32(-(2**31)),
+                             jnp.int32(2**31 - 1), keys)
         skeys = jax.lax.sort(keys, dimension=-1)
         sids = jnp.right_shift(skeys, 8)
         q8v = (skeys & jnp.int32(0xFF)).astype(jnp.float32)
@@ -586,7 +698,8 @@ def _bitonic_pool(sums, sids, pool, wmax_col):
 
 
 @partial(jax.jit, static_argnames=("k", "p_cap", "candidates", "dma_gather",
-                                   "bitonic", "imp_bits", "pool_recall"))
+                                   "bitonic", "imp_bits", "pool_recall",
+                                   "presorted"))
 def sparse_score_topk_q8_rescored(
     packed: jnp.ndarray,        # [P] int32 (doc << 8 | uint8 impact)
     offsets: jnp.ndarray,       # [T+1] int32
@@ -602,6 +715,7 @@ def sparse_score_topk_q8_rescored(
     bitonic: bool = None,
     imp_bits: int = 8,          # must match pack_doc_vectors
     pool_recall: float = 0.999,
+    presorted: bool = False,    # dual doc-ordered layout (pack_postings_presorted)
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """RANK-SAFE production sparse scoring: q8 window kernel generates a
     top-`candidates` pool (approx_max_k at `pool_recall` — 0.95 loses
@@ -628,7 +742,7 @@ def sparse_score_topk_q8_rescored(
     non-power-of-two shapes) approx_max_k at `pool_recall` remains."""
     sums, sids, wmax_col, bit_used = _q8_row_sums(
         packed, offsets, term_scales, q_terms, q_weights,
-        p_cap, dma_gather, bitonic)
+        p_cap, dma_gather, bitonic, presorted=presorted)
     M = sums.shape[1]
     pool = min(candidates, M)
     if bit_used and pool < M and q_terms.shape[1] * 255 < (1 << 15):
@@ -783,7 +897,7 @@ def sparse_score_topk_q8_certified(
 
 
 @partial(jax.jit, static_argnames=("k", "p_cap", "exact_topk", "dma_gather",
-                                   "bitonic", "approx_recall"))
+                                   "bitonic", "approx_recall", "presorted"))
 def sparse_score_topk_q8(
     packed: jnp.ndarray,        # [P] int32 (doc << 8 | uint8 impact)
     offsets: jnp.ndarray,       # [T+1] int32
@@ -796,6 +910,7 @@ def sparse_score_topk_q8(
     dma_gather: bool = None,
     bitonic: bool = None,
     approx_recall: float = 0.95,
+    presorted: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Quantized-sort sparse scoring: ONE int32 sort key per posting.
 
@@ -803,85 +918,35 @@ def sparse_score_topk_q8(
     an 8-byte key+payload permute per element. Here the CONTRIBUTION
     (impact x dequant x query weight) is requantized to 8 bits against
     the query's max per-term weight and packed back into the low byte of
-    the doc key: sort ONE int32, no payload. The segmented reduce then
-    runs on ids/vals unpacked from the sorted keys
-    (ops.segment.segmented_topk_presorted).
+    the doc key: sort ONE int32, no payload. On TPU the sort is a fused
+    VMEM-resident Pallas bitonic + integer segmented run-sum
+    (ops.pallas.bitonic — the sort alone is 2.06x lax.sort, 19.7 vs
+    40.6 ms at [1024, 32k], and the in-kernel int32 scan replaces the
+    XLA f32 cumsum tail: exact sums, no cumsum-difference error).
+
+    presorted=True reads the dual doc-ordered layout
+    (pack_postings_presorted, p_cap == build cap) and skips the bitonic
+    network's first log2(p_cap) rounds — identical scores, fewer sort
+    stages (_q8_row_sums).
 
     Precision: each contribution rounds to cmax/255 (cmax = the query's
     max possible single contribution), so a k-term sum is off by at most
     k/510 x cmax — measured recall@100 vs the exact pair-sort path
     >= 0.99 on Zipfian BM25/SPLADE queries (tests/test_sparse.py).
     Same output contract as sparse_score_topk_packed."""
-    tq_valid = q_terms >= 0
-    terms = jnp.where(tq_valid, q_terms, 0)
-    starts = offsets[terms]
-    lens = offsets[terms + 1] - starts
-    lens = jnp.where(tq_valid, lens, 0)
-    w = q_weights * term_scales[terms]                # [B, Tq] contribution/impact-unit
-    w = jnp.where(tq_valid, jnp.maximum(w, 0.0), 0.0)
-    wmax = jnp.maximum(jnp.max(w, axis=1, keepdims=True), 1e-30)  # [B, 1]
-    ratio = w / wmax                                  # [B, Tq] in [0, 1]
-
-    P_total = packed.shape[0]
-    cap = min(p_cap, P_total)
-    s_clamped = jnp.minimum(starts, max(P_total - cap, 0)).astype(jnp.int32)
-    win, s_clamped = _packed_windows(packed, s_clamped, cap, dma_gather)
-    pos = s_clamped[..., None] + jnp.arange(cap, dtype=jnp.int32)
-    eff = jnp.minimum(lens, cap)
-    wanted = (pos >= starts[..., None]) & (pos < (starts + eff)[..., None])
-
-    imp = (win & jnp.int32(0xFF)).astype(jnp.float32)
-    q8 = jnp.round(imp * ratio[..., None]).astype(jnp.int32)   # [0, 255]
-    # keys: (doc << 8) | q8 — invalid slots get int32 max (sorts last,
-    # unpacks to the 23-bit sentinel doc id 0x7FFFFF)
-    keys = jnp.where(wanted, (win & jnp.int32(~0xFF)) | q8,
-                     jnp.int32(2**31 - 1))
-
-    B = q_terms.shape[0]
-    keys = keys.reshape(B, -1)
-    M = keys.shape[1]
-    if bitonic is None:
-        # M <= 64k keeps the row tile's working set (~3 copies) well
-        # inside VMEM; beyond that fall back to lax.sort
-        bitonic = (jax.default_backend() == "tpu"
-                   and M & (M - 1) == 0 and M % 1024 == 0
-                   and M <= 65536
-                   and B % BITONIC_ROW_TILE == 0)
-    if bitonic:
-        # fused sort + integer segmented run-sum, fully VMEM-resident
-        # (ops.pallas.bitonic): the sort alone is 2.06x lax.sort
-        # (19.7 vs 40.6 ms at [1024, 32k]) and the in-kernel int32 scan
-        # replaces the XLA f32 cumsum tail (exact sums, no
-        # cumsum-difference error)
-        from qpp_fusion_rag_tpu.ops.pallas.bitonic import bitonic_segsum_rows
-
-        sums, sids = bitonic_segsum_rows(keys)
-        valid = (sums >= 0) & (sids != jnp.int32(0x7FFFFF))
-        scores = jnp.where(valid, sums.astype(jnp.float32) * wmax, -jnp.inf)
-        kk = min(k, M)
-        if exact_topk or M <= max(4 * kk, 256):
-            top_vals, top_idx = jax.lax.top_k(scores, kk)
-        else:
-            top_vals, top_idx = jax.lax.approx_max_k(
-                scores, kk, recall_target=approx_recall)
-        top_ids = jnp.take_along_axis(sids, top_idx, axis=-1)
-        ok = jnp.isfinite(top_vals)
-        return (jnp.where(ok, top_vals, -jnp.inf),
-                jnp.where(ok, top_ids, -1))
-
-    skeys = jax.lax.sort(keys, dimension=-1)
-    sids = jnp.right_shift(skeys, 8)
-    # one shared sentinel for the reduce: both 0x7FFFFF (unpacked invalid)
-    # and any real doc never collide because doc ids < 2^23 - 1 is enforced
-    # by pack_postings' 2^23 bound only when N < 0x7FFFFF; guard anyway
-    sval_scale = wmax.reshape(B, 1)
-    svals = (skeys & jnp.int32(0xFF)).astype(jnp.float32) * sval_scale
-    svals = jnp.where(sids == jnp.int32(0x7FFFFF), 0.0, svals)
-    sids = jnp.where(sids == jnp.int32(0x7FFFFF), SENTINEL, sids)
-
-    def score(si, sv):
-        ids, scores, _ = segmented_topk_presorted(
-            si, sv, k, exact_topk=exact_topk)
-        return scores, ids
-
-    return jax.vmap(score)(sids, svals)
+    sums, sids, wmax_col, _ = _q8_row_sums(
+        packed, offsets, term_scales, q_terms, q_weights,
+        p_cap, dma_gather, bitonic, presorted=presorted)
+    M = sums.shape[1]
+    scores = jnp.where(sums >= 0,
+                       sums.astype(jnp.float32) * wmax_col, -jnp.inf)
+    kk = min(k, M)
+    if exact_topk or M <= max(4 * kk, 256):
+        top_vals, top_idx = jax.lax.top_k(scores, kk)
+    else:
+        top_vals, top_idx = jax.lax.approx_max_k(
+            scores, kk, recall_target=approx_recall)
+    top_ids = jnp.take_along_axis(sids, top_idx, axis=-1)
+    ok = jnp.isfinite(top_vals)
+    return (jnp.where(ok, top_vals, -jnp.inf),
+            jnp.where(ok, top_ids, -1))

@@ -549,3 +549,102 @@ def test_sparse_index_q8r_engine_matches_exact():
         valid = i_q8r[b] >= 0
         np.testing.assert_allclose(s_q8r[b][valid], s_exact[b][valid],
                                    rtol=2e-2)
+
+
+def test_bitonic_start_block_skips_presorted_rounds():
+    """bitonic_sort_rows with start_block=2*bs on input whose aligned
+    bs-blocks are pre-sorted alternately asc/desc == a full sort."""
+    import jax.numpy as jnp
+
+    from qpp_fusion_rag_tpu.ops.pallas.bitonic import bitonic_sort_rows
+
+    rng = np.random.default_rng(7)
+    B, M, bs = 8, 2048, 256
+    x = rng.integers(-2**31, 2**31 - 1, (B, M), np.int64).astype(np.int32)
+    blocks = x.reshape(B, M // bs, bs)
+    blocks.sort(axis=-1)
+    blocks[:, 1::2] = blocks[:, 1::2, ::-1]          # odd blocks descending
+    x = blocks.reshape(B, M)
+    out = np.asarray(bitonic_sort_rows(jnp.asarray(x), start_block=2 * bs))
+    np.testing.assert_array_equal(out, np.sort(x, axis=1))
+
+
+def _presorted_fixture(seed=9, n_docs=4096, vocab=2000, B=8, n_terms=4,
+                       cap=256):
+    import jax.numpy as jnp
+
+    from qpp_fusion_rag_tpu.data.synthetic import zipf_bm25_csr, zipf_queries
+    from qpp_fusion_rag_tpu.ops.sparse import (
+        pack_postings,
+        pack_postings_presorted,
+    )
+
+    bo, bd, bw, _ = zipf_bm25_csr(n_docs, vocab_size=vocab, avg_doc_len=20.0,
+                                  seed=seed, max_postings=120_000)
+    qt, qw = zipf_queries(bo, B, n_terms=n_terms, seed=1)
+    qt = np.asarray(qt).copy()
+    qt[0, -1] = -1                                   # odd-slot pad window
+    qt[1, 0] = -1                                    # even-slot pad window
+    packed, scales = pack_postings(bd, bw, bo)
+    pre, off2, scales2 = pack_postings_presorted(bd, bw, bo, cap=cap)
+    np.testing.assert_allclose(scales, scales2)      # same quantization grid
+    plain = (jnp.asarray(packed), jnp.asarray(bo.astype(np.int32)),
+             jnp.asarray(scales), jnp.asarray(qt), qw)
+    dual = (jnp.asarray(pre), jnp.asarray(off2.astype(np.int32)),
+            jnp.asarray(scales), jnp.asarray(qt), qw)
+    return plain, dual
+
+
+def _score_maps(s, i):
+    s, i = np.asarray(s), np.asarray(i)
+    return [{int(d): float(v) for d, v in zip(i[b], s[b]) if d >= 0}
+            for b in range(len(s))]
+
+
+@pytest.mark.parametrize("bitonic", [True, False])
+def test_q8_presorted_matches_plain_layout(bitonic):
+    """sparse_score_topk_q8 over the dual doc-ordered layout (presorted
+    skip-rounds path AND the lax.sort fallback) == the plain impact-
+    ordered layout at p_cap == build cap: same candidate set, same
+    quantization, same scores."""
+    from qpp_fusion_rag_tpu.ops.sparse import sparse_score_topk_q8
+
+    plain, dual = _presorted_fixture(cap=256)
+    s1, i1 = sparse_score_topk_q8(*plain, k=20, p_cap=256,
+                                  exact_topk=True, bitonic=bitonic)
+    s2, i2 = sparse_score_topk_q8(*dual, k=20, p_cap=256,
+                                  exact_topk=True, bitonic=bitonic,
+                                  presorted=True)
+    for a, c in zip(_score_maps(s1, i1), _score_maps(s2, i2)):
+        assert set(a) == set(c)
+        for d in a:
+            assert abs(a[d] - c[d]) <= 1e-4 * max(1.0, abs(a[d])), (d, a[d], c[d])
+
+
+def test_q8r_presorted_matches_plain_layout():
+    """The rank-safe rescored scorer accepts the presorted layout and
+    returns the plain layout's results (bitonic start_block path)."""
+    import jax.numpy as jnp
+
+    from qpp_fusion_rag_tpu.ops.sparse import (
+        pack_doc_vectors,
+        sparse_score_topk_q8_rescored,
+    )
+    from qpp_fusion_rag_tpu.data.synthetic import zipf_bm25_csr
+
+    plain, dual = _presorted_fixture(cap=256)
+    bo, bd, bw, _ = zipf_bm25_csr(4096, vocab_size=2000, avg_doc_len=20.0,
+                                  seed=9, max_postings=120_000)
+    dp, ds, _ = pack_doc_vectors(bo, bd, bw, n_docs=4096, imp_bits=12)
+    dp, ds = jnp.asarray(dp), jnp.asarray(ds)
+    s1, i1 = sparse_score_topk_q8_rescored(
+        plain[0], plain[1], plain[2], dp, ds, plain[3], plain[4],
+        k=20, p_cap=256, candidates=128, imp_bits=12, bitonic=True)
+    s2, i2 = sparse_score_topk_q8_rescored(
+        dual[0], dual[1], dual[2], dp, ds, dual[3], dual[4],
+        k=20, p_cap=256, candidates=128, imp_bits=12, bitonic=True,
+        presorted=True)
+    for a, c in zip(_score_maps(s1, i1), _score_maps(s2, i2)):
+        assert set(a) == set(c)
+        for d in a:
+            assert abs(a[d] - c[d]) <= 1e-4 * max(1.0, abs(a[d]))
