@@ -233,6 +233,37 @@ class SparseIndex:
             self._device_q8 = (jnp.asarray(packed), jnp.asarray(scales))
         return self._device_q8
 
+    def _device_presorted(self, cap: int):
+        """Lazily build the DUAL doc-ordered packed postings for the
+        presorted q8/q8r engines (ops.sparse.pack_postings_presorted):
+        gathered windows arrive pre-sorted, so the Pallas bitonic sort
+        skips its first log2(cap) rounds. Keyed by cap — the layout is
+        only valid at p_cap == cap."""
+        import jax.numpy as jnp
+
+        from qpp_fusion_rag_tpu.ops.sparse import pack_postings_presorted
+
+        cache = getattr(self, "_device_pre", None)
+        if cache is None:
+            cache = self._device_pre = {}
+        if cap not in cache:
+            w = self.weights
+            scales = None
+            if w.dtype == np.uint8:
+                df = np.diff(self.offsets).astype(np.int64)
+                w = w.astype(np.float32) * np.repeat(self.term_scales, df)
+                scales = self.term_scales
+            packed, off2, sc = pack_postings_presorted(
+                self.docs, w, self.offsets, cap=cap, scales=scales)
+            if int(off2[-1]) >= 2**31:
+                raise OverflowError(
+                    "presorted dual layout exceeds the int32 device-index "
+                    "range; shard the corpus")
+            cache[cap] = (jnp.asarray(packed),
+                          jnp.asarray(off2.astype(np.int32)),
+                          jnp.asarray(sc))
+        return cache[cap]
+
     def _device_doc_vectors(self):
         """Lazily build packed doc-major vectors + per-doc scales for the
         rank-safe rescore engine (ops.sparse.pack_doc_vectors; impact
@@ -263,6 +294,7 @@ class SparseIndex:
         exact_topk: bool = True,
         engine: str = "exact",
         candidates: int = 2048,
+        presorted: bool = False,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Batch search -> (scores [B, k], doc row indices [B, k], -1 pad).
 
@@ -284,36 +316,52 @@ class SparseIndex:
         exactly rescored against its full doc-major term vector
         (recall@10 0.99 at candidates=2048 vs full-depth exact,
         docs/quality_rescore.json). q8/q8r need doc ids < 2^23 - 1.
+
+        presorted=True (q8/q8r only) scores over the DUAL doc-ordered
+        posting layout (pack_postings_presorted, built lazily at this
+        p_cap): identical candidates/scores, and on TPU the Pallas
+        bitonic sort skips its first log2(p_cap) rounds.
         """
         q_terms, q_weights = self.encode_queries(queries)
         if p_cap is None:
             p_cap = int(self.params.get("p_cap", 0)) or min(self.max_df, 4096)
         p_cap = max(min(p_cap, self.max_df), 1)
+        if presorted and engine not in ("q8", "q8r"):
+            raise ValueError("presorted layout needs engine 'q8' or 'q8r'")
         if engine == "q8r":
             from qpp_fusion_rag_tpu.ops.sparse import (
                 sparse_score_topk_q8_rescored,
             )
 
-            packed, pscales = self._device_packed()
-            dp, ds, bits = self._device_doc_vectors()
             import jax.numpy as jnp
 
+            if presorted:
+                packed, offs, pscales = self._device_presorted(p_cap)
+            else:
+                packed, pscales = self._device_packed()
+                offs = jnp.asarray(self._offsets_i32())
+            dp, ds, bits = self._device_doc_vectors()
             scores, ids = sparse_score_topk_q8_rescored(
-                packed, jnp.asarray(self._offsets_i32()), pscales, dp, ds,
+                packed, offs, pscales, dp, ds,
                 q_terms, q_weights, k=k, p_cap=p_cap,
                 candidates=min(candidates, max(k, self.num_docs)),
-                imp_bits=bits,
+                imp_bits=bits, presorted=presorted,
             )
             return np.asarray(scores), np.asarray(ids)
         if engine == "q8":
             from qpp_fusion_rag_tpu.ops.sparse import sparse_score_topk_q8
 
-            packed, pscales = self._device_packed()
             import jax.numpy as jnp
 
+            if presorted:
+                packed, offs, pscales = self._device_presorted(p_cap)
+            else:
+                packed, pscales = self._device_packed()
+                offs = jnp.asarray(self._offsets_i32())
             scores, ids = sparse_score_topk_q8(
-                packed, jnp.asarray(self._offsets_i32()), pscales,
+                packed, offs, pscales,
                 q_terms, q_weights, k=k, p_cap=p_cap, exact_topk=exact_topk,
+                presorted=presorted,
             )
             return np.asarray(scores), np.asarray(ids)
         if engine != "exact":

@@ -243,17 +243,26 @@ def shard_ensemble_indexes(
     n_shards: int,
     doc_imp_bits: int = 8,
     rows_dtype: str = "int8",   # "bf16" stores rerank/rescore rows at bf16
+    presorted_cap: int = 0,     # >0: dual doc-ordered postings at this cap
 ) -> ShardedEnsembleIndexes:
     """Partition both CSR indexes by doc range (shard_sparse_csr), pack
     each shard's postings and doc-major vectors with the SAME host
     packers as the single-chip index (ops.sparse.pack_postings /
     pack_doc_vectors), and quantize the dense corpus per doc — per-doc
     quantization scales are shard-invariant, so per-shard kernels score
-    identically to the single-chip kernels on their doc range."""
+    identically to the single-chip kernels on their doc range.
+
+    presorted_cap > 0 packs each shard's postings with
+    ops.sparse.pack_postings_presorted at that cap instead — pair with
+    sharded_ensemble_step(sparse_presorted=True, p_cap=presorted_cap)."""
     import numpy as np
 
     from qpp_fusion_rag_tpu.ops.pallas.dense_topk import quantize_rows
-    from qpp_fusion_rag_tpu.ops.sparse import pack_doc_vectors, pack_postings
+    from qpp_fusion_rag_tpu.ops.sparse import (
+        pack_doc_vectors,
+        pack_postings,
+        pack_postings_presorted,
+    )
 
     n_local = -(-n_docs // n_shards)
 
@@ -272,12 +281,21 @@ def shard_ensemble_indexes(
         offsets_s, docs_s, weights_s, doc_base = shard_sparse_csr(
             *csr, n_docs=n_docs, n_shards=n_shards)
         packed_l, scales_l, dp_l, ds_l = [], [], [], []
+        offsets_out = offsets_s
+        if presorted_cap > 0:
+            offsets_out = np.zeros_like(offsets_s, dtype=np.int64)
         td_max = 1
         for s in range(n_shards):
             n_post = int(offsets_s[s, -1])
-            p, sc = pack_postings(
-                docs_s[s, :n_post], weights_s[s, :n_post], offsets_s[s],
-                scales=g_scales)
+            if presorted_cap > 0:
+                p, off2, sc = pack_postings_presorted(
+                    docs_s[s, :n_post], weights_s[s, :n_post], offsets_s[s],
+                    cap=presorted_cap, scales=g_scales)
+                offsets_out[s] = off2
+            else:
+                p, sc = pack_postings(
+                    docs_s[s, :n_post], weights_s[s, :n_post], offsets_s[s],
+                    scales=g_scales)
             packed_l.append(p)
             scales_l.append(sc)
             dp, ds, td = pack_doc_vectors(
@@ -294,7 +312,7 @@ def shard_ensemble_indexes(
         for s in range(n_shards):
             packed[s, : len(packed_l[s])] = packed_l[s]
             doc_packed[s, :, : dp_l[s].shape[1]] = dp_l[s]
-        return (packed, np.stack(scales_l), offsets_s.astype(np.int32),
+        return (packed, np.stack(scales_l), offsets_out.astype(np.int32),
                 doc_packed, np.stack(ds_l), doc_base)
 
     b_p, b_s, b_o, b_dp, b_ds, doc_base = _shard_sparse(bm25_csr)
@@ -347,6 +365,7 @@ def sharded_ensemble_step(
     qpp_norm_stats=None,
     doc_imp_bits: int = 8,
     dense_rescore_pool: int = 0,
+    sparse_presorted: bool = False,
 ):
     """The FULL heterogeneous 5-view ensemble over a (data, corpus) mesh —
     the SAME per-view production kernels as the single-chip
@@ -380,7 +399,8 @@ def sharded_ensemble_step(
     )
 
     scorer = make_sparse_scorer(sparse_mode, sparse_candidates, k, p_cap,
-                                imp_bits=doc_imp_bits)
+                                imp_bits=doc_imp_bits,
+                                presorted=sparse_presorted)
     n_shards = mesh.shape[CORPUS_AXIS]
     n_local = idx.corpus_rows.shape[0] // n_shards
 

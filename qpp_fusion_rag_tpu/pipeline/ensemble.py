@@ -78,7 +78,8 @@ class EnsembleIndexes(NamedTuple):
 # =============================================================================
 
 def make_sparse_scorer(sparse_mode: str, sparse_candidates: int,
-                       k: int, p_cap: int, imp_bits: int = 8):
+                       k: int, p_cap: int, imp_bits: int = 8,
+                       presorted: bool = False):
     """-> scorer(packed, offsets, scales, terms, qw, doc_packed, doc_scale)
     -> (scores [B, k] desc, doc ids [B, k], -1 pad; LOCAL ids on a shard).
 
@@ -95,7 +96,13 @@ def make_sparse_scorer(sparse_mode: str, sparse_candidates: int,
                docs/quality_rescore.json).
     sparse_candidates > 0 with mode "sort"/"q8" selects the sort-free
     window-rescore kernel instead (pool = candidates·k) — the winner at
-    small window counts, slower at bench shapes."""
+    small window counts, slower at bench shapes.
+
+    presorted=True (q8/q8r only) reads the DUAL doc-ordered posting
+    layout (ops.sparse.pack_postings_presorted, built at cap == p_cap):
+    gathered windows arrive pre-sorted so the Pallas bitonic network
+    skips its first log2(p_cap) rounds — identical candidates/scores,
+    fewer sort stages."""
     if sparse_mode == "q8r":
         cand = sparse_candidates if sparse_candidates > 0 else 512
 
@@ -108,8 +115,11 @@ def make_sparse_scorer(sparse_mode: str, sparse_candidates: int,
             return sparse_score_topk_q8_rescored(
                 packed, offsets, scales, doc_packed, doc_scale,
                 terms, qw, k=k, p_cap=p_cap, candidates=cand,
-                imp_bits=imp_bits)
+                imp_bits=imp_bits, presorted=presorted)
     elif sparse_candidates > 0:
+        if presorted:
+            raise ValueError(
+                "presorted layout needs sparse_mode 'q8' or 'q8r'")
         def scorer(packed, offsets, scales, terms, qw,
                    doc_packed=None, doc_scale=None):
             return sparse_rescore_topk_packed(
@@ -120,8 +130,11 @@ def make_sparse_scorer(sparse_mode: str, sparse_candidates: int,
                    doc_packed=None, doc_scale=None):
             return sparse_score_topk_q8(
                 packed, offsets, scales, terms, qw,
-                k=k, p_cap=p_cap, exact_topk=False)
+                k=k, p_cap=p_cap, exact_topk=False, presorted=presorted)
     elif sparse_mode == "sort":
+        if presorted:
+            raise ValueError(
+                "presorted layout needs sparse_mode 'q8' or 'q8r'")
         def scorer(packed, offsets, scales, terms, qw,
                    doc_packed=None, doc_scale=None):
             return sparse_score_topk_packed(
@@ -238,7 +251,8 @@ def fuse_tail(
 
 @partial(jax.jit, static_argnames=(
     "k", "k_out", "p_cap", "method", "qpp_index", "sparse_candidates",
-    "sparse_mode", "doc_imp_bits", "dense_rescore_pool"))
+    "sparse_mode", "doc_imp_bits", "dense_rescore_pool",
+    "sparse_presorted"))
 def ensemble_retrieval_step(
     idx: EnsembleIndexes,
     bm25_terms: jnp.ndarray,    # [B, T_bm] int32 (-1 pad)
@@ -259,16 +273,20 @@ def ensemble_retrieval_step(
     qpp_norm_stats: jnp.ndarray = None,   # [5, 2, 13] calibration min/max
     doc_imp_bits: int = 8,                # pack_doc_vectors precision
     dense_rescore_pool: int = 0,          # >0: rank-safe dense view
+    sparse_presorted: bool = False,       # dual doc-ordered posting layout
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """5-view heterogeneous retrieve → QPP → weighted fuse.
     -> (fused_ids [B, k_out], fused_scores [B, k_out], qpp [5, B, 13]).
 
     See make_sparse_scorer for sparse_mode semantics ("q8r" is the
-    rank-safe production mode). qpp_norm_stats switches QPP weight
-    normalization from in-batch min-max to frozen calibration statistics
-    (batch-size-invariant; qpp_calibration_stats)."""
+    rank-safe production mode; sparse_presorted reads the dual
+    doc-ordered layout built by pack_postings_presorted at cap == p_cap).
+    qpp_norm_stats switches QPP weight normalization from in-batch
+    min-max to frozen calibration statistics (batch-size-invariant;
+    qpp_calibration_stats)."""
     sparse = make_sparse_scorer(sparse_mode, sparse_candidates, k, p_cap,
-                                imp_bits=doc_imp_bits)
+                                imp_bits=doc_imp_bits,
+                                presorted=sparse_presorted)
     bm25_s, bm25_i = sparse(
         idx.bm25_packed, idx.bm25_offsets, idx.bm25_scales,
         bm25_terms, bm25_qw, idx.bm25_doc_packed, idx.bm25_doc_scale,

@@ -256,3 +256,65 @@ def test_dense_rescore_reaches_row_precision():
         # N=512 only 4 groups exist, so compare the top-4
         assert np.asarray(i)[b][0] == want[0] or \
             abs(exact[b][got[0]] - exact[b][want[0]]) < 0.05
+
+
+def test_sharded_ensemble_presorted_equals_single_chip():
+    """The DUAL doc-ordered presorted layout composes through the sharded
+    ensemble: shard_ensemble_indexes(presorted_cap=P) +
+    sharded_ensemble_step(sparse_presorted=True, p_cap=P) == the
+    single-chip presorted step == the single-chip PLAIN q8 step at
+    p_cap == P (the layout is score-identical by construction)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from qpp_fusion_rag_tpu.ops.sparse import pack_postings_presorted
+    from qpp_fusion_rag_tpu.parallel.mesh import build_mesh
+    from qpp_fusion_rag_tpu.parallel.sharded import (
+        shard_ensemble_indexes,
+        sharded_ensemble_step,
+    )
+    from qpp_fusion_rag_tpu.pipeline.ensemble import ensemble_retrieval_step
+
+    bm25, splade, corpus, qs = _ensemble_fixture(seed=5)
+    N = corpus.shape[0]
+    K = 12
+    # non-truncating build cap (== p_cap): a cap < df would keep each
+    # SHARD's local top-cap, a different posting set than the single
+    # chip's global top-cap — same caveat as plain sharded q8
+    max_df = int(max(np.diff(bm25[0]).max(), np.diff(splade[0]).max()))
+    P = 1
+    while P < max_df:
+        P *= 2
+
+    idx_plain = _single_chip_indexes(bm25, splade, corpus)
+    bpre, bo2, bs2 = pack_postings_presorted(bm25[1], bm25[2], bm25[0], cap=P)
+    spre, so2, ss2 = pack_postings_presorted(splade[1], splade[2], splade[0],
+                                             cap=P)
+    idx_pre = idx_plain._replace(
+        bm25_packed=jnp.asarray(bpre), bm25_scales=jnp.asarray(bs2),
+        bm25_offsets=jnp.asarray(bo2.astype(np.int32)),
+        splade_packed=jnp.asarray(spre), splade_scales=jnp.asarray(ss2),
+        splade_offsets=jnp.asarray(so2.astype(np.int32)),
+    )
+    common = dict(k=K, k_out=K, p_cap=P, sparse_mode="q8")
+    fid_0, fsc_0, qpp_0 = ensemble_retrieval_step(
+        idx_plain, qs["bt"], qs["bqw"], qs["st"], qs["sqw"], qs["q"],
+        qs["proj"], qs["tf"], **common)
+    fid_1, fsc_1, qpp_1 = ensemble_retrieval_step(
+        idx_pre, qs["bt"], qs["bqw"], qs["st"], qs["sqw"], qs["q"],
+        qs["proj"], qs["tf"], sparse_presorted=True, **common)
+    np.testing.assert_array_equal(np.asarray(fid_1), np.asarray(fid_0))
+    np.testing.assert_allclose(np.asarray(fsc_1), np.asarray(fsc_0),
+                               rtol=5e-5, atol=1e-5)
+
+    mesh = build_mesh(2, 4)
+    sidx = shard_ensemble_indexes(bm25, splade, corpus, n_docs=N, n_shards=4,
+                                  presorted_cap=P)
+    fid_s, fsc_s, qpp_s = sharded_ensemble_step(
+        sidx, qs["bt"], qs["bqw"], qs["st"], qs["sqw"], qs["q"], qs["proj"],
+        qs["tf"], mesh, n_docs=N, sparse_presorted=True, **common)
+    np.testing.assert_allclose(np.asarray(qpp_s), np.asarray(qpp_1),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fsc_s), np.asarray(fsc_1),
+                               rtol=5e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(fid_s), np.asarray(fid_1))

@@ -648,3 +648,26 @@ def test_q8r_presorted_matches_plain_layout():
         assert set(a) == set(c)
         for d in a:
             assert abs(a[d] - c[d]) <= 1e-4 * max(1.0, abs(a[d]))
+
+
+def test_sparse_index_presorted_engine_matches_plain():
+    """SparseIndex.search(engine='q8'/'q8r', presorted=True) builds the
+    dual layout lazily and returns the plain engines' results."""
+    from qpp_fusion_rag_tpu.index.sparse import SparseIndex
+
+    rng = np.random.default_rng(11)
+    docs = [(f"d{i}", " ".join(rng.choice([f"w{j}" for j in range(60)], 12)))
+            for i in range(400)]
+    idx = SparseIndex.build_bm25(docs)
+    idx.quantize()
+    queries = [" ".join(rng.choice([f"w{j}" for j in range(60)], 3))
+               for _ in range(8)]
+    for engine in ("q8", "q8r"):
+        s0, i0 = idx.search(queries, k=10, p_cap=64, engine=engine)
+        s1, i1 = idx.search(queries, k=10, p_cap=64, engine=engine,
+                            presorted=True)
+        for a, b, sa, sb in zip(i0, i1, s0, s1):
+            assert set(a[a >= 0]) == set(b[b >= 0])
+            np.testing.assert_allclose(sa[a >= 0], sb[b >= 0], rtol=1e-5)
+    with pytest.raises(ValueError):
+        idx.search(queries, k=10, engine="exact", presorted=True)
