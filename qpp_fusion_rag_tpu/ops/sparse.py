@@ -520,7 +520,7 @@ def pack_doc_vectors(
     return doc_packed.astype(np.int32), doc_scale, td
 
 
-@partial(jax.jit, static_argnames=("k", "imp_bits"))
+@partial(jax.jit, static_argnames=("k", "imp_bits", "sort_ids"))
 def sparse_exact_rescore(
     cand_scores: jnp.ndarray,  # [B, C] f32 candidate-gen scores (unused order)
     cand_ids: jnp.ndarray,     # [B, C] int32 candidate doc ids (-1 pad)
@@ -531,6 +531,7 @@ def sparse_exact_rescore(
     term_scales: jnp.ndarray = None,  # [T] f32 (query-side dequant fold-in)
     k: int = 100,
     imp_bits: int = 8,         # must match pack_doc_vectors
+    sort_ids: bool = False,    # ascending-address gather (HBM locality)
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact-rescore candidates against their FULL term contributions.
     -> (scores [B, k] desc, ids [B, k], -1 pad).
@@ -539,8 +540,14 @@ def sparse_exact_rescore(
     of the doc participates, so window/p_cap truncation error vanishes for
     any doc that reaches the candidate pool. The [B, C, Td] gather is the
     HBM cost; the Tq-way term match is an unrolled VPU compare-accumulate
-    (Tq ≤ 16 after encode_queries' power-of-two trim)."""
+    (Tq ≤ 16 after encode_queries' power-of-two trim).
+
+    sort_ids=True pre-sorts candidates by doc id so the row gather walks
+    HBM in ascending address order (candidate order is irrelevant — the
+    final top_k re-ranks; -1 pads sort first and stay masked)."""
     B, C = cand_ids.shape
+    if sort_ids:
+        cand_ids = jax.lax.sort(cand_ids, dimension=-1)
     qw = jnp.where(q_terms >= 0, q_weights, 0.0)
     if term_scales is not None:
         qw = qw * term_scales[jnp.maximum(q_terms, 0)]
@@ -699,7 +706,7 @@ def _bitonic_pool(sums, sids, pool, wmax_col):
 
 @partial(jax.jit, static_argnames=("k", "p_cap", "candidates", "dma_gather",
                                    "bitonic", "imp_bits", "pool_recall",
-                                   "presorted"))
+                                   "presorted", "sort_ids"))
 def sparse_score_topk_q8_rescored(
     packed: jnp.ndarray,        # [P] int32 (doc << 8 | uint8 impact)
     offsets: jnp.ndarray,       # [T+1] int32
@@ -716,6 +723,7 @@ def sparse_score_topk_q8_rescored(
     imp_bits: int = 8,          # must match pack_doc_vectors
     pool_recall: float = 0.999,
     presorted: bool = False,    # dual doc-ordered layout (pack_postings_presorted)
+    sort_ids: bool = False,     # ascending-address rescore gather
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """RANK-SAFE production sparse scoring: q8 window kernel generates a
     top-`candidates` pool (approx_max_k at `pool_recall` — 0.95 loses
@@ -759,7 +767,7 @@ def sparse_score_topk_q8_rescored(
                        jnp.take_along_axis(sids, cidx, axis=-1), -1)
     return sparse_exact_rescore(
         cs, ci, doc_packed, doc_scale, q_terms, q_weights, k=k,
-        imp_bits=imp_bits)
+        imp_bits=imp_bits, sort_ids=sort_ids)
 
 
 @partial(jax.jit, static_argnames=("k", "p_cap", "candidates", "dma_gather",

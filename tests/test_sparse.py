@@ -671,3 +671,31 @@ def test_sparse_index_presorted_engine_matches_plain():
             np.testing.assert_allclose(sa[a >= 0], sb[b >= 0], rtol=1e-5)
     with pytest.raises(ValueError):
         idx.search(queries, k=10, engine="exact", presorted=True)
+
+
+def test_q8r_sorted_gather_matches_unsorted():
+    """sort_ids=True (ascending-address rescore gather) is a pure
+    perf layout choice — identical results."""
+    import jax.numpy as jnp
+
+    from qpp_fusion_rag_tpu.data.synthetic import zipf_bm25_csr
+    from qpp_fusion_rag_tpu.ops.sparse import (
+        pack_doc_vectors,
+        sparse_score_topk_q8_rescored,
+    )
+
+    plain, _ = _presorted_fixture(cap=256)
+    bo, bd, bw, _ = zipf_bm25_csr(4096, vocab_size=2000, avg_doc_len=20.0,
+                                  seed=9, max_postings=120_000)
+    dp, ds, _ = pack_doc_vectors(bo, bd, bw, n_docs=4096, imp_bits=12)
+    dp, ds = jnp.asarray(dp), jnp.asarray(ds)
+    s1, i1 = sparse_score_topk_q8_rescored(
+        plain[0], plain[1], plain[2], dp, ds, plain[3], plain[4],
+        k=20, p_cap=256, candidates=128, imp_bits=12)
+    s2, i2 = sparse_score_topk_q8_rescored(
+        plain[0], plain[1], plain[2], dp, ds, plain[3], plain[4],
+        k=20, p_cap=256, candidates=128, imp_bits=12, sort_ids=True)
+    for a, c in zip(_score_maps(s1, i1), _score_maps(s2, i2)):
+        assert set(a) == set(c)
+        for d in a:
+            assert abs(a[d] - c[d]) <= 1e-5 * max(1.0, abs(a[d]))
