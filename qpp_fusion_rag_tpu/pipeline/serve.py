@@ -36,6 +36,9 @@ def main(argv=None) -> int:
                     help="BM25/SPLADE scoring engine: exact pair-sort, q8 "
                          "throughput kernel, or q8r rank-safe rescore "
                          "(docs/quality_rescore.json)")
+    ap.add_argument("--sparse-presorted", action="store_true",
+                    help="dual doc-ordered posting layout (q8/q8r only): "
+                         "skips the early bitonic sort rounds on TPU")
     args = ap.parse_args(argv)
     if args.method.lower() == "learned" and not args.model_path:
         ap.error("--method learned requires --model-path")
@@ -70,6 +73,8 @@ def main(argv=None) -> int:
             kw = {}
             if name == "bm25" and args.sparse_engine != "exact":
                 kw["engine"] = args.sparse_engine
+                if args.sparse_presorted:
+                    kw["presorted"] = True
             retrievers[name] = get_retriever(
                 name, index_dir=Path(args.index_dir) / name, **kw)
 

@@ -19,12 +19,14 @@ class BM25Retriever(BaseRetriever):
     name = "bm25"
 
     def __init__(self, index: SparseIndex, p_cap: Optional[int] = None,
-                 engine: str = "exact"):
+                 engine: str = "exact", presorted: bool = False):
         # engine: "exact" | "q8" (throughput) | "q8r" (rank-safe rescore)
-        # — SparseIndex.search semantics
+        # — SparseIndex.search semantics; presorted reads the dual
+        # doc-ordered layout (q8/q8r only, fewer bitonic sort stages)
         self.index = index
         self.p_cap = p_cap
         self.engine = engine
+        self.presorted = presorted
 
     @classmethod
     def from_corpus(cls, corpus: Iterable[Tuple[str, str]], **kw) -> "BM25Retriever":
@@ -36,7 +38,8 @@ class BM25Retriever(BaseRetriever):
 
     def retrieve(self, query: str, qid: str, top_k: int = 100) -> RetrieverResult:
         out, ms = self._timed(lambda: self.index.search(
-            [query], k=top_k, p_cap=self.p_cap, engine=self.engine))
+            [query], k=top_k, p_cap=self.p_cap, engine=self.engine,
+            presorted=self.presorted))
         scores, rows = out
         results = rows_to_results(scores[0], rows[0], self.index.docno)
         return RetrieverResult(qid, results, latency_ms=ms)
@@ -49,6 +52,7 @@ class BM25Retriever(BaseRetriever):
             queries, batch_size,
             lambda texts: self.index.search(texts, k=top_k,
                                             p_cap=self.p_cap,
-                                            engine=self.engine),
+                                            engine=self.engine,
+                                            presorted=self.presorted),
             self.index.docno,
         )
