@@ -182,7 +182,32 @@ def bench_dense(on_tpu):
     return batch / dt
 
 
+def _tpu_reachable(probe_timeout=240, tries=2) -> bool:
+    """Probe the remote-TPU tunnel in a SUBPROCESS with a hard timeout:
+    when the tunnel is down, backend init hangs indefinitely (observed
+    >300 s), which would wedge the whole benchmark. A bounded probe lets
+    the main process fall back to the (clearly labeled) CPU path."""
+    import subprocess
+
+    for _ in range(tries):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.devices()[0].platform)"],
+                timeout=probe_timeout, capture_output=True, text=True)
+            if "tpu" in r.stdout:
+                return True
+            if r.returncode == 0:
+                return False      # responsive, but not a TPU
+        except subprocess.TimeoutExpired:
+            log("TPU probe timed out; retrying")
+    return False
+
+
 def main() -> None:
+    if not _tpu_reachable():
+        log("TPU unreachable — falling back to the small CPU workload")
+        jax.config.update("jax_platforms", "cpu")
     dev = jax.devices()[0]
     on_tpu = dev.platform == "tpu"
     ens = bench_ensemble(on_tpu)

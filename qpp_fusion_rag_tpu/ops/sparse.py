@@ -569,8 +569,15 @@ def sparse_exact_rescore(
     top_vals, top_idx = jax.lax.top_k(scores, kk)
     top_ids = jnp.take_along_axis(cand_ids, top_idx, axis=-1)
     ok = jnp.isfinite(top_vals)
-    return (jnp.where(ok, top_vals, -jnp.inf),
-            jnp.where(ok, top_ids, -1))
+    top_vals = jnp.where(ok, top_vals, -jnp.inf)
+    top_ids = jnp.where(ok, top_ids, -1)
+    if kk < k:
+        # honor the [B, k] contract when the pool is smaller than k
+        top_vals = jnp.pad(top_vals, ((0, 0), (0, k - kk)),
+                           constant_values=-jnp.inf)
+        top_ids = jnp.pad(top_ids, ((0, 0), (0, k - kk)),
+                          constant_values=-1)
+    return top_vals, top_ids
 
 
 def _presorted_geometry(offsets, terms, tq_valid, q_terms):
