@@ -138,3 +138,48 @@ def test_ensemble_learned_fusion(rng):
     assert np.isfinite(np.asarray(fsc)[:, 0]).all()
     # learned weights differ from the RSD column -> fused scores differ
     assert not np.allclose(np.asarray(fsc), np.asarray(fsc2))
+
+
+def test_ensemble_q8r_pool_smaller_than_k(rng):
+    """A q8r candidate pool smaller than k must pad its views to [B, k]
+    (regression: bench.py's small CPU workload stacked ragged views)."""
+    import jax.numpy as jnp
+
+    from qpp_fusion_rag_tpu.ops.pallas.dense_topk import quantize_rows
+    from qpp_fusion_rag_tpu.ops.sparse import pack_doc_vectors, pack_postings
+    from qpp_fusion_rag_tpu.pipeline.ensemble import (
+        EnsembleIndexes,
+        ensemble_retrieval_step,
+    )
+
+    N, D, B, K = 1024, 32, 4, 16
+    bo, bd, bw = _csr(rng, N, n_terms=40, df=24)
+    so, sd, sw = _csr(rng, N, n_terms=50, df=16)
+    bp, bs = pack_postings(bd, bw, bo)
+    sp, ss = pack_postings(sd, sw, so)
+    bdp, bds, _ = pack_doc_vectors(bo, bd, bw, N)
+    sdp, sds, _ = pack_doc_vectors(so, sd, sw, N)
+    corpus = rng.standard_normal((N, D)).astype(np.float32)
+    c_int, d_scale = quantize_rows(jnp.asarray(corpus.T), axis=0)
+    idx = EnsembleIndexes(
+        bm25_packed=jnp.asarray(bp), bm25_scales=jnp.asarray(bs),
+        bm25_offsets=jnp.asarray(bo),
+        splade_packed=jnp.asarray(sp), splade_scales=jnp.asarray(ss),
+        splade_offsets=jnp.asarray(so),
+        corpus_int=c_int, corpus_rows=jnp.asarray(np.asarray(c_int).T),
+        d_scale=d_scale.reshape(1, -1),
+        bm25_doc_packed=jnp.asarray(bdp), bm25_doc_scale=jnp.asarray(bds),
+        splade_doc_packed=jnp.asarray(sdp), splade_doc_scale=jnp.asarray(sds),
+    )
+    fid, fsc, qpp = ensemble_retrieval_step(
+        idx, rng.integers(0, 40, (B, 4)).astype(np.int32),
+        np.ones((B, 4), np.float32),
+        rng.integers(0, 50, (B, 8)).astype(np.int32),
+        np.ones((B, 8), np.float32),
+        rng.standard_normal((B, D)).astype(np.float32),
+        (rng.standard_normal((2, D, D)) * 0.2).astype(np.float32),
+        np.tile(np.array([4.0, 4.0, 8.0, 5.0], np.float32), (B, 1)),
+        k=K, k_out=K, p_cap=24, sparse_mode="q8r", sparse_candidates=8,
+    )
+    assert np.asarray(fid).shape == (B, K)
+    assert np.isfinite(np.asarray(fsc)[:, 0]).all()
