@@ -212,7 +212,7 @@ def main() -> None:
     on_tpu = dev.platform == "tpu"
     ens = bench_ensemble(on_tpu)
     dense_qps = bench_dense(on_tpu)
-    print(json.dumps({
+    out = {
         "metric": "heterogeneous_ensemble_qps_per_chip",
         "value": round(ens["qps"], 1),
         "unit": (f"queries/sec (BM25+SPLADE+int8-dense+2 reranked views, "
@@ -228,7 +228,17 @@ def main() -> None:
                              "(docs/quality_rescore.json, quality_e2e.json)"),
         "dense_flagship_qps": round(dense_qps, 1),
         "device": dev.device_kind,
-    }))
+    }
+    if not on_tpu:
+        out["unit"] = ("queries/sec — CPU FALLBACK on a 65k-doc workload: "
+                       "the TPU tunnel was unreachable at bench time; NOT "
+                       "comparable to the 10k/chip TPU target")
+        out["tpu_unreachable"] = True
+        out["last_tpu_measured"] = ("BENCH_r02.json (11,120 q/s dense "
+                                    "flagship) + docs/bench_ensemble.json "
+                                    "(15,023 q/s heterogeneous ensemble) + "
+                                    "docs/bench_scaling.json")
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
