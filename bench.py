@@ -182,31 +182,31 @@ def bench_dense(on_tpu):
     return batch / dt
 
 
-def _tpu_reachable(probe_timeout=240, tries=2) -> bool:
-    """Probe the remote-TPU tunnel in a SUBPROCESS with a hard timeout:
-    when the tunnel is down, backend init hangs indefinitely (observed
-    >300 s), which would wedge the whole benchmark. A bounded probe lets
-    the main process fall back to the (clearly labeled) CPU path."""
+def _tpu_probe(probe_timeout=240) -> str:
+    """-> "tpu" | "no-tpu" | "unreachable". Probes backend init in a
+    SUBPROCESS with a hard timeout: when the remote-TPU tunnel is down,
+    init hangs indefinitely (observed >300 s), which would wedge the
+    whole benchmark. A bounded probe lets the main process fall back to
+    the (clearly labeled) CPU path. One try: a healthy tunnel answers in
+    well under the timeout, and a dead one rarely revives within it."""
     import subprocess
 
-    for _ in range(tries):
-        try:
-            r = subprocess.run(
-                [sys.executable, "-c",
-                 "import jax; print(jax.devices()[0].platform)"],
-                timeout=probe_timeout, capture_output=True, text=True)
-            if "tpu" in r.stdout:
-                return True
-            if r.returncode == 0:
-                return False      # responsive, but not a TPU
-        except subprocess.TimeoutExpired:
-            log("TPU probe timed out; retrying")
-    return False
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            timeout=probe_timeout, capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
+        return "unreachable"
+    if "tpu" in r.stdout:
+        return "tpu"
+    return "no-tpu" if r.returncode == 0 else "unreachable"
 
 
 def main() -> None:
-    if not _tpu_reachable():
-        log("TPU unreachable — falling back to the small CPU workload")
+    probe = _tpu_probe()
+    if probe != "tpu":
+        log(f"TPU {probe} — falling back to the small CPU workload")
         jax.config.update("jax_platforms", "cpu")
     dev = jax.devices()[0]
     on_tpu = dev.platform == "tpu"
@@ -230,10 +230,11 @@ def main() -> None:
         "device": dev.device_kind,
     }
     if not on_tpu:
-        out["unit"] = ("queries/sec — CPU FALLBACK on a 65k-doc workload: "
-                       "the TPU tunnel was unreachable at bench time; NOT "
-                       "comparable to the 10k/chip TPU target")
-        out["tpu_unreachable"] = True
+        why = ("the TPU tunnel was unreachable at bench time"
+               if probe == "unreachable" else "no TPU on this host")
+        out["unit"] = (f"queries/sec — CPU FALLBACK on a 65k-doc workload "
+                       f"({why}); NOT comparable to the 10k/chip TPU target")
+        out["tpu_unreachable"] = probe == "unreachable"
         out["last_tpu_measured"] = ("BENCH_r02.json (11,120 q/s dense "
                                     "flagship) + docs/bench_ensemble.json "
                                     "(15,023 q/s heterogeneous ensemble) + "

@@ -328,11 +328,7 @@ class SparseIndex:
         p_cap = max(min(p_cap, self.max_df), 1)
         if presorted and engine not in ("q8", "q8r"):
             raise ValueError("presorted layout needs engine 'q8' or 'q8r'")
-        if engine == "q8r":
-            from qpp_fusion_rag_tpu.ops.sparse import (
-                sparse_score_topk_q8_rescored,
-            )
-
+        if engine in ("q8", "q8r"):
             import jax.numpy as jnp
 
             if presorted:
@@ -340,29 +336,28 @@ class SparseIndex:
             else:
                 packed, pscales = self._device_packed()
                 offs = jnp.asarray(self._offsets_i32())
-            dp, ds, bits = self._device_doc_vectors()
-            scores, ids = sparse_score_topk_q8_rescored(
-                packed, offs, pscales, dp, ds,
-                q_terms, q_weights, k=k, p_cap=p_cap,
-                candidates=min(candidates, max(k, self.num_docs)),
-                imp_bits=bits, presorted=presorted,
-            )
-            return np.asarray(scores), np.asarray(ids)
-        if engine == "q8":
-            from qpp_fusion_rag_tpu.ops.sparse import sparse_score_topk_q8
+            if engine == "q8r":
+                from qpp_fusion_rag_tpu.ops.sparse import (
+                    sparse_score_topk_q8_rescored,
+                )
 
-            import jax.numpy as jnp
-
-            if presorted:
-                packed, offs, pscales = self._device_presorted(p_cap)
+                dp, ds, bits = self._device_doc_vectors()
+                scores, ids = sparse_score_topk_q8_rescored(
+                    packed, offs, pscales, dp, ds,
+                    q_terms, q_weights, k=k, p_cap=p_cap,
+                    candidates=min(candidates, max(k, self.num_docs)),
+                    imp_bits=bits, presorted=presorted,
+                )
             else:
-                packed, pscales = self._device_packed()
-                offs = jnp.asarray(self._offsets_i32())
-            scores, ids = sparse_score_topk_q8(
-                packed, offs, pscales,
-                q_terms, q_weights, k=k, p_cap=p_cap, exact_topk=exact_topk,
-                presorted=presorted,
-            )
+                from qpp_fusion_rag_tpu.ops.sparse import (
+                    sparse_score_topk_q8,
+                )
+
+                scores, ids = sparse_score_topk_q8(
+                    packed, offs, pscales,
+                    q_terms, q_weights, k=k, p_cap=p_cap,
+                    exact_topk=exact_topk, presorted=presorted,
+                )
             return np.asarray(scores), np.asarray(ids)
         if engine != "exact":
             raise ValueError(f"unknown engine {engine!r}")

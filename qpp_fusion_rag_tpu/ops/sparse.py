@@ -125,25 +125,9 @@ def pack_postings(
     time) so the Pallas DMA gather's 1024-aligned fetches stay in
     bounds (ops.pallas.window_gather.pad_for_gather).
     """
-    flat_docs = np.asarray(flat_docs)
-    flat_weights = np.asarray(flat_weights, dtype=np.float32)
-    offsets = np.asarray(offsets, dtype=np.int64)
-    # strict bound 2^23 - 1: id 0x7FFFFF is the quantized-sort path's
-    # unpacked-sentinel value (sparse_score_topk_q8)
-    if len(flat_docs) and int(flat_docs.max()) >= (1 << 23) - 1:
-        raise ValueError("packed postings need doc ids < 2^23 - 1; shard the corpus")
-    T = len(offsets) - 1
+    flat_docs, flat_weights, offsets, scales = _pack_inputs(
+        flat_docs, flat_weights, offsets, scales)
     counts = np.diff(offsets)
-    if scales is None:
-        maxima = np.zeros(T, dtype=np.float32)
-        nonempty = counts > 0
-        maxima[nonempty] = flat_weights[offsets[:-1][nonempty]]
-        scales = np.where(maxima > 0, maxima / 255.0, 1.0).astype(np.float32)
-    else:
-        # externally supplied grid — the doc-range-sharded packer passes the
-        # GLOBAL per-term scales so every shard quantizes identically to the
-        # single-chip index (shard_ensemble_indexes equality contract)
-        scales = np.asarray(scales, dtype=np.float32)
     per_post = np.repeat(scales, counts)
     q = np.clip(np.round(flat_weights / np.maximum(per_post, 1e-12)), 0, 255)
     packed = (flat_docs.astype(np.int64) << 8) | q.astype(np.int64)
@@ -153,6 +137,59 @@ def pack_postings(
 
 
 _MAX_DMA_CAP = 4096  # largest p_cap the DMA gather pads for
+
+
+def _pack_inputs(flat_docs, flat_weights, offsets, scales):
+    """Shared packer front end: dtype coercion, the strict 2^23 - 1
+    doc-id bound (0x7FFFFF is the quantized-sort sentinel), and the
+    per-term 8-bit quantization grid — derived from each list's first
+    (max, impact-ordered) posting, or taken verbatim when supplied (the
+    doc-range-sharded packer passes the GLOBAL scales so every shard
+    quantizes identically to the single-chip index)."""
+    flat_docs = np.asarray(flat_docs)
+    flat_weights = np.asarray(flat_weights, dtype=np.float32)
+    offsets = np.asarray(offsets, dtype=np.int64)
+    if len(flat_docs) and int(flat_docs.max()) >= (1 << 23) - 1:
+        raise ValueError("packed postings need doc ids < 2^23 - 1; shard the corpus")
+    if scales is None:
+        T = len(offsets) - 1
+        counts = np.diff(offsets)
+        maxima = np.zeros(T, dtype=np.float32)
+        nonempty = counts > 0
+        maxima[nonempty] = flat_weights[offsets[:-1][nonempty]]
+        scales = np.where(maxima > 0, maxima / 255.0, 1.0).astype(np.float32)
+    else:
+        scales = np.asarray(scales, dtype=np.float32)
+    return flat_docs, flat_weights, offsets, scales
+
+
+def validate_presorted_cap(offsets, p_cap: int) -> None:
+    """Host-side guard for the dual doc-ordered layout: every dual window
+    is 2·min(df, build_cap) long, so a window longer than 2·p_cap proves
+    p_cap < build_cap — the case where even/odd slots would silently read
+    doc-id-prefix subsets instead of the impact top (p_cap > build_cap is
+    merely slower: the skip disables and masks stay correct). Cached per
+    (buffer id, p_cap) so repeated serving steps don't re-transfer."""
+    try:
+        ident = int(offsets.unsafe_buffer_pointer())
+    except Exception:
+        ident = id(offsets)
+    key = (ident, int(p_cap))
+    if key in _PRESORTED_OK:
+        return
+    off = np.asarray(offsets)
+    max_len = int(np.diff(off.reshape(-1, off.shape[-1])).max()) if off.size > 1 else 0
+    if max_len > 2 * p_cap:
+        raise ValueError(
+            f"presorted layout has a dual window of {max_len} entries, but "
+            f"p_cap={p_cap} only covers 2*{p_cap}: the layout was built at "
+            f"cap={max_len // 2} — search with p_cap == build cap")
+    _PRESORTED_OK.add(key)
+    if len(_PRESORTED_OK) > 256:
+        _PRESORTED_OK.clear()
+
+
+_PRESORTED_OK: set = set()
 
 
 def pack_postings_presorted(
@@ -185,22 +222,11 @@ def pack_postings_presorted(
 
     -> (packed int32 [2·Σ min(df, cap)] tail-padded, offsets2 [T+1]
         int64 dual-block starts, term_scales f32 [T])."""
-    flat_docs = np.asarray(flat_docs)
-    flat_weights = np.asarray(flat_weights, dtype=np.float32)
-    offsets = np.asarray(offsets, dtype=np.int64)
-    if len(flat_docs) and int(flat_docs.max()) >= (1 << 23) - 1:
-        raise ValueError("packed postings need doc ids < 2^23 - 1; shard the corpus")
+    flat_docs, flat_weights, offsets, scales = _pack_inputs(
+        flat_docs, flat_weights, offsets, scales)
     T = len(offsets) - 1
     counts = np.diff(offsets)
     eff = np.minimum(counts, cap)
-    if scales is None:
-        maxima = np.zeros(T, dtype=np.float32)
-        nonempty = counts > 0
-        maxima[nonempty] = flat_weights[offsets[:-1][nonempty]]
-        scales = np.where(maxima > 0, maxima / 255.0, 1.0).astype(np.float32)
-    else:
-        scales = np.asarray(scales, dtype=np.float32)
-
     total = int(eff.sum())
     cum = np.zeros(T + 1, dtype=np.int64)
     np.cumsum(eff, out=cum[1:])
@@ -224,7 +250,12 @@ def pack_postings_presorted(
     out[dst_desc] = vals_sorted
     from qpp_fusion_rag_tpu.ops.pallas.window_gather import pad_for_gather
 
-    return pad_for_gather(out.astype(np.int32), _MAX_DMA_CAP), offsets2, scales
+    # pad for the LAYOUT's cap, not just the DMA ceiling: if the tail
+    # slack were shorter than cap, window clamping near the array end
+    # would put pad keys BEFORE a sorted run, breaking the skip-rounds
+    # entry condition (aligned monotone blocks)
+    return (pad_for_gather(out.astype(np.int32), max(cap, _MAX_DMA_CAP)),
+            offsets2, scales)
 
 
 def _packed_windows(packed, s_clamped, cap, dma_gather):

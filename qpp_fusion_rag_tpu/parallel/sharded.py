@@ -312,6 +312,10 @@ def shard_ensemble_indexes(
         for s in range(n_shards):
             packed[s, : len(packed_l[s])] = packed_l[s]
             doc_packed[s, :, : dp_l[s].shape[1]] = dp_l[s]
+        if presorted_cap > 0 and int(offsets_out.max()) >= 2**31:
+            raise OverflowError(
+                "a shard's presorted dual layout exceeds the int32 device-"
+                "index range; use more shards")
         return (packed, np.stack(scales_l), offsets_out.astype(np.int32),
                 doc_packed, np.stack(ds_l), doc_base)
 
@@ -398,6 +402,11 @@ def sharded_ensemble_step(
         score_candidates,
     )
 
+    if sparse_presorted:
+        from qpp_fusion_rag_tpu.ops.sparse import validate_presorted_cap
+
+        validate_presorted_cap(idx.bm25_offsets, p_cap)
+        validate_presorted_cap(idx.splade_offsets, p_cap)
     scorer = make_sparse_scorer(sparse_mode, sparse_candidates, k, p_cap,
                                 imp_bits=doc_imp_bits,
                                 presorted=sparse_presorted)

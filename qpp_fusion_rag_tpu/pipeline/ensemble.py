@@ -119,7 +119,10 @@ def make_sparse_scorer(sparse_mode: str, sparse_candidates: int,
     elif sparse_candidates > 0:
         if presorted:
             raise ValueError(
-                "presorted layout needs sparse_mode 'q8' or 'q8r'")
+                "the sort-free window-rescore kernel (sparse_candidates > 0 "
+                "with mode 'sort'/'q8') does not support the presorted dual "
+                "layout (it would double-count the asc+desc copies); use "
+                "sparse_mode 'q8r' for a rescored presorted config")
         def scorer(packed, offsets, scales, terms, qw,
                    doc_packed=None, doc_scale=None):
             return sparse_rescore_topk_packed(

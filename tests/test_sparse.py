@@ -699,3 +699,66 @@ def test_q8r_sorted_gather_matches_unsorted():
         assert set(a) == set(c)
         for d in a:
             assert abs(a[d] - c[d]) <= 1e-5 * max(1.0, abs(a[d]))
+
+
+def test_presorted_large_cap_tail_term():
+    """Build cap > _MAX_DMA_CAP: the layout must pad enough tail slack
+    that windows near the array end never clamp (clamping would put pad
+    keys BEFORE a sorted run and break the skip-rounds entry state).
+    Queries hit the LAST term so its window ends at the array tail."""
+    import jax.numpy as jnp
+
+    from qpp_fusion_rag_tpu.ops.sparse import (
+        pack_postings,
+        pack_postings_presorted,
+        sparse_score_topk_q8,
+    )
+
+    rng = np.random.default_rng(3)
+    cap = 8192
+    # last term df << cap puts its window start near the data end — the
+    # exact geometry where insufficient tail slack forces a clamp
+    dfs = [6000, 6000, 64]
+    T = len(dfs)
+    docs = np.concatenate(
+        [rng.choice(50_000, df, replace=False) for df in dfs]
+    ).astype(np.int32)
+    w = rng.random(sum(dfs)).astype(np.float32) + 0.1
+    offsets = np.zeros(T + 1, dtype=np.int64)
+    np.cumsum(dfs, out=offsets[1:])
+    for t in range(T):                      # impact-ordered per term
+        sl = slice(offsets[t], offsets[t + 1])
+        order = np.argsort(-w[sl])
+        docs[sl], w[sl] = docs[sl][order], w[sl][order]
+    packed, scales = pack_postings(docs, w, offsets)
+    pre, off2, _ = pack_postings_presorted(docs, w, offsets, cap=cap,
+                                           scales=scales)
+    assert len(pre) >= int(off2[-1]) + cap  # tail slack covers the cap
+    qt = np.array([[T - 1, T - 2]], dtype=np.int32).repeat(8, axis=0)
+    qw = np.ones((8, 2), np.float32)
+    s1, i1 = sparse_score_topk_q8(
+        jnp.asarray(packed), jnp.asarray(offsets.astype(np.int32)),
+        jnp.asarray(scales), jnp.asarray(qt), jnp.asarray(qw),
+        k=20, p_cap=cap, exact_topk=True, bitonic=True)
+    s2, i2 = sparse_score_topk_q8(
+        jnp.asarray(pre), jnp.asarray(off2.astype(np.int32)),
+        jnp.asarray(scales), jnp.asarray(qt), jnp.asarray(qw),
+        k=20, p_cap=cap, exact_topk=True, bitonic=True, presorted=True)
+    for a, c in zip(_score_maps(s1, i1), _score_maps(s2, i2)):
+        assert set(a) == set(c)
+
+
+def test_validate_presorted_cap_mismatch_raises():
+    from qpp_fusion_rag_tpu.ops.sparse import (
+        pack_postings_presorted,
+        validate_presorted_cap,
+    )
+    from qpp_fusion_rag_tpu.data.synthetic import zipf_bm25_csr
+
+    bo, bd, bw, _ = zipf_bm25_csr(4096, vocab_size=500, avg_doc_len=20.0,
+                                  seed=1, max_postings=100_000)
+    _, off2, _ = pack_postings_presorted(bd, bw, bo, cap=256)
+    validate_presorted_cap(off2, 256)      # aligned: ok
+    validate_presorted_cap(off2, 512)      # larger p_cap: slower, but safe
+    with pytest.raises(ValueError):
+        validate_presorted_cap(off2, 128)  # smaller: silently-wrong case
