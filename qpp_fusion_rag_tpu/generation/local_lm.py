@@ -202,20 +202,17 @@ def greedy_generate(params, cfg: GPTConfig, prompt_ids: jnp.ndarray,
     dtype = jnp.bfloat16
     pos_mask = jnp.arange(T_p)[None, :] < prompt_len[:, None]
 
-    # prefill: full causal pass, build padded caches
+    # prefill: full causal pass; _block's full-sequence branch already
+    # returns this layer's (k, v), so the cache costs no extra qkv matmul
     x = (params["wte"][prompt_ids] + params["wpe"][jnp.arange(T_p)]).astype(dtype)
     caches = []
     for blk in params["blocks"]:
-        h = _ln(x, blk["ln_1"])
-        qkv = h @ blk["attn_qkv"]["w"].astype(dtype) + blk["attn_qkv"]["b"].astype(dtype)
-        k, v = jnp.split(qkv, 3, axis=-1)[1:]
-        # _ln promotes through its f32 scale params; cast back for the cache
+        x, (k, v) = _block(x, blk, cfg.heads, mask=pos_mask)
         ck = jnp.zeros((B, T_max, cfg.hidden), dtype).at[:, :T_p].set(
             k.astype(dtype))
         cv = jnp.zeros((B, T_max, cfg.hidden), dtype).at[:, :T_p].set(
             v.astype(dtype))
         caches.append((ck, cv))
-        x, _ = _block(x, blk, cfg.heads, mask=pos_mask)
     x = _ln(x, params["ln_f"])
     logits_last = jnp.take_along_axis(
         (x @ params["wte"].T.astype(dtype)).astype(jnp.float32),
@@ -227,7 +224,11 @@ def greedy_generate(params, cfg: GPTConfig, prompt_ids: jnp.ndarray,
     def step(i, state):
         tok_buf, cur_tok, caches, mask_full, done = state
         tok = jnp.where(done, cfg.eos_token_id, cur_tok)
-        tok_buf = tok_buf.at[:, i].set(jnp.where(done, -1, cur_tok))
+        # EOS itself must not land in the buffer (decode would emit a
+        # literal '<|endoftext|>'): treat it as done for the write too
+        emitted_eos = cur_tok == cfg.eos_token_id
+        tok_buf = tok_buf.at[:, i].set(
+            jnp.where(done | emitted_eos, -1, cur_tok))
         pos = prompt_len + i                                     # [B]
         # single-token embed at per-row position; caches are updated at a
         # SHARED write index (T_p + i) while attention masks by validity
@@ -244,7 +245,7 @@ def greedy_generate(params, cfg: GPTConfig, prompt_ids: jnp.ndarray,
         x = _ln(x, params["ln_f"])
         logits = (x[:, 0] @ params["wte"].T.astype(dtype)).astype(jnp.float32)
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        done = done | (cur_tok == cfg.eos_token_id)
+        done = done | emitted_eos
         return tok_buf, nxt, new_caches, mask_full, done
 
     tok0 = jnp.argmax(logits_last, axis=-1).astype(jnp.int32)
@@ -306,8 +307,13 @@ class BPETokenizer:
         import re
 
         if BPETokenizer._PAT is None:
+            # stdlib-re transcription of GPT-2's pattern: \p{L} is
+            # [^\W\d_], and the punctuation class [^\s\p{L}\p{N}] must
+            # therefore re-admit '_' explicitly (it is \w but not \p{L};
+            # a plain [^\s\w] would silently DELETE underscores)
             BPETokenizer._PAT = re.compile(
-                r"'s|'t|'re|'ve|'m|'ll|'d| ?[^\W\d_]+| ?\d+| ?[^\s\w]+|\s+(?!\S)|\s+",
+                r"'s|'t|'re|'ve|'m|'ll|'d| ?[^\W\d_]+| ?\d+"
+                r"| ?(?:[^\s\w]|_)+|\s+(?!\S)|\s+",
                 re.UNICODE)
         return BPETokenizer._PAT.findall(text)
 

@@ -168,14 +168,16 @@ def validate_presorted_cap(offsets, p_cap: int) -> None:
     is 2·min(df, build_cap) long, so a window longer than 2·p_cap proves
     p_cap < build_cap — the case where even/odd slots would silently read
     doc-id-prefix subsets instead of the impact top (p_cap > build_cap is
-    merely slower: the skip disables and masks stay correct). Cached per
-    (buffer id, p_cap) so repeated serving steps don't re-transfer."""
-    try:
-        ident = int(offsets.unsafe_buffer_pointer())
-    except Exception:
-        ident = id(offsets)
-    key = (ident, int(p_cap))
-    if key in _PRESORTED_OK:
+    merely slower: the skip disables and masks stay correct).
+
+    Validation is cached on the LIVE array object (weakref-checked
+    identity, not a buffer pointer — device allocators reuse addresses)
+    so repeated serving steps don't re-transfer the offsets."""
+    import weakref
+
+    ident = id(offsets)
+    hit = _PRESORTED_OK.get(ident)
+    if hit is not None and hit[0]() is offsets and int(p_cap) in hit[1]:
         return
     off = np.asarray(offsets)
     max_len = int(np.diff(off.reshape(-1, off.shape[-1])).max()) if off.size > 1 else 0
@@ -184,12 +186,21 @@ def validate_presorted_cap(offsets, p_cap: int) -> None:
             f"presorted layout has a dual window of {max_len} entries, but "
             f"p_cap={p_cap} only covers 2*{p_cap}: the layout was built at "
             f"cap={max_len // 2} — search with p_cap == build cap")
-    _PRESORTED_OK.add(key)
-    if len(_PRESORTED_OK) > 256:
-        _PRESORTED_OK.clear()
+    if hit is not None and hit[0]() is offsets:
+        hit[1].add(int(p_cap))
+    else:
+        try:
+            ref = weakref.ref(offsets)
+        except TypeError:
+            return                       # unweakrefable: just revalidate
+        if len(_PRESORTED_OK) > 256:
+            dead = [k for k, v in _PRESORTED_OK.items() if v[0]() is None]
+            for k in dead:
+                del _PRESORTED_OK[k]
+        _PRESORTED_OK[ident] = (ref, {int(p_cap)})
 
 
-_PRESORTED_OK: set = set()
+_PRESORTED_OK: dict = {}
 
 
 def pack_postings_presorted(
@@ -895,10 +906,13 @@ def sparse_score_topk_q8_certified(
     cap = min(p_cap, P_total)
     eff = jnp.minimum(lens, cap)
 
-    # rescore k+1 deep: the (k+1)-th score powers the within-pool gap check
+    # rescore k+1 deep: the (k+1)-th score powers the within-pool gap
+    # check (sparse_exact_rescore pads to k+1 when the pool is smaller,
+    # keeping the [B, k] output contract — pads are -inf/-1 and a -inf
+    # k-th score simply fails certification)
     scores1, ids1 = sparse_exact_rescore(
         cv, ci, doc_packed, doc_scale, q_terms, q_weights,
-        k=min(k + 1, ci.shape[1]), imp_bits=imp_bits)
+        k=k + 1, imp_bits=imp_bits)
     scores, ids = scores1[:, :k], ids1[:, :k]
 
     # ---- certificate ----

@@ -256,7 +256,7 @@ def fuse_tail(
     "k", "k_out", "p_cap", "method", "qpp_index", "sparse_candidates",
     "sparse_mode", "doc_imp_bits", "dense_rescore_pool",
     "sparse_presorted"))
-def ensemble_retrieval_step(
+def _ensemble_retrieval_step(
     idx: EnsembleIndexes,
     bm25_terms: jnp.ndarray,    # [B, T_bm] int32 (-1 pad)
     bm25_qw: jnp.ndarray,       # [B, T_bm] f32
@@ -315,3 +315,19 @@ def ensemble_retrieval_step(
     fused_ids, fused_scores = fuse_tail(
         vals, ids, qpp, method, qpp_index, k_out, mlp_params)
     return fused_ids, fused_scores, qpp
+
+
+def ensemble_retrieval_step(idx, *args, **kw):
+    """Host-side front door for the jitted step: with
+    sparse_presorted=True, verify p_cap covers the dual layout's build
+    cap BEFORE tracing (a smaller p_cap silently reads doc-id-prefix
+    subsets — the same guard sharded_ensemble_step applies); the check
+    is weakref-cached per offsets array, so steady-state serving pays
+    nothing. See _ensemble_retrieval_step for the full signature."""
+    if kw.get("sparse_presorted"):
+        from qpp_fusion_rag_tpu.ops.sparse import validate_presorted_cap
+
+        p_cap = kw.get("p_cap", 2048)
+        validate_presorted_cap(idx.bm25_offsets, p_cap)
+        validate_presorted_cap(idx.splade_offsets, p_cap)
+    return _ensemble_retrieval_step(idx, *args, **kw)

@@ -71,7 +71,7 @@ def main(argv=None) -> int:
         retrievers = {}
         for name in args.retrievers:
             kw = {}
-            if name == "bm25" and args.sparse_engine != "exact":
+            if name in ("bm25", "splade") and args.sparse_engine != "exact":
                 kw["engine"] = args.sparse_engine
                 if args.sparse_presorted:
                     kw["presorted"] = True

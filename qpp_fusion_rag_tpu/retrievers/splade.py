@@ -98,6 +98,53 @@ class SpladeIndex:
             )
         return self._device
 
+    def _device_packed(self, presorted_cap: int = 0):
+        """Packed (doc << 8 | q8) device arrays for the q8/q8r engines;
+        presorted_cap > 0 builds the dual doc-ordered layout at that cap
+        (ops.sparse.pack_postings_presorted). Cached per layout."""
+        import jax.numpy as jnp
+
+        from qpp_fusion_rag_tpu.ops.sparse import (
+            pack_postings,
+            pack_postings_presorted,
+        )
+
+        cache = getattr(self, "_device_q8", None)
+        if cache is None:
+            cache = self._device_q8 = {}
+        if presorted_cap not in cache:
+            if presorted_cap > 0:
+                packed, off2, scales = pack_postings_presorted(
+                    self.docs, self.weights, self.offsets, cap=presorted_cap)
+                if int(off2[-1]) >= 2**31:
+                    raise OverflowError(
+                        "presorted dual layout exceeds the int32 device-"
+                        "index range; shard the corpus")
+                offs = jnp.asarray(off2.astype(np.int32))
+            else:
+                packed, scales = pack_postings(
+                    self.docs, self.weights, self.offsets)
+                offs = self._device_arrays()[2]
+            cache[presorted_cap] = (jnp.asarray(packed), offs,
+                                    jnp.asarray(scales))
+        return cache[presorted_cap]
+
+    def _device_doc_vectors(self):
+        import jax.numpy as jnp
+
+        from qpp_fusion_rag_tpu.ops.sparse import (
+            doc_vector_imp_bits,
+            pack_doc_vectors,
+        )
+
+        if getattr(self, "_device_docvec", None) is None:
+            bits = doc_vector_imp_bits(self.vocab_size)
+            dp, ds, _ = pack_doc_vectors(
+                self.offsets, self.docs, self.weights, self.num_docs,
+                imp_bits=bits)
+            self._device_docvec = (jnp.asarray(dp), jnp.asarray(ds), bits)
+        return self._device_docvec
+
     def search_impacts(
         self,
         q_terms: np.ndarray,     # [B, Tq] int32 (-1 pad)
@@ -105,14 +152,48 @@ class SpladeIndex:
         k: int = 100,
         p_cap: Optional[int] = None,
         exact_topk: bool = True,
+        engine: str = "exact",
+        candidates: int = 2048,
+        presorted: bool = False,
     ) -> Tuple[np.ndarray, np.ndarray]:
-        from qpp_fusion_rag_tpu.ops.sparse import sparse_score_topk
+        """engine: "exact" (Lucene-parity pair-sort), "q8" (quantized
+        single-key sort serving kernel), or "q8r" (rank-safe: q8 pool +
+        exact doc-vector rescore) — the same engines as
+        index.sparse.SparseIndex.search; presorted (q8/q8r) reads the
+        dual doc-ordered layout built at this p_cap."""
+        from qpp_fusion_rag_tpu.ops.sparse import (
+            sparse_score_topk,
+            sparse_score_topk_q8,
+            sparse_score_topk_q8_rescored,
+        )
 
-        flat_docs, flat_weights, offsets = self._device_arrays()
+        q_terms = q_terms.astype(np.int32)
+        q_weights = q_weights.astype(np.float32)
         p_cap = max(min(p_cap or min(self.max_df, 8192), self.max_df), 1)
+        if presorted and engine not in ("q8", "q8r"):
+            raise ValueError("presorted layout needs engine 'q8' or 'q8r'")
+        if engine in ("q8", "q8r"):
+            packed, offs, pscales = self._device_packed(
+                p_cap if presorted else 0)
+            if engine == "q8r":
+                dp, ds, bits = self._device_doc_vectors()
+                scores, ids = sparse_score_topk_q8_rescored(
+                    packed, offs, pscales, dp, ds, q_terms, q_weights,
+                    k=k, p_cap=p_cap,
+                    candidates=min(candidates, max(k, self.num_docs)),
+                    imp_bits=bits, presorted=presorted)
+            else:
+                scores, ids = sparse_score_topk_q8(
+                    packed, offs, pscales, q_terms, q_weights,
+                    k=k, p_cap=p_cap, exact_topk=exact_topk,
+                    presorted=presorted)
+            return np.asarray(scores), np.asarray(ids)
+        if engine != "exact":
+            raise ValueError(f"unknown engine {engine!r}")
+        flat_docs, flat_weights, offsets = self._device_arrays()
         scores, ids = sparse_score_topk(
             flat_docs, flat_weights, offsets,
-            q_terms.astype(np.int32), q_weights.astype(np.float32),
+            q_terms, q_weights,
             k=k, p_cap=p_cap, exact_topk=exact_topk,
         )
         return np.asarray(scores), np.asarray(ids)
@@ -122,11 +203,16 @@ class SpladeRetriever(BaseRetriever):
     name = "splade"
 
     def __init__(self, index: SpladeIndex, encoder=None,
-                 query_top_terms: Optional[int] = None, p_cap: Optional[int] = None):
+                 query_top_terms: Optional[int] = None, p_cap: Optional[int] = None,
+                 engine: str = "exact", presorted: bool = False):
+        # engine/presorted: SpladeIndex.search_impacts semantics (exact
+        # pair-sort | q8 throughput | q8r rank-safe rescore)
         self.index = index
         self.encoder = encoder          # SpladeEncoder (with tokenizer) or None
         self.query_top_terms = query_top_terms or int(config.tpu.sparse.max_query_terms)
         self.p_cap = p_cap
+        self.engine = engine
+        self.presorted = presorted
 
     @classmethod
     def build(cls, encoder, corpus: Sequence[Tuple[str, str]],
@@ -170,7 +256,9 @@ class SpladeRetriever(BaseRetriever):
     def retrieve(self, query: str, qid: str, top_k: int = 100) -> RetrieverResult:
         def run():
             q_terms, q_weights = self._encode_queries([query])
-            return self.index.search_impacts(q_terms, q_weights, k=top_k, p_cap=self.p_cap)
+            return self.index.search_impacts(
+                q_terms, q_weights, k=top_k, p_cap=self.p_cap,
+                engine=self.engine, presorted=self.presorted)
 
         (scores, rows), ms = self._timed(run)
         results = rows_to_results(scores[0], rows[0], self.index.docnos.__getitem__)
@@ -182,7 +270,9 @@ class SpladeRetriever(BaseRetriever):
 
         def search_chunk(texts):
             q_terms, q_weights = self._encode_queries(texts)
-            return self.index.search_impacts(q_terms, q_weights, k=top_k, p_cap=self.p_cap)
+            return self.index.search_impacts(
+                q_terms, q_weights, k=top_k, p_cap=self.p_cap,
+                engine=self.engine, presorted=self.presorted)
 
         return self._batched_retrieve(
             queries, batch_size, search_chunk, self.index.docnos.__getitem__

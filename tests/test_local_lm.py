@@ -107,7 +107,8 @@ def test_bpe_matches_transformers(tmp_path):
     hf = transformers.GPT2Tokenizer(str(tmp_path / "vocab.json"),
                                     str(tmp_path / "merges.txt"))
     for text in ["hello world", "hello, World!", "  spaces  here ",
-                 "unicode: café 中", "hellohello worldworld", ""]:
+                 "unicode: café 中", "hellohello worldworld", "",
+                 "doc_17 foo_bar __init__", "a_b-c.d", "_ _x x_"]:
         assert ours.encode(text) == hf.encode(text), text
         assert ours.decode(ours.encode(text)) == text or text == ""
 
@@ -195,3 +196,37 @@ def test_hf_gpt2_state_dict_mapping(tiny):
     logits = np.asarray(gpt_logits(params, cfg, ids))
     assert logits.shape == (1, 4, 50)
     assert np.isfinite(logits).all()
+
+
+def test_bpe_underscore_roundtrip(tmp_path):
+    """Regression: the stdlib-re GPT-2 pattern transcription dropped
+    underscores entirely (neither letter class nor [^\\s\\w] matched)."""
+    from qpp_fusion_rag_tpu.generation.local_lm import BPETokenizer
+
+    _bpe_fixture_files(tmp_path)
+    tok = BPETokenizer.from_pretrained_dir(tmp_path)
+    for text in ["doc_17", "foo_bar baz_1", "__main__"]:
+        assert tok.decode(tok.encode(text)) == text
+
+
+def test_eos_token_not_in_decoded_output(tiny):
+    """Regression: the EOS token id itself must never land in tok_buf
+    (decode would emit a literal '<|endoftext|>')."""
+    import jax.numpy as jnp
+
+    from qpp_fusion_rag_tpu.generation.local_lm import greedy_generate
+
+    params, cfg = tiny
+    # steer the tiny model toward EOS from the start: bias wte rows so
+    # the argmax lands on eos_token_id quickly (worst case it never
+    # fires and the assertion is vacuous for that seed — also fine)
+    params = dict(params)
+    import numpy as _np
+    wte = _np.array(params["wte"], copy=True)
+    wte[cfg.eos_token_id] += 10.0
+    params["wte"] = jnp.asarray(wte)
+    prompt = np.full((2, 8), 3, np.int32)
+    toks, n_gen = greedy_generate(params, cfg, jnp.asarray(prompt),
+                                  jnp.asarray([8, 5], np.int32), max_new=10)
+    toks = np.asarray(toks)
+    assert (toks != cfg.eos_token_id).all()
