@@ -34,13 +34,14 @@ LANES = 128
 ROW_TILE = 8  # query rows sorted per grid step
 
 
-def _bitonic_kernel(x_ref, o_ref, *, start_block=2):
-    TB, S, L = x_ref.shape
+def _bitonic_network(x, lane, subl, S, L, *, start_block=2):
+    """The full compare-exchange network over [TB, S, L] int32 keys in
+    flattened row order (shared by the plain-sort and the fused
+    sort+segsum kernels — one copy, so a direction/roll/start_block fix
+    can never apply to only one of them). See bitonic_sort_rows for the
+    start_block skip-rounds contract."""
+    TB = x.shape[0]
     M = S * L
-    x = x_ref[:]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (TB, S, L), 2)
-    subl = jax.lax.broadcasted_iota(jnp.int32, (TB, S, L), 1)
-
     k = start_block
     while k <= M:
         j = k // 2
@@ -66,7 +67,15 @@ def _bitonic_kernel(x_ref, o_ref, *, start_block=2):
             x = jnp.where(take_min, jnp.minimum(x, px), jnp.maximum(x, px))
             j //= 2
         k *= 2
-    o_ref[:] = x
+    return x
+
+
+def _bitonic_kernel(x_ref, o_ref, *, start_block=2):
+    TB, S, L = x_ref.shape
+    x = x_ref[:]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TB, S, L), 2)
+    subl = jax.lax.broadcasted_iota(jnp.int32, (TB, S, L), 1)
+    o_ref[:] = _bitonic_network(x, lane, subl, S, L, start_block=start_block)
 
 
 @partial(jax.jit, static_argnames=("start_block",))
@@ -139,32 +148,7 @@ def _bitonic_segsum_kernel(x_ref, sums_ref, sids_ref, *, start_block=2):
     x = x_ref[:]
     lane = jax.lax.broadcasted_iota(jnp.int32, (TB, S, L), 2)
     subl = jax.lax.broadcasted_iota(jnp.int32, (TB, S, L), 1)
-
-    k = start_block
-    while k <= M:
-        j = k // 2
-        while j >= 1:
-            if j < L:
-                bit_j = (lane & j) != 0
-                plus = pltpu.roll(x, shift=L - j, axis=2)
-                minus = pltpu.roll(x, shift=j, axis=2)
-                px = jnp.where(bit_j, minus, plus)
-            else:
-                js = j // L
-                bit_j = (subl & js) != 0
-                plus = pltpu.roll(x, shift=S - js, axis=1)
-                minus = pltpu.roll(x, shift=js, axis=1)
-                px = jnp.where(bit_j, minus, plus)
-            if k < L:
-                bit_k = (lane & k) != 0
-            elif k < M:
-                bit_k = (subl & (k // L)) != 0
-            else:
-                bit_k = jnp.zeros((TB, S, L), bool)
-            take_min = bit_j == bit_k
-            x = jnp.where(take_min, jnp.minimum(x, px), jnp.maximum(x, px))
-            j //= 2
-        k *= 2
+    x = _bitonic_network(x, lane, subl, S, L, start_block=start_block)
 
     flat = subl * L + lane
     sid = jax.lax.shift_right_logical(x, 8)

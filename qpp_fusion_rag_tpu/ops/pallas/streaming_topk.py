@@ -12,7 +12,8 @@ query tile (m_tiles × 4 GB of HBM reads at NQ scale). This kernel instead:
     host-side transpose afterwards.
 
 Per super-tile of 16384 docs: 16 sub-blocks of 1024 docs double-buffer
-through VMEM scratch; an inner fori loop walks 256-row query slabs.
+through VMEM scratch; an inner fori loop walks MSLAB(=512)-row query
+slabs.
 VMEM budget at M=2560, D=768: q 3.9 MB + 2×1.5 MB corpus slots + 1 MB
 scores + 2.6 MB output staging ≈ 10.5 MB.
 """
@@ -140,9 +141,9 @@ def streaming_dense_topk(
     if pad_n:
         corpus = jnp.pad(corpus, ((0, pad_n), (0, 0)))
     q = queries.astype(corpus.dtype)
-    pad_b = (-B) % min(row_block, max(B, MSLAB))
-    rb = min(row_block, B + pad_b)
-    rb = -(-rb // MSLAB) * MSLAB
+    # round row_block DOWN to a slab multiple: rounding up would exceed
+    # the caller's per-launch VMEM residency bound
+    rb = max(MSLAB, min(row_block, -(-B // MSLAB) * MSLAB) // MSLAB * MSLAB)
     pad_b = (-B) % rb
     if pad_b:
         q = jnp.pad(q, ((0, pad_b), (0, 0)))

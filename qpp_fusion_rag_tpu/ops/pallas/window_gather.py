@@ -86,7 +86,8 @@ def gather_windows_pallas(
     starts: jnp.ndarray,  # [G] int32 window starts, 0 <= s <= P - cap - ALIGN
     cap: int,
 ) -> jnp.ndarray:
-    """-> [G, cap] windows. G must be a multiple of ROWS, cap of LANES."""
+    """-> [G, cap] windows. G must be a multiple of ROWS, cap of ALIGN
+    (1024 — the VMEM realign rotates whole 8-sublane tiles, see below)."""
     G = starts.shape[0]
     if G % ROWS:
         raise ValueError(f"G={G} must be a multiple of {ROWS}")

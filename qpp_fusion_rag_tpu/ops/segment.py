@@ -108,5 +108,5 @@ def segmented_topk_presorted(
     return (
         jnp.where(ok, top_ids, -1),
         jnp.where(ok, top_vals, -jnp.inf),
-        counts[top_idx],
+        jnp.where(ok, counts[top_idx], 0.0),  # pad slots: count 0, like ids/vals
     )
