@@ -25,6 +25,13 @@ def main(argv=None) -> int:
     ap.add_argument("--output-dir", required=True)
     ap.add_argument("--top-k", type=int, default=None)
     ap.add_argument("--split", default="test")
+    ap.add_argument("--sparse-engine", default="exact",
+                    choices=["exact", "q8", "q8r"],
+                    help="BM25/SPLADE scoring engine (pipeline.serve "
+                         "semantics): exact pair-sort, q8 throughput "
+                         "kernel, or q8r rank-safe rescore")
+    ap.add_argument("--sparse-presorted", action="store_true",
+                    help="dual doc-ordered posting layout (q8/q8r only)")
     args = ap.parse_args(argv)
 
     from qpp_fusion_rag_tpu.config import config
@@ -40,7 +47,13 @@ def main(argv=None) -> int:
 
     for name in args.retrievers:
         t0 = time.time()
-        retriever = get_retriever(name, index_dir=Path(args.index_dir) / name)
+        kw = {}
+        if name in ("bm25", "splade") and args.sparse_engine != "exact":
+            kw["engine"] = args.sparse_engine
+            if args.sparse_presorted:
+                kw["presorted"] = True
+        retriever = get_retriever(name, index_dir=Path(args.index_dir) / name,
+                                  **kw)
         results = retriever.retrieve_batch(queries, top_k=top_k)
         dt = time.time() - t0
         write_results_trec(results, out_dir / f"{name}.res", tag=name, normalize=False)
