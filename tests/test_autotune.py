@@ -1,0 +1,54 @@
+"""Sparse-engine autotuner: cheapest config meeting the recall target."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def built_index():
+    from qpp_fusion_rag_tpu.index.sparse import SparseIndex
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{j}" for j in range(120)]
+    docs = [(f"d{i}", " ".join(rng.choice(vocab, 14))) for i in range(800)]
+    idx = SparseIndex.build_bm25(docs)
+    idx.quantize()
+    queries = [" ".join(rng.choice(vocab, 3)) for _ in range(24)]
+    return idx, queries
+
+
+def test_autotune_picks_feasible_cheapest(built_index):
+    from qpp_fusion_rag_tpu.index.autotune import autotune_sparse
+
+    idx, queries = built_index
+    cfg = autotune_sparse(idx, queries, k=10, target_recall=0.9,
+                          p_caps=(16, 64), candidate_sizes=(64, 256))
+    assert cfg.sweep and len(cfg.sweep) == 2 * (1 + 2)
+    assert cfg.engine in ("q8", "q8r")
+    if cfg.meets_target:
+        assert cfg.recall >= 0.9
+        # no feasible config in the sweep is cheaper
+        for s in cfg.sweep:
+            if s["recall"] >= 0.9:
+                assert cfg.cost <= s["cost"]
+    # the chosen config reproduces its measured recall through the
+    # public search API (same 4k-deep tie-aware measure)
+    k_deep = min(40, idx.num_docs)
+    s_ex, i_ex = idx.search(queries, k=k_deep, p_cap=idx.max_df,
+                            engine="exact", exact_topk=True)
+    got_s, got_i = idx.search(queries, k=10, p_cap=cfg.p_cap,
+                              engine=cfg.engine,
+                              candidates=cfg.candidates or 2048)
+    from qpp_fusion_rag_tpu.index.autotune import _recall_at_k
+    assert abs(_recall_at_k(s_ex, i_ex, got_i, 10) - cfg.recall) < 1e-9
+
+
+def test_autotune_unreachable_target_flags_best_effort(built_index):
+    from qpp_fusion_rag_tpu.index.autotune import autotune_sparse
+
+    idx, queries = built_index
+    # p_cap=1 truncates hard; a 1.0 target with those caps should fail
+    cfg = autotune_sparse(idx, queries, k=10, target_recall=1.01,
+                          p_caps=(1,), candidate_sizes=(16,))
+    assert not cfg.meets_target
+    assert cfg.recall == max(s["recall"] for s in cfg.sweep)
