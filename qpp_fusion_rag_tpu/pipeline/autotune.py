@@ -1,0 +1,76 @@
+"""CLI: tune the sparse production-engine config for an index.
+
+`python -m qpp_fusion_rag_tpu.pipeline.autotune --index-dir data/<ds>/index/bm25
+ --queries data/<ds>/queries.jsonl [--k 10] [--target-recall 0.99]
+ [--output tuned.json]`
+
+Measures recall@k of the q8 / q8r engine grid against full-depth exact
+scoring on a query sample (index/autotune.py) and prints the cheapest
+configuration meeting the target — the values to pass as
+`--sparse-engine` / `p_cap` / `candidates` to pipeline.retrieve and
+pipeline.serve.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="Tune sparse engine config")
+    ap.add_argument("--index-dir", required=True)
+    ap.add_argument("--queries", required=True, help="queries.jsonl")
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--target-recall", type=float, default=0.99)
+    ap.add_argument("--p-caps", type=int, nargs="+",
+                    default=[1024, 2048, 4096])
+    ap.add_argument("--candidates", type=int, nargs="+",
+                    default=[512, 1024, 2048])
+    ap.add_argument("--max-sample", type=int, default=256)
+    ap.add_argument("--output", default=None, help="write the sweep JSON here")
+    args = ap.parse_args(argv)
+
+    from qpp_fusion_rag_tpu.index.autotune import autotune_sparse
+    from qpp_fusion_rag_tpu.index.sparse import SparseIndex
+
+    index = SparseIndex.load(args.index_dir)
+    texts = []
+    with open(args.queries) as f:
+        for ln in f:
+            if not ln.strip():
+                continue
+            texts.append(json.loads(ln).get("text", ""))
+            if len(texts) >= args.max_sample:
+                break
+    cfg = autotune_sparse(index, texts, k=args.k,
+                          target_recall=args.target_recall,
+                          p_caps=args.p_caps,
+                          candidate_sizes=args.candidates,
+                          max_sample=args.max_sample)
+    for s in cfg.sweep:
+        print(f"[autotune] {s['engine']:3s} p_cap={s['p_cap']:<6d} "
+              f"cand={s['candidates']:<6d} recall@{args.k}={s['recall']:.4f} "
+              f"cost={s['cost']:.0f}")
+    verdict = "MEETS" if cfg.meets_target else "BEST-EFFORT (target missed)"
+    print(f"[autotune] chosen: engine={cfg.engine} p_cap={cfg.p_cap} "
+          f"candidates={cfg.candidates} recall={cfg.recall:.4f} — {verdict}")
+    if not cfg.meets_target:
+        print("[autotune] no swept config met the target; consider "
+              "engine='exact' or SparseIndex.search_certified")
+    if args.output:
+        Path(args.output).write_text(json.dumps({
+            "chosen": {"engine": cfg.engine, "p_cap": cfg.p_cap,
+                       "candidates": cfg.candidates, "recall": cfg.recall,
+                       "meets_target": cfg.meets_target},
+            "k": args.k, "target_recall": args.target_recall,
+            "sweep": cfg.sweep,
+        }, indent=1))
+        print(f"[autotune] sweep -> {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
