@@ -25,7 +25,7 @@ def main(argv=None) -> int:
     ap.add_argument("--output-dir", required=True)
     ap.add_argument("--top-k", type=int, default=None)
     ap.add_argument("--split", default="test")
-    ap.add_argument("--sparse-engine", default="exact",
+    ap.add_argument("--sparse-engine", default=None,
                     choices=["exact", "q8", "q8r"],
                     help="BM25/SPLADE scoring engine (pipeline.serve "
                          "semantics): exact pair-sort, q8 throughput "
@@ -45,12 +45,15 @@ def main(argv=None) -> int:
     out_dir.mkdir(parents=True, exist_ok=True)
     print(f"[retrieve] {len(queries)} queries, top_k={top_k}")
 
+    # flag > config default (tpu.sparse.engine / .presorted)
+    engine = args.sparse_engine or str(config.tpu.sparse.engine)
+    presorted = args.sparse_presorted or bool(config.tpu.sparse.presorted)
     for name in args.retrievers:
         t0 = time.time()
         kw = {}
-        if name in ("bm25", "splade") and args.sparse_engine != "exact":
-            kw["engine"] = args.sparse_engine
-            if args.sparse_presorted:
+        if name in ("bm25", "splade") and engine != "exact":
+            kw["engine"] = engine
+            if presorted:
                 kw["presorted"] = True
         retriever = get_retriever(name, index_dir=Path(args.index_dir) / name,
                                   **kw)

@@ -31,7 +31,7 @@ def main(argv=None) -> int:
     ap.add_argument("--top-k", type=int, default=None)
     ap.add_argument("--k-out", type=int, default=100)
     ap.add_argument("--timing-jsonl", default=None)
-    ap.add_argument("--sparse-engine", default="exact",
+    ap.add_argument("--sparse-engine", default=None,
                     choices=["exact", "q8", "q8r"],
                     help="BM25/SPLADE scoring engine: exact pair-sort, q8 "
                          "throughput kernel, or q8r rank-safe rescore "
@@ -67,13 +67,16 @@ def main(argv=None) -> int:
         "wcombsum", "wcombmnz", "wrrf", "learned",
     )
 
+    # flag > config default (tpu.sparse.engine / .presorted)
+    engine = args.sparse_engine or str(config.tpu.sparse.engine)
+    presorted = args.sparse_presorted or bool(config.tpu.sparse.presorted)
     with timer.stage("load_indexes"):
         retrievers = {}
         for name in args.retrievers:
             kw = {}
-            if name in ("bm25", "splade") and args.sparse_engine != "exact":
-                kw["engine"] = args.sparse_engine
-                if args.sparse_presorted:
+            if name in ("bm25", "splade") and engine != "exact":
+                kw["engine"] = engine
+                if presorted:
                     kw["presorted"] = True
             retrievers[name] = get_retriever(
                 name, index_dir=Path(args.index_dir) / name, **kw)
