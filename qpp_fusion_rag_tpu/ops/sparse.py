@@ -994,13 +994,22 @@ def sparse_score_topk_q8(
     k/510 x cmax — measured recall@100 vs the exact pair-sort path
     >= 0.99 on Zipfian BM25/SPLADE queries (tests/test_sparse.py).
     Same output contract as sparse_score_topk_packed."""
-    sums, sids, wmax_col, _ = _q8_row_sums(
+    sums, sids, wmax_col, bit_used = _q8_row_sums(
         packed, offsets, term_scales, q_terms, q_weights,
         p_cap, dma_gather, bitonic, presorted=presorted)
     M = sums.shape[1]
+    kk = min(k, M)
+    if (exact_topk and bit_used and kk < M
+            and q_terms.shape[1] * 255 < (1 << 15)):
+        # EXACT selection via a second bitonic pass: lax.top_k is
+        # pathologically slow on wide rows (tens of ms at [1024, 32k]);
+        # _bitonic_pool gives the same exact top-k from the integer sums
+        top_vals, top_ids, _ = _bitonic_pool(sums, sids, kk, wmax_col)
+        ok = jnp.isfinite(top_vals)
+        return (jnp.where(ok, top_vals, -jnp.inf),
+                jnp.where(ok, top_ids, -1))
     scores = jnp.where(sums >= 0,
                        sums.astype(jnp.float32) * wmax_col, -jnp.inf)
-    kk = min(k, M)
     if exact_topk or M <= max(4 * kk, 256):
         top_vals, top_idx = jax.lax.top_k(scores, kk)
     else:

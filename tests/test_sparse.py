@@ -484,14 +484,21 @@ def test_q8_bitonic_matches_lax_sort():
     s1, i1, s2, i2 = map(np.asarray, (s1, i1, s2, i2))
     # the fused kernel's integer run sums are EXACT while the lax.sort
     # path's f32 cumsum-differences carry ~1e-5 jitter, so exact-tie
-    # ordering may differ — compare per-doc score maps, not positions
+    # ordering may differ — compare per-doc score maps, and allow the
+    # k-th-place BOUNDARY to swap between docs tied at the k-th score
+    # (the two paths also break integer ties differently: _bitonic_pool
+    # by position key, lax.top_k by first occurrence)
     for b in range(len(s1)):
         a = {int(i): float(s) for i, s in zip(i1[b], s1[b]) if i >= 0}
         c = {int(i): float(s) for i, s in zip(i2[b], s2[b]) if i >= 0}
-        assert set(a) == set(c)
-        for d in a:
+        kth = min(min(a.values()), min(c.values()))
+        for d in set(a) ^ set(c):
+            s = a.get(d, c.get(d))
+            assert abs(s - kth) <= 1e-3 * max(1.0, abs(kth)), (d, s, kth)
+        for d in set(a) & set(c):
             assert abs(a[d] - c[d]) <= 1e-3 * max(1.0, abs(a[d]))
-    np.testing.assert_allclose(s1, s2, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.sort(s1, axis=1), np.sort(s2, axis=1),
+                               rtol=1e-3, atol=1e-4)
 
 
 def test_bitonic_sort_rows_small():
