@@ -52,3 +52,25 @@ def test_autotune_unreachable_target_flags_best_effort(built_index):
                           p_caps=(1,), candidate_sizes=(16,))
     assert not cfg.meets_target
     assert cfg.recall == max(s["recall"] for s in cfg.sweep)
+
+
+def test_autotune_cli(built_index, tmp_path):
+    import json
+
+    from qpp_fusion_rag_tpu.pipeline.autotune import main
+
+    idx, queries = built_index
+    idx.save(tmp_path / "bm25")
+    with open(tmp_path / "queries.jsonl", "w") as f:
+        for i, q in enumerate(queries):
+            f.write(json.dumps({"_id": str(i), "text": q}) + "\n")
+    out = tmp_path / "tuned.json"
+    rc = main(["--index-dir", str(tmp_path / "bm25"),
+               "--queries", str(tmp_path / "queries.jsonl"),
+               "--k", "10", "--target-recall", "0.8",
+               "--p-caps", "16", "64", "--candidates", "64",
+               "--output", str(out)])
+    assert rc == 0
+    tuned = json.loads(out.read_text())
+    assert tuned["chosen"]["engine"] in ("q8", "q8r")
+    assert len(tuned["sweep"]) == 2 * 2
