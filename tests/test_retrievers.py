@@ -188,3 +188,29 @@ def test_splade_retriever_without_encoder_raises():
     r = SpladeRetriever(idx, encoder=None)
     with _pytest.raises(RuntimeError, match="no query encoder"):
         r.retrieve("hello", "q1")
+
+
+def test_dense_index_int8_engines_match_exact():
+    """DenseIndex.search engine='int8'/'int8r' (the ensemble's production
+    dense kernels) return near-exact top-k on a small corpus."""
+    import numpy as np
+
+    from qpp_fusion_rag_tpu.retrievers.dense import DenseIndex
+
+    rng = np.random.default_rng(0)
+    N, D, B, K = 1024, 64, 4, 8
+    emb = rng.standard_normal((N, D)).astype(np.float32)
+    idx = DenseIndex(emb, [f"d{i}" for i in range(N)], shuffle=True)
+    q = rng.standard_normal((B, D)).astype(np.float32)
+    s_ex, i_ex = idx.search(q, k=K, exact=True)
+    for engine in ("int8", "int8r"):
+        s, i = idx.search(q, k=K, engine=engine, rescore_pool=256)
+        assert s.shape == (B, K)
+        # group-max emits one candidate per 128-doc group; top-1 must
+        # agree (or tie within int8 quantization)
+        for b in range(B):
+            assert i[b][0] == i_ex[b][0] or \
+                abs(s_ex[b][0] - s[b][0]) < 0.15 * abs(s_ex[b][0])
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        idx.search(q, k=K, engine="int8", mesh=object())
