@@ -160,11 +160,15 @@ class DenseRetriever(BaseRetriever):
         encoder: Optional[Callable[[Sequence[str]], np.ndarray]] = None,
         mesh=None,
         exact: bool = False,
+        engine: str = "stream",      # DenseIndex.search semantics
+        rescore_pool: int = 512,     # int8r pool size
     ):
         self.index = index
         self.encoder = encoder
         self.mesh = mesh
         self.exact = exact
+        self.engine = engine
+        self.rescore_pool = rescore_pool
 
     @classmethod
     def from_index_dir(cls, index_dir, encoder=None, **kw) -> "DenseRetriever":
@@ -174,7 +178,9 @@ class DenseRetriever(BaseRetriever):
     def search_embeddings(
         self, query_embeddings: np.ndarray, k: int = 100
     ) -> Tuple[np.ndarray, np.ndarray]:
-        return self.index.search(query_embeddings, k=k, exact=self.exact, mesh=self.mesh)
+        return self.index.search(query_embeddings, k=k, exact=self.exact,
+                                 mesh=self.mesh, engine=self.engine,
+                                 rescore_pool=self.rescore_pool)
 
     # -- text-level API ------------------------------------------------
     def _encode(self, texts: Sequence[str]) -> np.ndarray:
