@@ -32,6 +32,10 @@ def main(argv=None) -> int:
                          "kernel, or q8r rank-safe rescore")
     ap.add_argument("--sparse-presorted", action="store_true",
                     help="dual doc-ordered posting layout (q8/q8r only)")
+    ap.add_argument("--dense-engine", default="stream",
+                    choices=["stream", "int8", "int8r"],
+                    help="dense (bge/tct) engine: streaming matmul, int8 "
+                         "MXU kernel, or int8r rank-safe pool rescore")
     args = ap.parse_args(argv)
 
     from qpp_fusion_rag_tpu.config import config
@@ -55,6 +59,8 @@ def main(argv=None) -> int:
             kw["engine"] = engine
             if presorted:
                 kw["presorted"] = True
+        if name in ("bge", "tct_colbert", "dense") and args.dense_engine != "stream":
+            kw["engine"] = args.dense_engine
         retriever = get_retriever(name, index_dir=Path(args.index_dir) / name,
                                   **kw)
         results = retriever.retrieve_batch(queries, top_k=top_k)

@@ -39,6 +39,10 @@ def main(argv=None) -> int:
     ap.add_argument("--sparse-presorted", action="store_true",
                     help="dual doc-ordered posting layout (q8/q8r only): "
                          "skips the early bitonic sort rounds on TPU")
+    ap.add_argument("--dense-engine", default="stream",
+                    choices=["stream", "int8", "int8r"],
+                    help="dense (bge/tct) engine: streaming matmul, int8 "
+                         "MXU kernel, or int8r rank-safe pool rescore")
     args = ap.parse_args(argv)
     if args.method.lower() == "learned" and not args.model_path:
         ap.error("--method learned requires --model-path")
@@ -78,6 +82,8 @@ def main(argv=None) -> int:
                 kw["engine"] = engine
                 if presorted:
                     kw["presorted"] = True
+            if name in ("bge", "tct_colbert", "dense") and args.dense_engine != "stream":
+                kw["engine"] = args.dense_engine
             retrievers[name] = get_retriever(
                 name, index_dir=Path(args.index_dir) / name, **kw)
 
