@@ -76,6 +76,7 @@ def autotune_sparse(
     candidate_sizes: Sequence[int] = (512, 1024, 2048),
     max_sample: int = 256,
     avg_query_terms: Optional[float] = None,
+    baseline_chunk: int = 8,
 ) -> TunedConfig:
     """-> the cheapest (engine, p_cap, candidates) meeting target_recall
     at recall@`k` vs full-depth exact scoring on `sample_queries`.
@@ -94,10 +95,19 @@ def autotune_sparse(
     if not qs:
         raise ValueError("need at least one sample query")
     # 4k-deep exact baseline: boundary ties extend past position k, and
-    # the tie-aware measure needs their scores
+    # the tie-aware measure needs their scores. Full-depth exact search
+    # materializes [B, Tq, max_df] windows — possibly GBs per query
+    # batch on a production index (SparseIndex.search docstring) — so
+    # the baseline runs in small chunks; slow is fine, OOM is not.
     k_deep = min(max(4 * k, k + 16), max(index.num_docs, 1))
-    exact_s, exact_i = index.search(qs, k=k_deep, p_cap=index.max_df,
-                                    engine="exact", exact_topk=True)
+    es, ei = [], []
+    for i in range(0, len(qs), max(baseline_chunk, 1)):
+        s, d = index.search(qs[i:i + baseline_chunk], k=k_deep,
+                            p_cap=index.max_df, engine="exact",
+                            exact_topk=True)
+        es.append(s)
+        ei.append(d)
+    exact_s, exact_i = np.concatenate(es), np.concatenate(ei)
 
     if avg_query_terms is None:
         q_terms, _ = index.encode_queries(qs)

@@ -20,10 +20,11 @@ from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 import numpy as np
 
 from qpp_fusion_rag_tpu.config import config
+from qpp_fusion_rag_tpu.index.engines import PackedEngineMixin
 from qpp_fusion_rag_tpu.index.native import NativeIndexBuilder
 
 
-class SparseIndex:
+class SparseIndex(PackedEngineMixin):
     """Immutable CSR impact-list index + query tokenization."""
 
     def __init__(
@@ -216,75 +217,20 @@ class SparseIndex:
             )
         return self._device
 
-    def _device_packed(self):
-        """Lazily build the packed-posting device arrays for the q8 engine
-        (doc << 8 | uint8 impact — ops.sparse.pack_postings, incl. the DMA
-        gather tail padding)."""
-        import jax.numpy as jnp
+    def _packed_source(self):
+        """PackedEngineMixin provider: dequantized CSR postings (uint8
+        storage dequantizes through the per-term scales; the same grid
+        is passed back so the packed layout re-quantizes identically)."""
+        w = self.weights
+        scales = None
+        if w.dtype == np.uint8:
+            df = np.diff(self.offsets).astype(np.int64)
+            w = w.astype(np.float32) * np.repeat(self.term_scales, df)
+            scales = self.term_scales
+        return self.docs, w, self.offsets, scales
 
-        from qpp_fusion_rag_tpu.ops.sparse import pack_postings
-
-        if getattr(self, "_device_q8", None) is None:
-            w = self.weights
-            if w.dtype == np.uint8:
-                df = np.diff(self.offsets).astype(np.int64)
-                w = w.astype(np.float32) * np.repeat(self.term_scales, df)
-            packed, scales = pack_postings(self.docs, w, self.offsets)
-            self._device_q8 = (jnp.asarray(packed), jnp.asarray(scales))
-        return self._device_q8
-
-    def _device_presorted(self, cap: int):
-        """Lazily build the DUAL doc-ordered packed postings for the
-        presorted q8/q8r engines (ops.sparse.pack_postings_presorted):
-        gathered windows arrive pre-sorted, so the Pallas bitonic sort
-        skips its first log2(cap) rounds. Keyed by cap — the layout is
-        only valid at p_cap == cap."""
-        import jax.numpy as jnp
-
-        from qpp_fusion_rag_tpu.ops.sparse import pack_postings_presorted
-
-        cache = getattr(self, "_device_pre", None)
-        if cache is None:
-            cache = self._device_pre = {}
-        if cap not in cache:
-            w = self.weights
-            scales = None
-            if w.dtype == np.uint8:
-                df = np.diff(self.offsets).astype(np.int64)
-                w = w.astype(np.float32) * np.repeat(self.term_scales, df)
-                scales = self.term_scales
-            packed, off2, sc = pack_postings_presorted(
-                self.docs, w, self.offsets, cap=cap, scales=scales)
-            if int(off2[-1]) >= 2**31:
-                raise OverflowError(
-                    "presorted dual layout exceeds the int32 device-index "
-                    "range; shard the corpus")
-            cache[cap] = (jnp.asarray(packed),
-                          jnp.asarray(off2.astype(np.int32)),
-                          jnp.asarray(sc))
-        return cache[cap]
-
-    def _device_doc_vectors(self):
-        """Lazily build packed doc-major vectors + per-doc scales for the
-        rank-safe rescore engine (ops.sparse.pack_doc_vectors; impact
-        precision auto-sized to the vocab via doc_vector_imp_bits)."""
-        import jax.numpy as jnp
-
-        from qpp_fusion_rag_tpu.ops.sparse import (
-            doc_vector_imp_bits,
-            pack_doc_vectors,
-        )
-
-        if getattr(self, "_device_docvec", None) is None:
-            w = self.weights
-            if w.dtype == np.uint8:
-                df = np.diff(self.offsets).astype(np.int64)
-                w = w.astype(np.float32) * np.repeat(self.term_scales, df)
-            bits = doc_vector_imp_bits(self.num_terms)
-            dp, ds, _ = pack_doc_vectors(
-                self.offsets, self.docs, w, self.num_docs, imp_bits=bits)
-            self._device_docvec = (jnp.asarray(dp), jnp.asarray(ds), bits)
-        return self._device_docvec
+    def _doc_vector_terms(self) -> int:
+        return self.num_terms
 
     def search(
         self,
@@ -329,36 +275,10 @@ class SparseIndex:
         if presorted and engine not in ("q8", "q8r"):
             raise ValueError("presorted layout needs engine 'q8' or 'q8r'")
         if engine in ("q8", "q8r"):
-            import jax.numpy as jnp
-
-            if presorted:
-                packed, offs, pscales = self._device_presorted(p_cap)
-            else:
-                packed, pscales = self._device_packed()
-                offs = jnp.asarray(self._offsets_i32())
-            if engine == "q8r":
-                from qpp_fusion_rag_tpu.ops.sparse import (
-                    sparse_score_topk_q8_rescored,
-                )
-
-                dp, ds, bits = self._device_doc_vectors()
-                scores, ids = sparse_score_topk_q8_rescored(
-                    packed, offs, pscales, dp, ds,
-                    q_terms, q_weights, k=k, p_cap=p_cap,
-                    candidates=min(candidates, max(k, self.num_docs)),
-                    imp_bits=bits, presorted=presorted,
-                )
-            else:
-                from qpp_fusion_rag_tpu.ops.sparse import (
-                    sparse_score_topk_q8,
-                )
-
-                scores, ids = sparse_score_topk_q8(
-                    packed, offs, pscales,
-                    q_terms, q_weights, k=k, p_cap=p_cap,
-                    exact_topk=exact_topk, presorted=presorted,
-                )
-            return np.asarray(scores), np.asarray(ids)
+            return self._engine_topk(
+                q_terms, q_weights, k=k, p_cap=p_cap, engine=engine,
+                candidates=candidates, presorted=presorted,
+                exact_topk=exact_topk)
         if engine != "exact":
             raise ValueError(f"unknown engine {engine!r}")
         flat_docs, flat_weights, offsets, scales = self._device_arrays()
@@ -408,9 +328,8 @@ class SparseIndex:
         if p_cap is None:
             p_cap = int(self.params.get("p_cap", 0)) or min(self.max_df, 4096)
         p_cap = max(min(p_cap, self.max_df), 1)
-        packed, pscales = self._device_packed()
+        packed, offs, pscales = self._device_packed()
         dp, ds, bits = self._device_doc_vectors()
-        offs = jnp.asarray(self._offsets_i32())
 
         out_s = np.full((B, k), -np.inf, np.float32)
         out_i = np.full((B, k), -1, np.int32)

@@ -724,6 +724,15 @@ def _q8_row_sums(packed, offsets, term_scales, q_terms, q_weights,
     return sums, sids, wmax_col, bitonic
 
 
+def _can_bitonic_pool(bit_used, M, tq):
+    """All of _bitonic_pool's requirements (its docstring): keys pack as
+    (sum << 16 | position), so positions need M <= 2^16 and row sums
+    < 2^15 (tq terms x 255 per contribution). bit_used only implies the
+    M bound on the AUTO bitonic path — an explicit bitonic=True accepts
+    any power-of-two M, so the M check must be repeated here."""
+    return bool(bit_used) and M <= (1 << 16) and tq * 255 < (1 << 15)
+
+
 def _bitonic_pool(sums, sids, pool, wmax_col):
     """EXACT top-`pool` selection from per-run q8 sums via a second
     Pallas bitonic pass over (sum << 16 | position) keys — replaces
@@ -802,7 +811,7 @@ def sparse_score_topk_q8_rescored(
         p_cap, dma_gather, bitonic, presorted=presorted)
     M = sums.shape[1]
     pool = min(candidates, M)
-    if bit_used and pool < M and q_terms.shape[1] * 255 < (1 << 15):
+    if pool < M and _can_bitonic_pool(bit_used, M, q_terms.shape[1]):
         cs, ci, _ = _bitonic_pool(sums, sids, pool, wmax_col)
     else:
         scores = jnp.where(sums >= 0,
@@ -879,7 +888,7 @@ def sparse_score_topk_q8_certified(
     # ---- candidate pool + EXACT outside-pool maximum (sound with an
     # approximate pool: the bound is on what the pool does NOT hold) ----
     pool = min(candidates, M)
-    if bit_used and pool < M and q_terms.shape[1] * 255 < (1 << 15):
+    if pool < M and _can_bitonic_pool(bit_used, M, q_terms.shape[1]):
         cv, ci, outside_max = _bitonic_pool(sums, sids, pool, wmax_col)
     else:
         row_scores = jnp.where(sums >= 0,
@@ -999,8 +1008,8 @@ def sparse_score_topk_q8(
         p_cap, dma_gather, bitonic, presorted=presorted)
     M = sums.shape[1]
     kk = min(k, M)
-    if (exact_topk and bit_used and kk < M
-            and q_terms.shape[1] * 255 < (1 << 15)):
+    if (exact_topk and kk < M
+            and _can_bitonic_pool(bit_used, M, q_terms.shape[1])):
         # EXACT selection via a second bitonic pass: lax.top_k is
         # pathologically slow on wide rows (tens of ms at [1024, 32k]);
         # _bitonic_pool gives the same exact top-k from the integer sums

@@ -6,9 +6,10 @@
 
 Measures recall@k of the q8 / q8r engine grid against full-depth exact
 scoring on a query sample (index/autotune.py) and prints the cheapest
-configuration meeting the target — the values to pass as
-`--sparse-engine` / `p_cap` / `candidates` to pipeline.retrieve and
-pipeline.serve.
+configuration meeting the target — deploy it with
+`--sparse-engine <engine> --p-cap <p_cap> --sparse-candidates <candidates>`
+on pipeline.retrieve / pipeline.serve (or the same-named kwargs on
+BM25Retriever / SpladeRetriever).
 """
 
 from __future__ import annotations
@@ -57,6 +58,10 @@ def main(argv=None) -> int:
     verdict = "MEETS" if cfg.meets_target else "BEST-EFFORT (target missed)"
     print(f"[autotune] chosen: engine={cfg.engine} p_cap={cfg.p_cap} "
           f"candidates={cfg.candidates} recall={cfg.recall:.4f} — {verdict}")
+    print(f"[autotune] deploy: --sparse-engine {cfg.engine} "
+          f"--p-cap {cfg.p_cap}"
+          + (f" --sparse-candidates {cfg.candidates}"
+             if cfg.candidates else ""))
     if not cfg.meets_target:
         print("[autotune] no swept config met the target; consider "
               "engine='exact' or SparseIndex.search_certified")

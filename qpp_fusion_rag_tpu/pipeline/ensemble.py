@@ -324,10 +324,20 @@ def ensemble_retrieval_step(idx, *args, **kw):
     subsets — the same guard sharded_ensemble_step applies); the check
     is weakref-cached per offsets array, so steady-state serving pays
     nothing. See _ensemble_retrieval_step for the full signature."""
-    if kw.get("sparse_presorted"):
+    import inspect
+
+    try:
+        bound = inspect.signature(_ensemble_retrieval_step).bind(
+            idx, *args, **kw)
+        bound.apply_defaults()
+        presorted = bound.arguments.get("sparse_presorted", False)
+        p_cap = bound.arguments.get("p_cap")
+    except TypeError:
+        # let the jitted call raise the real signature error
+        presorted, p_cap = kw.get("sparse_presorted", False), None
+    if presorted and p_cap is not None:
         from qpp_fusion_rag_tpu.ops.sparse import validate_presorted_cap
 
-        p_cap = kw.get("p_cap", 2048)
         validate_presorted_cap(idx.bm25_offsets, p_cap)
         validate_presorted_cap(idx.splade_offsets, p_cap)
     return _ensemble_retrieval_step(idx, *args, **kw)

@@ -36,9 +36,17 @@ def main(argv=None) -> int:
                     help="BM25/SPLADE scoring engine: exact pair-sort, q8 "
                          "throughput kernel, or q8r rank-safe rescore "
                          "(docs/quality_rescore.json)")
-    ap.add_argument("--sparse-presorted", action="store_true",
+    ap.add_argument("--sparse-presorted", default=None,
+                    action=argparse.BooleanOptionalAction,
                     help="dual doc-ordered posting layout (q8/q8r only): "
                          "skips the early bitonic sort rounds on TPU")
+    ap.add_argument("--p-cap", type=int, default=None,
+                    help="sparse posting-window depth (pipeline.autotune's "
+                         "tuned value; default: index params or min(max_df, "
+                         "4096))")
+    ap.add_argument("--sparse-candidates", type=int, default=2048,
+                    help="q8r rescore pool size (pipeline.autotune's tuned "
+                         "value)")
     ap.add_argument("--dense-engine", default="stream",
                     choices=["stream", "int8", "int8r"],
                     help="dense (bge/tct) engine: streaming matmul, int8 "
@@ -73,15 +81,21 @@ def main(argv=None) -> int:
 
     # flag > config default (tpu.sparse.engine / .presorted)
     engine = args.sparse_engine or str(config.tpu.sparse.engine)
-    presorted = args.sparse_presorted or bool(config.tpu.sparse.presorted)
+    presorted = (bool(config.tpu.sparse.presorted)
+                 if args.sparse_presorted is None
+                 else args.sparse_presorted)
     with timer.stage("load_indexes"):
         retrievers = {}
         for name in args.retrievers:
             kw = {}
-            if name in ("bm25", "splade") and engine != "exact":
-                kw["engine"] = engine
-                if presorted:
-                    kw["presorted"] = True
+            if name in ("bm25", "splade"):
+                if engine != "exact":
+                    kw["engine"] = engine
+                    kw["candidates"] = args.sparse_candidates
+                    if presorted:
+                        kw["presorted"] = True
+                if args.p_cap:
+                    kw["p_cap"] = args.p_cap
             if name in ("bge", "tct_colbert", "dense") and args.dense_engine != "stream":
                 kw["engine"] = args.dense_engine
             retrievers[name] = get_retriever(

@@ -19,14 +19,18 @@ class BM25Retriever(BaseRetriever):
     name = "bm25"
 
     def __init__(self, index: SparseIndex, p_cap: Optional[int] = None,
-                 engine: str = "exact", presorted: bool = False):
+                 engine: str = "exact", presorted: bool = False,
+                 candidates: int = 2048):
         # engine: "exact" | "q8" (throughput) | "q8r" (rank-safe rescore)
         # — SparseIndex.search semantics; presorted reads the dual
-        # doc-ordered layout (q8/q8r only, fewer bitonic sort stages)
+        # doc-ordered layout (q8/q8r only, fewer bitonic sort stages);
+        # candidates = the q8r rescore pool (pipeline.autotune picks
+        # p_cap/candidates for a recall target)
         self.index = index
         self.p_cap = p_cap
         self.engine = engine
         self.presorted = presorted
+        self.candidates = candidates
 
     @classmethod
     def from_corpus(cls, corpus: Iterable[Tuple[str, str]], **kw) -> "BM25Retriever":
@@ -39,7 +43,7 @@ class BM25Retriever(BaseRetriever):
     def retrieve(self, query: str, qid: str, top_k: int = 100) -> RetrieverResult:
         out, ms = self._timed(lambda: self.index.search(
             [query], k=top_k, p_cap=self.p_cap, engine=self.engine,
-            presorted=self.presorted))
+            presorted=self.presorted, candidates=self.candidates))
         scores, rows = out
         results = rows_to_results(scores[0], rows[0], self.index.docno)
         return RetrieverResult(qid, results, latency_ms=ms)
@@ -53,6 +57,7 @@ class BM25Retriever(BaseRetriever):
             lambda texts: self.index.search(texts, k=top_k,
                                             p_cap=self.p_cap,
                                             engine=self.engine,
-                                            presorted=self.presorted),
+                                            presorted=self.presorted,
+                                            candidates=self.candidates),
             self.index.docno,
         )

@@ -16,10 +16,11 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from qpp_fusion_rag_tpu.config import config
+from qpp_fusion_rag_tpu.index.engines import PackedEngineMixin
 from qpp_fusion_rag_tpu.retrievers.base import BaseRetriever, RetrieverResult, rows_to_results
 
 
-class SpladeIndex:
+class SpladeIndex(PackedEngineMixin):
     """CSR impact lists over the encoder's term (wordpiece) space."""
 
     def __init__(self, offsets, docs, weights, docnos: List[str], vocab_size: int):
@@ -98,52 +99,12 @@ class SpladeIndex:
             )
         return self._device
 
-    def _device_packed(self, presorted_cap: int = 0):
-        """Packed (doc << 8 | q8) device arrays for the q8/q8r engines;
-        presorted_cap > 0 builds the dual doc-ordered layout at that cap
-        (ops.sparse.pack_postings_presorted). Cached per layout."""
-        import jax.numpy as jnp
+    def _packed_source(self):
+        """PackedEngineMixin provider (weights are stored f32)."""
+        return self.docs, self.weights, self.offsets, None
 
-        from qpp_fusion_rag_tpu.ops.sparse import (
-            pack_postings,
-            pack_postings_presorted,
-        )
-
-        cache = getattr(self, "_device_q8", None)
-        if cache is None:
-            cache = self._device_q8 = {}
-        if presorted_cap not in cache:
-            if presorted_cap > 0:
-                packed, off2, scales = pack_postings_presorted(
-                    self.docs, self.weights, self.offsets, cap=presorted_cap)
-                if int(off2[-1]) >= 2**31:
-                    raise OverflowError(
-                        "presorted dual layout exceeds the int32 device-"
-                        "index range; shard the corpus")
-                offs = jnp.asarray(off2.astype(np.int32))
-            else:
-                packed, scales = pack_postings(
-                    self.docs, self.weights, self.offsets)
-                offs = self._device_arrays()[2]
-            cache[presorted_cap] = (jnp.asarray(packed), offs,
-                                    jnp.asarray(scales))
-        return cache[presorted_cap]
-
-    def _device_doc_vectors(self):
-        import jax.numpy as jnp
-
-        from qpp_fusion_rag_tpu.ops.sparse import (
-            doc_vector_imp_bits,
-            pack_doc_vectors,
-        )
-
-        if getattr(self, "_device_docvec", None) is None:
-            bits = doc_vector_imp_bits(self.vocab_size)
-            dp, ds, _ = pack_doc_vectors(
-                self.offsets, self.docs, self.weights, self.num_docs,
-                imp_bits=bits)
-            self._device_docvec = (jnp.asarray(dp), jnp.asarray(ds), bits)
-        return self._device_docvec
+    def _doc_vector_terms(self) -> int:
+        return self.vocab_size
 
     def search_impacts(
         self,
@@ -161,11 +122,7 @@ class SpladeIndex:
         exact doc-vector rescore) — the same engines as
         index.sparse.SparseIndex.search; presorted (q8/q8r) reads the
         dual doc-ordered layout built at this p_cap."""
-        from qpp_fusion_rag_tpu.ops.sparse import (
-            sparse_score_topk,
-            sparse_score_topk_q8,
-            sparse_score_topk_q8_rescored,
-        )
+        from qpp_fusion_rag_tpu.ops.sparse import sparse_score_topk
 
         q_terms = q_terms.astype(np.int32)
         q_weights = q_weights.astype(np.float32)
@@ -173,21 +130,10 @@ class SpladeIndex:
         if presorted and engine not in ("q8", "q8r"):
             raise ValueError("presorted layout needs engine 'q8' or 'q8r'")
         if engine in ("q8", "q8r"):
-            packed, offs, pscales = self._device_packed(
-                p_cap if presorted else 0)
-            if engine == "q8r":
-                dp, ds, bits = self._device_doc_vectors()
-                scores, ids = sparse_score_topk_q8_rescored(
-                    packed, offs, pscales, dp, ds, q_terms, q_weights,
-                    k=k, p_cap=p_cap,
-                    candidates=min(candidates, max(k, self.num_docs)),
-                    imp_bits=bits, presorted=presorted)
-            else:
-                scores, ids = sparse_score_topk_q8(
-                    packed, offs, pscales, q_terms, q_weights,
-                    k=k, p_cap=p_cap, exact_topk=exact_topk,
-                    presorted=presorted)
-            return np.asarray(scores), np.asarray(ids)
+            return self._engine_topk(
+                q_terms, q_weights, k=k, p_cap=p_cap, engine=engine,
+                candidates=candidates, presorted=presorted,
+                exact_topk=exact_topk)
         if engine != "exact":
             raise ValueError(f"unknown engine {engine!r}")
         flat_docs, flat_weights, offsets = self._device_arrays()
@@ -204,15 +150,18 @@ class SpladeRetriever(BaseRetriever):
 
     def __init__(self, index: SpladeIndex, encoder=None,
                  query_top_terms: Optional[int] = None, p_cap: Optional[int] = None,
-                 engine: str = "exact", presorted: bool = False):
+                 engine: str = "exact", presorted: bool = False,
+                 candidates: int = 2048):
         # engine/presorted: SpladeIndex.search_impacts semantics (exact
-        # pair-sort | q8 throughput | q8r rank-safe rescore)
+        # pair-sort | q8 throughput | q8r rank-safe rescore); candidates
+        # = the q8r rescore pool
         self.index = index
         self.encoder = encoder          # SpladeEncoder (with tokenizer) or None
         self.query_top_terms = query_top_terms or int(config.tpu.sparse.max_query_terms)
         self.p_cap = p_cap
         self.engine = engine
         self.presorted = presorted
+        self.candidates = candidates
 
     @classmethod
     def build(cls, encoder, corpus: Sequence[Tuple[str, str]],
@@ -258,7 +207,8 @@ class SpladeRetriever(BaseRetriever):
             q_terms, q_weights = self._encode_queries([query])
             return self.index.search_impacts(
                 q_terms, q_weights, k=top_k, p_cap=self.p_cap,
-                engine=self.engine, presorted=self.presorted)
+                engine=self.engine, presorted=self.presorted,
+                candidates=self.candidates)
 
         (scores, rows), ms = self._timed(run)
         results = rows_to_results(scores[0], rows[0], self.index.docnos.__getitem__)
@@ -272,7 +222,8 @@ class SpladeRetriever(BaseRetriever):
             q_terms, q_weights = self._encode_queries(texts)
             return self.index.search_impacts(
                 q_terms, q_weights, k=top_k, p_cap=self.p_cap,
-                engine=self.engine, presorted=self.presorted)
+                engine=self.engine, presorted=self.presorted,
+                candidates=self.candidates)
 
         return self._batched_retrieve(
             queries, batch_size, search_chunk, self.index.docnos.__getitem__

@@ -769,3 +769,30 @@ def test_validate_presorted_cap_mismatch_raises():
     validate_presorted_cap(off2, 512)      # larger p_cap: slower, but safe
     with pytest.raises(ValueError):
         validate_presorted_cap(off2, 128)  # smaller: silently-wrong case
+
+
+def test_q8_exact_wide_rows_stays_correct():
+    """Regression: explicit bitonic=True with M > 65536 must NOT route
+    exact selection through _bitonic_pool (16-bit position packing
+    would corrupt sums); results must match the plain-layout truth."""
+    import jax.numpy as jnp
+
+    from qpp_fusion_rag_tpu.data.synthetic import zipf_bm25_csr, zipf_queries
+    from qpp_fusion_rag_tpu.ops.sparse import pack_postings, sparse_score_topk_q8
+
+    bo, bd, bw, _ = zipf_bm25_csr(4096, vocab_size=400, avg_doc_len=60.0,
+                                  seed=5, max_postings=400_000)
+    bp, bs = pack_postings(bd, bw, bo)
+    qt, qw = zipf_queries(bo, 8, n_terms=32, seed=2)
+    args = (jnp.asarray(bp), jnp.asarray(bo.astype(np.int32)),
+            jnp.asarray(bs), qt, qw)
+    # Tq=32, p_cap=4096 -> M = 131072 > 2^16
+    s1, i1 = sparse_score_topk_q8(*args, k=10, p_cap=4096,
+                                  exact_topk=True, bitonic=True)
+    s2, i2 = sparse_score_topk_q8(*args, k=10, p_cap=4096,
+                                  exact_topk=True, bitonic=False)
+    for a, c in zip(_score_maps(s1, i1), _score_maps(s2, i2)):
+        kth = min(min(a.values()), min(c.values()))
+        for d in set(a) ^ set(c):
+            sc = a.get(d, c.get(d))
+            assert abs(sc - kth) <= 1e-3 * max(1.0, abs(kth))
