@@ -46,8 +46,11 @@ class ProbFuse:
         judged_q = np.array([q in qrels for q in rt.qids])
         # judged-doc mask: retrieved doc has ANY judgment (rel or explicit
         # non-rel) in qrels — the denominator of the "judged" variant.
+        # drop docs absent from the run vocab (id_of -> -1): -1 is ALSO
+        # the pad sentinel in doc_ids, so keeping it would count every
+        # pad slot as "judged" and deflate P(rel|segment)
         judged_ids = {
-            qi: {rt.vocab.id_of(d) for d in qrels[q]}
+            qi: {rt.vocab.id_of(d) for d in qrels[q]} - {-1}
             for qi, q in enumerate(rt.qids) if q in qrels
         }
         for r, name in enumerate(rt.retrievers):
@@ -61,6 +64,7 @@ class ProbFuse:
             for row, qi in enumerate(np.flatnonzero(judged_q)):
                 ids = judged_ids.get(int(qi), set())
                 judged_mask[row] = np.isin(doc_ids[row], list(ids))
+            judged_mask &= valid
             p = np.zeros(self.x, dtype=np.float64)
             for s in range(self.x):
                 cols = seg == s

@@ -13,6 +13,7 @@ Intuition: an easy query's top documents cluster tightly around it
 
 from __future__ import annotations
 
+import math
 from functools import partial
 from typing import Tuple
 
@@ -61,13 +62,17 @@ def dense_qpp_matryoshka(
     valid: jnp.ndarray = None,  # [B, K] bool — False = pad slot
 ) -> jnp.ndarray:
     """-> [B] log-weighted mean of dense_qpp over nested dimension prefixes
-    D, D/2, D/4, ... (DenseVecMatryoskaSpecificity's shape: coarse prefixes
-    carry the dominant semantic directions; weight halves per level)."""
+    D, D/2, D/4, ... (DenseVecMatryoskaSpecificity's shape: coarse
+    prefixes carry the dominant semantic directions). Level weights
+    follow the reference's 1/log(1+i) decay
+    (DenseVecMatryoskaSpecificity.java:17-20): w_level = 1/log(2+level),
+    so the full-dimension level dominates and finer prefixes taper
+    logarithmically."""
     D = query_emb.shape[-1]
     total, weight_sum = 0.0, 0.0
     dim = D
     for level in range(n_levels):
-        w = 1.0 / (level + 1.0)
+        w = 1.0 / math.log(2.0 + level)
         total = total + w * dense_qpp(query_emb[:, :dim], doc_embs[:, :, :dim],
                                       k=k, valid=valid)
         weight_sum += w

@@ -45,11 +45,15 @@ def load_properties(path) -> Dict[str, str]:
         if line.endswith("\\"):
             pending = line[:-1]
             continue
-        for sep in ("=", ":"):
-            if sep in line:
-                k, v = line.split(sep, 1)
-                props[k.strip()] = v.strip()
-                break
+        # Java Properties: the FIRST separator in scan order wins
+        # ('=' before ':' by position, not by preference — a value like
+        # 'jdbc:mysql://h/db?x=1' must not split at its '=')
+        pos = [p for p in (line.find("="), line.find(":")) if p >= 0]
+        if pos:
+            cut = min(pos)
+            props[line[:cut].strip()] = line[cut + 1:].strip()
+        else:
+            props[line.strip()] = ""
     return props
 
 
@@ -187,19 +191,38 @@ def train_test_grid(
     sims_tr, idx_tr = query_knn(emb_train, k=max_variants)
     sims_te, idx_te = query_knn(emb_test, k=max_variants)
 
+    return grid_search_variants(
+        lambda nv, lam: variant_qpp(base_train, idx_tr[:, :nv],
+                                    sims_tr[:, :nv], lam=lam),
+        lambda nv, lam: variant_qpp(base_test, idx_te[:, :nv],
+                                    sims_te[:, :nv], lam=lam),
+        truth_train, truth_test, max_variants, lambdas, select_metric)
+
+
+def grid_search_variants(
+    predict_train: Callable,   # (num_variants, lam) -> pred [Qtr]
+    predict_test: Callable,    # (num_variants, lam) -> pred [Qte]
+    truth_train: np.ndarray,
+    truth_test: np.ndarray,
+    max_variants: int,
+    lambdas: Sequence[float],
+    select_metric: Callable = C.kendall,
+) -> Dict:
+    """Shared (num_variants, lambda) grid scaffold for the variant-QPP
+    workflows (KNN variants here; generated variants in qpp.gen_variants):
+    argmax `select_metric` on train, apply on test, report tau + sMARE.
+    One implementation — the two workflows must not drift."""
     best = {"tau": -np.inf, "lambda": None, "num_variants": None}
     grid = []
     for nv in range(1, max_variants + 1):
         for lam in lambdas:
-            pred = variant_qpp(base_train, idx_tr[:, :nv], sims_tr[:, :nv], lam=lam)
-            tau = select_metric(pred, truth_train)
+            tau = float(select_metric(predict_train(nv, lam), truth_train))
             grid.append({"num_variants": nv, "lambda": float(lam),
-                         "train_tau": float(tau)})
+                         "train_tau": tau})
             if tau > best["tau"]:
-                best = {"tau": float(tau), "lambda": float(lam), "num_variants": nv}
+                best = {"tau": tau, "lambda": float(lam), "num_variants": nv}
 
-    nv, lam = best["num_variants"], best["lambda"]
-    pred_test = variant_qpp(base_test, idx_te[:, :nv], sims_te[:, :nv], lam=lam)
+    pred_test = predict_test(best["num_variants"], best["lambda"])
     return {
         "best": best,
         "test": {

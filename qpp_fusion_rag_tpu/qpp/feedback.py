@@ -38,9 +38,13 @@ class RelevanceModel:
         doc_scores: Optional[Sequence[float]] = None,
         fb_terms: int = FB_TERMS,
         mu: float = MU,
+        fb_docs: int = FB_DOCS,
     ) -> Dict[str, float]:
-        """P(t|R) ∝ Σ_d P(t|d) · P(q|d), truncated to fb_terms, normalized."""
-        docs = [Counter(self.tokenize(t)) for t in doc_texts[:FB_DOCS]]
+        """P(t|R) ∝ Σ_d P(t|d) · P(q|d), truncated to fb_terms, normalized.
+        fb_docs caps the feedback set (callers passing more doc_texts get
+        exactly what they pass up to this cap — pass fb_docs=len(texts)
+        to use them all)."""
+        docs = [Counter(self.tokenize(t)) for t in doc_texts[:fb_docs]]
         if not docs:
             return {}
         # collection stats over the feedback set (proxy for the collection LM)
@@ -83,9 +87,11 @@ class RelevanceModel:
         fb_terms: int = FB_TERMS,
         mu: float = MU,
         lam: float = LAMBDA_ODQE,
+        fb_docs: int = FB_DOCS,
     ) -> Dict[str, float]:
         """RM3 = λ · MLE(q) + (1−λ) · RM1 (reference RelevanceModelConditional)."""
-        rm1 = self.rm1(query, doc_texts, doc_scores, fb_terms=fb_terms, mu=mu)
+        rm1 = self.rm1(query, doc_texts, doc_scores, fb_terms=fb_terms, mu=mu,
+                       fb_docs=fb_docs)
         q_terms = self.tokenize(query)
         q_mle = Counter(q_terms)
         qn = max(sum(q_mle.values()), 1)
@@ -181,6 +187,7 @@ def feedback_term_stats(
             doc_texts.append(rec["text"] if isinstance(rec, dict) else str(rec))
         if not doc_texts:
             continue
-        model = rm.rm3(text, doc_texts, fb_terms=fb_terms)
+        model = rm.rm3(text, doc_texts, fb_terms=fb_terms,
+                       fb_docs=num_top_docs)
         out[qid] = sorted(model.items(), key=lambda kv: -kv[1])
     return out

@@ -116,33 +116,18 @@ def train_test_grid_gen_variants(
     The reference grid steps lambda 0..1 by QPP_COREL_LAMBDA_STEPS=0.2 on
     the VARIANT weight; `lambdas` here are BASE weights, defaulting to
     the equivalent [1.0, 0.8, 0.6, 0.4, 0.2, 0.0]."""
+    from qpp_fusion_rag_tpu.qpp.experiments import grid_search_variants
+
     if lambdas is None:
         lambdas = [round(1.0 - l, 1) for l in np.arange(0.0, 1.0001, 0.2)]
     max_variants = min(max_variants, variant_base_train.shape[1])
 
-    best = {"tau": -np.inf, "lambda": None, "num_variants": None}
-    grid = []
-    for nv in range(1, max_variants + 1):
-        for lam in lambdas:
-            pred = gen_variant_qpp(base_train, variant_base_train,
-                                   sims_train, lam=lam, num_variants=nv)
-            tau = float(select_metric(pred, truth_train))
-            grid.append({"num_variants": nv, "lambda": float(lam),
-                         "train_tau": tau})
-            if tau > best["tau"]:
-                best = {"tau": tau, "lambda": float(lam), "num_variants": nv}
-
-    pred_test = gen_variant_qpp(
-        base_test, variant_base_test, sims_test,
-        lam=best["lambda"], num_variants=best["num_variants"])
-    return {
-        "best": best,
-        "test": {
-            "tau": float(C.kendall(pred_test, truth_test)),
-            "smare": float(C.smare(pred_test, truth_test)),
-        },
-        "grid": grid,
-    }
+    return grid_search_variants(
+        lambda nv, lam: gen_variant_qpp(base_train, variant_base_train,
+                                        sims_train, lam=lam, num_variants=nv),
+        lambda nv, lam: gen_variant_qpp(base_test, variant_base_test,
+                                        sims_test, lam=lam, num_variants=nv),
+        truth_train, truth_test, max_variants, lambdas, select_metric)
 
 
 def write_nn_queries_file(

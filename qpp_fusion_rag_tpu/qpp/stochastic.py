@@ -38,6 +38,10 @@ def swap_rank_pairs(
             continue
         a = rng.choice(rel_pos, n_swaps, replace=False)
         b = rng.choice(non_pos, n_swaps, replace=False)
+        # only DEGRADING swaps (relevant doc moves down, RankSwapper
+        # semantics); an a > b pair would *improve* the ranking
+        keep = a < b
+        a, b = a[keep], b[keep]
         doc_ids[qi, a], doc_ids[qi, b] = doc_ids[qi, b], doc_ids[qi, a].copy()
     return doc_ids, scores
 
@@ -108,7 +112,10 @@ def stochastic_qpp_evaluation(
 
     out: Dict = {}
     for cutoff in cutoffs:
-        rng = np.random.default_rng([seed, cutoff])
+        # SAME seed for every cutoff: results across cutoffs must differ
+        # only by the cutoff, not by the perturbation draws (the
+        # documented invariant)
+        rng = np.random.default_rng(seed)
         per_method: Dict[str, list] = {m: [] for m in method_names}
         for _s in range(n_samples):
             swapped = np.stack([
