@@ -53,6 +53,8 @@ class DenseEncoder:
         self.normalize = normalize
         self.tokenizer = tokenizer
         self.max_len = max_len
+        if pooling not in ("cls", "mean"):
+            raise ValueError(f"unknown pooling {pooling!r} (use 'cls' or 'mean')")
         pool = B.pool_cls if pooling == "cls" else B.pool_mean
 
         @jax.jit
@@ -153,11 +155,16 @@ class CrossEncoderScorer:
         return ids
 
     def score_pairs(self, pairs: Sequence[Tuple[str, str]],
-                    cls_id: int = 101, sep_id: int = 102) -> np.ndarray:
+                    cls_id: Optional[int] = None,
+                    sep_id: Optional[int] = None) -> np.ndarray:
         if self.tokenizer is None:
             raise RuntimeError("CrossEncoderScorer needs a tokenizer for text input")
         seqs, types = [], []
         for q, d in pairs:
+            if cls_id is None:
+                cls_id = getattr(self.tokenizer, "cls_id", 101)
+            if sep_id is None:
+                sep_id = getattr(self.tokenizer, "sep_id", 102)
             qi = self._strip_specials(self.tokenizer(q), cls_id, sep_id)
             di = self._strip_specials(self.tokenizer(d), cls_id, sep_id)
             qi = qi[: self.max_len // 2 - 2]

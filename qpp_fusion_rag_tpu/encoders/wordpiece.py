@@ -104,10 +104,14 @@ class WordPieceTokenizer:
 
         path = Path(path)
         lowercase = True
+        strip_accents = None       # None = follow `lowercase`, HF semantics
         cfg = path / "tokenizer_config.json"
         if cfg.exists():
-            lowercase = bool(json.loads(cfg.read_text()).get("do_lower_case", True))
+            tc = json.loads(cfg.read_text())
+            lowercase = bool(tc.get("do_lower_case", True))
+            strip_accents = tc.get("strip_accents", None)
         return cls.from_vocab_file(path / "vocab.txt", lowercase=lowercase,
+                                   strip_accents=strip_accents,
                                    max_length=max_length)
 
     # -- pipeline -------------------------------------------------------

@@ -208,6 +208,11 @@ class Booster:
         y_val: Optional[np.ndarray] = None,
     ) -> Dict:
         p = self.p
+        # refitting replaces the model: stale trees would otherwise be
+        # summed with the new ones while training residuals assume a
+        # fresh base_score start
+        self.trees = []
+        self._ensemble = None
         rng = np.random.default_rng(self.seed)
         X = np.asarray(X, dtype=np.float32)
         y = np.asarray(y, dtype=np.float64)

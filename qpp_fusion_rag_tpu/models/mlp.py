@@ -132,7 +132,8 @@ class FusionMLP(BaseFusionModel):
     ) -> Dict:
         Xt = jnp.asarray(self._filter_features(X_train))
         Yt = jnp.asarray(Y_train, dtype=jnp.float32)
-        has_val = X_val is not None and len(X_val) > 0
+        has_val = (X_val is not None and Y_val is not None
+                   and len(X_val) > 0)
         if has_val:
             Xv = jnp.asarray(self._filter_features(X_val))
             Yv = jnp.asarray(Y_val, dtype=jnp.float32)

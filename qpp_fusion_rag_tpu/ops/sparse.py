@@ -139,6 +139,23 @@ def pack_postings(
 _MAX_DMA_CAP = 4096  # largest p_cap the DMA gather pads for
 
 
+def term_scales_from_csr(flat_weights: np.ndarray,
+                         offsets: np.ndarray) -> np.ndarray:
+    """Anserini-style per-term 8-bit quantization grid: scale = max
+    impact / 255, with 1.0 for empty lists. Lists are impact-ordered so
+    the max is each run's FIRST posting. The ONE derivation — the
+    sharded packer reuses it so shard grids match the single-chip grid
+    bit-for-bit."""
+    offsets = np.asarray(offsets, dtype=np.int64)
+    flat_weights = np.asarray(flat_weights, dtype=np.float32)
+    T = len(offsets) - 1
+    counts = np.diff(offsets)
+    maxima = np.zeros(T, dtype=np.float32)
+    nonempty = counts > 0
+    maxima[nonempty] = flat_weights[offsets[:-1][nonempty]]
+    return np.where(maxima > 0, maxima / 255.0, 1.0).astype(np.float32)
+
+
 def _pack_inputs(flat_docs, flat_weights, offsets, scales):
     """Shared packer front end: dtype coercion, the strict 2^23 - 1
     doc-id bound (0x7FFFFF is the quantized-sort sentinel), and the
@@ -152,12 +169,7 @@ def _pack_inputs(flat_docs, flat_weights, offsets, scales):
     if len(flat_docs) and int(flat_docs.max()) >= (1 << 23) - 1:
         raise ValueError("packed postings need doc ids < 2^23 - 1; shard the corpus")
     if scales is None:
-        T = len(offsets) - 1
-        counts = np.diff(offsets)
-        maxima = np.zeros(T, dtype=np.float32)
-        nonempty = counts > 0
-        maxima[nonempty] = flat_weights[offsets[:-1][nonempty]]
-        scales = np.where(maxima > 0, maxima / 255.0, 1.0).astype(np.float32)
+        scales = term_scales_from_csr(flat_weights, offsets)
     else:
         scales = np.asarray(scales, dtype=np.float32)
     return flat_docs, flat_weights, offsets, scales

@@ -78,9 +78,35 @@ def init_distributed(
             raise
 
 
-def host_local_corpus_slice(n_docs: int) -> Tuple[int, int]:
+def host_local_corpus_slice(n_docs: int, mesh=None) -> Tuple[int, int]:
     """Row range [start, stop) of the global corpus this host should load
-    and place into its shard of a corpus-sharded array."""
+    and place into its shard of a corpus-sharded array.
+
+    With a mesh, the range is derived from where this host's devices sit
+    along the CORPUS axis — correct for ANY (data, corpus) factorization.
+    A bare process split (mesh=None) is only correct when the corpus axis
+    maps 1:1 onto processes; with a multi-host DATA axis (n_data spanning
+    hosts) every host's devices cover the full corpus axis and the
+    process split would hand each host the wrong row range — pass the
+    mesh in that case (the returned range is the tight span of this
+    host's corpus positions; non-contiguous placements get a superset)."""
+    if mesh is not None:
+        import numpy as np
+
+        from qpp_fusion_rag_tpu.parallel.mesh import CORPUS_AXIS
+
+        n_shards = mesh.shape[CORPUS_AXIS]
+        per = -(-n_docs // n_shards)
+        ci = list(mesh.axis_names).index(CORPUS_AXIS)
+        local = set(mesh.local_devices)
+        positions = {
+            pos[ci] for pos in np.ndindex(mesh.devices.shape)
+            if mesh.devices[pos] in local
+        }
+        if not positions:
+            return 0, 0
+        start = min(min(positions) * per, n_docs)
+        return start, min((max(positions) + 1) * per, n_docs)
     p = jax.process_index()
     n = jax.process_count()
     per = -(-n_docs // n)

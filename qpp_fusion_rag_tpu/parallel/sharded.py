@@ -13,7 +13,7 @@ independent of corpus size N.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import NamedTuple, Tuple
 
 import jax
@@ -52,6 +52,37 @@ def _pad_corpus(corpus: jnp.ndarray, n_shards: int) -> Tuple[jnp.ndarray, int]:
     return corpus, n_real
 
 
+def _to_global_merge(vals, ids, base, n_real, k):
+    """Inside shard_map: shard-LOCAL ids + base -> global ids, pad/out-of-
+    range slots masked to (-inf, -1), merged over the corpus axis. The ONE
+    implementation every sharded view uses."""
+    gids = ids + base
+    keep = (ids >= 0) & (gids < n_real)
+    return _merge_over_corpus(
+        jnp.where(keep, vals, -jnp.inf), jnp.where(keep, gids, -1), k)
+
+
+# Compiled sharded programs are cached per (mesh, statics): building the
+# shard_map closure + jax.jit inside the entry points made every call a
+# fresh function identity, so the jit cache NEVER hit and each serving
+# batch re-traced and re-compiled (seconds per call).
+@lru_cache(maxsize=64)
+def _dense_topk_program(mesh, k, chunk, exact, n_real):
+    def local(q, c):
+        vals, ids = dense.dense_topk(q, c, k=k, chunk=min(chunk, c.shape[0]),
+                                     exact=exact)
+        shard = jax.lax.axis_index(CORPUS_AXIS).astype(jnp.int32)
+        return _to_global_merge(vals, ids, shard * c.shape[0], n_real, k)
+
+    return jax.jit(shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS, None), P(CORPUS_AXIS, None)),
+        out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None)),
+        check_rep=False,
+    ))
+
+
 def sharded_dense_topk(
     queries: jnp.ndarray,   # [B, D]  sharded over data
     corpus: jnp.ndarray,    # [N, D]  sharded over corpus (padded if needed)
@@ -62,24 +93,8 @@ def sharded_dense_topk(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Distributed top-k -> (scores [B, k], global ids [B, k])."""
     corpus, n_real = _pad_corpus(corpus, mesh.shape[CORPUS_AXIS])
-
-    def local(q, c):
-        vals, ids = dense.dense_topk(q, c, k=k, chunk=min(chunk, c.shape[0]), exact=exact)
-        shard = jax.lax.axis_index(CORPUS_AXIS).astype(jnp.int32)
-        gids = ids + shard * c.shape[0]
-        keep = (ids >= 0) & (gids < n_real)      # drop zero-pad rows
-        ids = jnp.where(keep, gids, -1)
-        vals = jnp.where(keep, vals, -jnp.inf)
-        return _merge_over_corpus(vals, ids, k)
-
-    fn = shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(P(DATA_AXIS, None), P(CORPUS_AXIS, None)),
-        out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None)),
-        check_rep=False,
-    )
-    return jax.jit(fn)(queries, corpus)
+    fn = _dense_topk_program(mesh, k, chunk, exact, n_real)
+    return fn(queries, corpus)
 
 
 def shard_sparse_csr(
@@ -155,6 +170,12 @@ def sharded_sparse_topk(
     Each chip scores its doc-range partition with the shared CSR kernel
     (ops.sparse.sparse_score_topk), then partials merge over the corpus
     axis with the same tiled all_gather + top_k as the dense path."""
+    fn = _sparse_topk_program(mesh, n_docs, k, p_cap, exact_topk)
+    return fn(q_terms, q_weights, offsets_s, docs_s, weights_s, doc_base)
+
+
+@lru_cache(maxsize=64)
+def _sparse_topk_program(mesh, n_docs, k, p_cap, exact_topk):
     from qpp_fusion_rag_tpu.ops.sparse import sparse_score_topk
 
     def local(qt, qw, off, docs, w, base):
@@ -162,13 +183,9 @@ def sharded_sparse_topk(
             docs[0], w[0], off[0], qt, qw, k=k, p_cap=p_cap,
             exact_topk=exact_topk,
         )
-        gids = ids + base[0]
-        keep = (ids >= 0) & (gids < n_docs)
-        ids = jnp.where(keep, gids, -1)
-        vals = jnp.where(keep, vals, -jnp.inf)
-        return _merge_over_corpus(vals, ids, k)
+        return _to_global_merge(vals, ids, base[0], n_docs, k)
 
-    fn = shard_map(
+    return jax.jit(shard_map(
         local,
         mesh=mesh,
         in_specs=(
@@ -178,8 +195,7 @@ def sharded_sparse_topk(
         ),
         out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None)),
         check_rep=False,
-    )
-    return jax.jit(fn)(q_terms, q_weights, offsets_s, docs_s, weights_s, doc_base)
+    ))
 
 
 def sharded_multi_view_topk(
@@ -193,24 +209,26 @@ def sharded_multi_view_topk(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Distributed R-view retrieval -> (scores [R, B, k], ids [R, B, k])."""
     corpus, n_real = _pad_corpus(corpus, mesh.shape[CORPUS_AXIS])
+    fn = _multi_view_program(mesh, k, chunk, exact, n_real)
+    return fn(queries, view_proj, corpus)
 
+
+@lru_cache(maxsize=64)
+def _multi_view_program(mesh, k, chunk, exact, n_real):
     def local(q, proj, c):
-        vals, ids = dense.multi_view_topk(q, proj, c, k=k, chunk=min(chunk, c.shape[0]), exact=exact)
+        vals, ids = dense.multi_view_topk(
+            q, proj, c, k=k, chunk=min(chunk, c.shape[0]), exact=exact)
         shard = jax.lax.axis_index(CORPUS_AXIS).astype(jnp.int32)
-        gids = ids + shard * c.shape[0]
-        keep = (ids >= 0) & (gids < n_real)
-        ids = jnp.where(keep, gids, -1)
-        vals = jnp.where(keep, vals, -jnp.inf)
-        return _merge_over_corpus(vals, ids, k)
+        return _to_global_merge(vals, ids, shard * c.shape[0], n_real, k)
 
-    fn = shard_map(
+    return jax.jit(shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(DATA_AXIS, None), P(None, None, None), P(CORPUS_AXIS, None)),
+        in_specs=(P(DATA_AXIS, None), P(None, None, None),
+                  P(CORPUS_AXIS, None)),
         out_specs=(P(None, DATA_AXIS, None), P(None, DATA_AXIS, None)),
         check_rep=False,
-    )
-    return jax.jit(fn)(queries, view_proj, corpus)
+    ))
 
 
 class ShardedEnsembleIndexes(NamedTuple):
@@ -270,13 +288,9 @@ def shard_ensemble_indexes(
         # GLOBAL per-term quantization scales: every shard quantizes on the
         # same grid as the single-chip index, so per-shard kernel scores are
         # bit-identical to the single-chip kernel on the same doc
-        g_offsets = np.asarray(csr[0], dtype=np.int64)
-        g_weights = np.asarray(csr[2], dtype=np.float32)
-        g_counts = np.diff(g_offsets)
-        maxima = np.zeros(len(g_offsets) - 1, dtype=np.float32)
-        nonempty = g_counts > 0
-        maxima[nonempty] = g_weights[g_offsets[:-1][nonempty]]
-        g_scales = np.where(maxima > 0, maxima / 255.0, 1.0).astype(np.float32)
+        from qpp_fusion_rag_tpu.ops.sparse import term_scales_from_csr
+
+        g_scales = term_scales_from_csr(csr[2], csr[0])
 
         offsets_s, docs_s, weights_s, doc_base = shard_sparse_csr(
             *csr, n_docs=n_docs, n_shards=n_shards)
@@ -390,6 +404,32 @@ def sharded_ensemble_step(
     a round-trip reshard.
     -> (fused_ids [B, k_out], fused_scores [B, k_out], qpp [5, B, 13]).
     """
+    if sparse_presorted:
+        from qpp_fusion_rag_tpu.ops.sparse import validate_presorted_cap
+
+        validate_presorted_cap(idx.bm25_offsets, p_cap)
+        validate_presorted_cap(idx.splade_offsets, p_cap)
+    n_shards = mesh.shape[CORPUS_AXIS]
+    n_local = idx.corpus_rows.shape[0] // n_shards
+    mlp_leaves, mlp_treedef = jax.tree_util.tree_flatten(mlp_params)
+    stats_args = () if qpp_norm_stats is None else (qpp_norm_stats,)
+    fn = _ensemble_program(
+        mesh, n_docs, n_local, k, k_out, p_cap, qpp_index, method,
+        sparse_mode, sparse_candidates, doc_imp_bits, dense_rescore_pool,
+        sparse_presorted, mlp_treedef, qpp_norm_stats is not None)
+    return fn(bm25_terms, bm25_qw, splade_terms, splade_qw, q_emb,
+              rerank_proj, text_feats, idx, tuple(mlp_leaves), *stats_args)
+
+
+@lru_cache(maxsize=32)
+def _ensemble_program(mesh, n_docs, n_local, k, k_out, p_cap, qpp_index,
+                      method, sparse_mode, sparse_candidates, doc_imp_bits,
+                      dense_rescore_pool, sparse_presorted, mlp_treedef,
+                      has_norm_stats):
+    """Build + jit the sharded ensemble program ONCE per (mesh, statics).
+    mlp_params and qpp_norm_stats travel as replicated traced ARGUMENTS
+    (not closure constants): changing weights or calibration stats no
+    longer bakes new constants into a fresh program."""
     from qpp_fusion_rag_tpu.pipeline.engine import qpp_from_runs
     from qpp_fusion_rag_tpu.pipeline.ensemble import (
         apply_minmax,
@@ -402,24 +442,17 @@ def sharded_ensemble_step(
         score_candidates,
     )
 
-    if sparse_presorted:
-        from qpp_fusion_rag_tpu.ops.sparse import validate_presorted_cap
-
-        validate_presorted_cap(idx.bm25_offsets, p_cap)
-        validate_presorted_cap(idx.splade_offsets, p_cap)
     scorer = make_sparse_scorer(sparse_mode, sparse_candidates, k, p_cap,
                                 imp_bits=doc_imp_bits,
                                 presorted=sparse_presorted)
-    n_shards = mesh.shape[CORPUS_AXIS]
-    n_local = idx.corpus_rows.shape[0] // n_shards
 
     def to_global(vals, ids, base):
-        gids = ids + base
-        keep = (ids >= 0) & (gids < n_docs)
-        return _merge_over_corpus(
-            jnp.where(keep, vals, -jnp.inf), jnp.where(keep, gids, -1), k)
+        return _to_global_merge(vals, ids, base, n_docs, k)
 
-    def local(bt, bw, st, sw, q, proj, tf, sidx):
+    def local(bt, bw, st, sw, q, proj, tf, sidx, mlp_leaves, *stats_args):
+        mlp_params = jax.tree_util.tree_unflatten(mlp_treedef,
+                                                  list(mlp_leaves))
+        qpp_norm_stats = stats_args[0] if has_norm_stats else None
         base = sidx.doc_base[0]
         bm25_s, bm25_i = to_global(*scorer(
             sidx.bm25_packed[0], sidx.bm25_offsets[0], sidx.bm25_scales[0],
@@ -484,7 +517,11 @@ def sharded_ensemble_step(
         corpus_int=P(None, CORPUS_AXIS), corpus_rows=P(CORPUS_AXIS, None),
         d_scale=P(None, CORPUS_AXIS), doc_base=shard_axis,
     )
-    fn = shard_map(
+    n_mlp_leaves = mlp_treedef.num_leaves
+    extra_specs = (tuple(P() for _ in range(n_mlp_leaves)),)
+    if has_norm_stats:
+        extra_specs = extra_specs + (P(),)
+    return jax.jit(shard_map(
         local,
         mesh=mesh,
         in_specs=(
@@ -492,12 +529,8 @@ def sharded_ensemble_step(
             P(DATA_AXIS, None), P(DATA_AXIS, None),
             P(DATA_AXIS, None), P(None, None, None), P(DATA_AXIS, None),
             idx_specs,
-        ),
+        ) + extra_specs,
         out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None),
                    P(None, DATA_AXIS, None)),
         check_rep=False,
-    )
-    return jax.jit(fn)(
-        bm25_terms, bm25_qw, splade_terms, splade_qw, q_emb, rerank_proj,
-        text_feats, idx,
-    )
+    ))

@@ -97,15 +97,24 @@ def train_fusion_models(
     # the test slice is never seen before final evaluation. (The reference
     # validates on its test slice, scripts/04_train_fusion.py:252-260 — that
     # leaks model selection into the reported metric, so we deviate here.)
+    if n_train < 1:
+        raise ValueError(
+            f"{n} queries with train_ratio={train_ratio} leaves no "
+            "training queries; lower the ratio or add queries")
     n_val = max(int(n_train * 0.2), 1) if n_train >= 5 else 0
     fit = slice(0, n_train - n_val)
-    va = slice(n_train - n_val, n_train) if n_val else slice(0, n_train)
+    # no val carve-out (tiny n): pass NO validation rather than aliasing
+    # the fit slice — 'early stopping' on in-sample loss is silent
+    # train-as-val model selection
+    va = slice(n_train - n_val, n_train) if n_val else None
 
     results: Dict[str, Dict] = {"_baselines": baselines}
     for mtype in model_types:
         cls = get_model_class(mtype)
         model: BaseFusionModel = cls(rt.retrievers, seed=seed)
-        train_info = model.train(X[fit], Y[fit], X[va], Y[va])
+        train_info = model.train(
+            X[fit], Y[fit],
+            X[va] if va else None, Y[va] if va else None)
         W = model.predict(X[te])
         fused_metric = evaluate_weights(rt, test_qids, W, qrels, target_metric)
         results[mtype] = {

@@ -111,3 +111,15 @@ def test_multihost_single_process():
     init_distributed()
     start, stop = host_local_corpus_slice(1000)
     assert (start, stop) == (0, 1000)
+
+
+def test_host_local_corpus_slice_with_mesh():
+    """Mesh-aware slice: a single-process virtual mesh owns the WHOLE
+    corpus axis, so the host range must be [0, N) regardless of
+    process_count-based splitting."""
+    from qpp_fusion_rag_tpu.parallel.mesh import build_mesh
+    from qpp_fusion_rag_tpu.parallel.multihost import host_local_corpus_slice
+
+    mesh = build_mesh(2, 4)
+    start, stop = host_local_corpus_slice(1000, mesh=mesh)
+    assert (start, stop) == (0, 1000)

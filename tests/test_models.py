@@ -199,3 +199,36 @@ def test_bagging_freq_reuses_bag_between_redraws():
                            lambda seed=None: SpyRng(orig(seed))):
         b.fit(X, y)
     assert len(draws) == 2                      # rounds 0 and 5 only
+
+
+def test_booster_refit_replaces_model():
+    """Refitting a Booster must train a fresh model, not append trees."""
+    import numpy as np
+
+    from qpp_fusion_rag_tpu.models.gbdt import Booster
+
+    rng = np.random.default_rng(0)
+    X1 = rng.standard_normal((64, 4)).astype(np.float32)
+    y1 = X1[:, 0] * 2.0
+    X2 = rng.standard_normal((64, 4)).astype(np.float32)
+    y2 = -X2[:, 1]
+    b = Booster({"n_estimators": 10})
+    b.fit(X1, y1)
+    b.fit(X2, y2)
+    fresh = Booster({"n_estimators": 10})
+    fresh.fit(X2, y2)
+    assert len(b.trees) == len(fresh.trees)
+    np.testing.assert_allclose(b.predict(X2), fresh.predict(X2), rtol=1e-6)
+
+
+def test_mlp_train_without_yval_does_not_crash():
+    import numpy as np
+
+    from qpp_fusion_rag_tpu.models.mlp import FusionMLP
+
+    rng = np.random.default_rng(0)
+    X = rng.standard_normal((32, 65)).astype(np.float32)
+    Y = np.abs(rng.standard_normal((32, 5))).astype(np.float32)
+    Y = Y / Y.sum(axis=1, keepdims=True)
+    m = FusionMLP([f"r{i}" for i in range(5)], epochs=2)
+    m.train(X, Y, X_val=X[:4], Y_val=None)   # must not crash
