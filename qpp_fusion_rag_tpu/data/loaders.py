@@ -168,23 +168,31 @@ def load_queries(dataset_dir: PathLike, split: str = "test") -> Dict[str, str]:
 
 
 def load_qrels(qrels_path: PathLike) -> Dict[str, Dict[str, int]]:
-    """Load qrels TSV (header skipped): {qid: {docid: rel}}
-    (reference src/data_utils.py:175-197)."""
+    """Load qrels: BEIR 3-column TSV (qid\\tdocid\\trel, header skipped)
+    OR classic 4-column TREC (qid iter docid rel, any whitespace —
+    tab-only splitting silently parsed such files to {} and every
+    metric evaluated 0) (reference src/data_utils.py:175-197)."""
     qrels: Dict[str, Dict[str, int]] = defaultdict(dict)
+
+    def parse(parts) -> None:
+        if len(parts) >= 4:          # classic TREC: column 2 is ignored
+            qrels[parts[0]][parts[2]] = int(parts[3])
+        elif len(parts) == 3:
+            qrels[parts[0]][parts[1]] = int(parts[2])
+        else:
+            raise ValueError(str(parts))
+
     with open(qrels_path) as f:
         first = next(f, None)
         if first is not None:
-            parts = first.strip().split("\t")
             # Tolerate header-less files: keep the first line if it parses.
-            if len(parts) >= 3:
-                try:
-                    qrels[parts[0]][parts[1]] = int(parts[2])
-                except ValueError:
-                    pass
+            try:
+                parse(first.split())
+            except (ValueError, IndexError):
+                pass
         for line in f:
-            parts = line.strip().split("\t")
-            if len(parts) >= 3:
-                qrels[parts[0]][parts[1]] = int(parts[2])
+            if line.strip():
+                parse(line.split())
     return dict(qrels)
 
 
@@ -230,10 +238,17 @@ def load_run_as_dict(run_path: PathLike) -> Dict[str, Dict[str, float]]:
 def doc_text(corpus, docno: str) -> str:
     """Text for `docno` from any corpus backend (plain dict or LazyCorpus).
     Shared by every consumer that takes a `corpus` mapping (two-stage
-    rerankers, the RAG harness)."""
+    rerankers, the RAG harness). load_corpus()'s records are
+    {'title', 'text'} dicts — extract the text fields rather than
+    returning the record itself."""
     if hasattr(corpus, "get_text"):
         return corpus.get_text(docno)
-    return corpus.get(docno, "")
+    rec = corpus.get(docno, "")
+    if isinstance(rec, dict):
+        title = rec.get("title", "")
+        text = rec.get("text", "")
+        return f"{title} {text}".strip() if title else text
+    return rec
 
 
 def qid_sort_key(q: str):

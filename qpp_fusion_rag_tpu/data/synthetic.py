@@ -51,7 +51,10 @@ def zipf_bm25_csr(
     pmf = ranks ** (-zipf_a)
     cdf = np.cumsum(pmf / pmf.sum())
     draws = rng.random(total)
-    terms = np.searchsorted(cdf, draws).astype(np.int64)
+    # float rounding can leave cdf[-1] slightly below 1.0; a draw above
+    # it would index vocab_size and crash the offsets cumsum
+    terms = np.minimum(np.searchsorted(cdf, draws),
+                       vocab_size - 1).astype(np.int64)
 
     doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), doc_lens)
     # collapse duplicate (doc, term) draws into tf counts
@@ -125,9 +128,10 @@ def exact_sparse_scores_host(
             np.concatenate(segs_d), weights=np.concatenate(segs_w),
             minlength=n_docs,
         )
-        top = np.argpartition(-acc, min(k, n_docs - 1))[:k]
+        kk = min(k, n_docs)
+        top = np.argpartition(-acc, kk - 1)[:kk]
         top = top[np.argsort(-acc[top], kind="stable")]
-        out_s[i] = acc[top]
-        out_i[i] = top
-        out_i[i, acc[top] <= 0] = -1
+        out_s[i, :kk] = acc[top]
+        out_i[i, :kk] = top
+        out_i[i, :kk][acc[top] <= 0] = -1
     return out_s, out_i

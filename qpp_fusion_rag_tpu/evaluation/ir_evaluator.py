@@ -63,7 +63,9 @@ class IREvaluator:
         else:
             doc_ids, qids, vocab = _run_dict_to_tensor(run)
 
-        gains, n_rel, ideal = M.align_relevance(doc_ids, qids, qrels, vocab)
+        gains, n_rel, ideal = M.align_relevance(
+            doc_ids, qids, qrels, vocab,
+            ideal_k=_ideal_depth(self.metric_names, doc_ids.shape[1]))
         per_q = M.compute_measures(self.metric_names, gains, n_rel, ideal)
         judged = np.array([q in qrels for q in qids])
 
@@ -96,6 +98,21 @@ class IREvaluator:
         return {name: self.evaluate(rt, qrels, retriever=name) for name in rt.retrievers}
 
 
+def _ideal_depth(metric_names, run_depth: int) -> int:
+    """Ideal-gain vector width: the deepest @cutoff among the metrics
+    (or the run depth if larger) — a truncated run evaluated at a deeper
+    cutoff still needs min(k, n_rel) ideal gains for trec_eval-correct
+    IDCG (ops.metrics.ndcg_at)."""
+    depth = run_depth
+    for name in metric_names:
+        if "@" in name:
+            try:
+                depth = max(depth, int(name.split("@", 1)[1]))
+            except ValueError:
+                pass
+    return depth
+
+
 def per_query_metric(
     rt: RunTensor,
     qrels: Dict[str, Dict[str, int]],
@@ -105,7 +122,9 @@ def per_query_metric(
     computation (reference scripts/04_train_fusion.py:76-105) in one shot."""
     out = np.zeros((rt.R, rt.Q), dtype=np.float32)
     for r in range(rt.R):
-        gains, n_rel, ideal = M.align_relevance(rt.doc_ids[r], rt.qids, qrels, rt.vocab)
+        gains, n_rel, ideal = M.align_relevance(
+            rt.doc_ids[r], rt.qids, qrels, rt.vocab,
+            ideal_k=_ideal_depth([metric], rt.K))
         out[r] = np.asarray(M.compute_measures([metric], gains, n_rel, ideal)[metric])
     return out
 

@@ -58,18 +58,25 @@ def align_relevance(
     n_rel = np.zeros((Q,), dtype=np.int32)
     ideal = np.zeros((Q, ideal_k), dtype=np.float32)
 
+    # one gain lookup table indexed by vocab id (numpy fancy-indexing)
+    # instead of a Python dict probe per (query, rank): per_query_metric
+    # calls this per retriever, so the inner loop was Q*K*R dict.get's
+    rel_arr = np.zeros(len(vocab) + 1, dtype=np.float32)
     for qi, qid in enumerate(qid_list):
         rels = qrels.get(qid)
         if not rels:
             continue
-        rel_by_id = {vocab.id_of(d): r for d, r in rels.items()}
-        rel_by_id.pop(-1, None)
-        n_rel[qi] = sum(1 for r in rels.values() if r > 0)
+        ids = np.asarray([vocab.id_of(d) for d in rels], dtype=np.int64)
+        vals = np.asarray(list(rels.values()), dtype=np.float32)
+        # n_rel counts ALL positively-judged docs (retrieved or not —
+        # recall's denominator); the gain table only needs in-vocab ones
+        n_rel[qi] = int(np.sum(vals > 0))
+        known = ids >= 0
+        ids, vals = ids[known], vals[known]
+        rel_arr[ids] = np.maximum(vals, 0.0)
         row = doc_ids[qi]
-        for ki in range(K):
-            r = rel_by_id.get(int(row[ki]))
-            if r is not None and r > 0:
-                gains[qi, ki] = r
+        gains[qi] = rel_arr[np.clip(row, 0, len(vocab))] * (row >= 0)
+        rel_arr[ids] = 0.0                      # reset for the next query
         pos = sorted((r for r in rels.values() if r > 0), reverse=True)[:ideal_k]
         ideal[qi, : len(pos)] = pos
     return gains, n_rel, ideal
@@ -86,12 +93,19 @@ def _discounts(K: int) -> jnp.ndarray:
 
 @partial(jax.jit, static_argnames=("k",))
 def ndcg_at(gains: jnp.ndarray, ideal: jnp.ndarray, k: int) -> jnp.ndarray:
-    """nDCG@k: DCG_k / IDCG_k, linear gain, log2(rank+1) discount."""
+    """nDCG@k: DCG_k / IDCG_k, linear gain, log2(rank+1) discount.
+
+    IDCG truncates at min(k, ideal width) INDEPENDENTLY of the run
+    depth: for k > K (a truncated run evaluated at a deeper cutoff)
+    trec_eval still sums min(k, n_rel) ideal gains — callers must size
+    `ideal` to the deepest cutoff (align_relevance ideal_k), or nDCG
+    overestimates on truncated runs."""
     K = gains.shape[-1]
+    Ki = ideal.shape[-1]
     kk = min(k, K)
-    d = _discounts(K)
-    dcg = jnp.sum(gains[..., :kk] * d[:kk], axis=-1)
-    idcg = jnp.sum(ideal[..., :kk] * d[:kk], axis=-1)
+    ki = min(k, Ki)
+    dcg = jnp.sum(gains[..., :kk] * _discounts(K)[:kk], axis=-1)
+    idcg = jnp.sum(ideal[..., :ki] * _discounts(Ki)[:ki], axis=-1)
     return jnp.where(idcg > 0, dcg / jnp.maximum(idcg, 1e-30), 0.0)
 
 

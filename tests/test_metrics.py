@@ -120,3 +120,34 @@ def test_per_query_metric_matrix():
     assert mat[0, 0] == 1.0 and mat[1, 0] == 0.0
     assert mat[0, 1] == 1.0
     assert 0 < mat[1, 1] < 1.0  # d9 at rank 2 -> 1/log2(3)
+
+
+def test_ndcg_truncated_run_deeper_cutoff():
+    """trec_eval semantics: IDCG@k sums min(k, n_rel) ideal gains even
+    when the RUN is shallower than k (regression: IDCG truncated at run
+    depth inflated nDCG to 1.0 on fully-relevant truncated runs)."""
+    import numpy as np
+
+    from qpp_fusion_rag_tpu.data.vocab import DocVocab
+    from qpp_fusion_rag_tpu.ops import metrics as M
+
+    vocab = DocVocab()
+    docs = [f"d{i}" for i in range(8)]
+    ids = np.array([[vocab.add(d) for d in docs[:3]]], dtype=np.int32)
+    qrels = {"q": {f"d{i}": 1 for i in range(5)}}       # 5 relevant
+    gains, n_rel, ideal = M.align_relevance(ids, ["q"], qrels, vocab,
+                                            ideal_k=10)
+    got = float(M.ndcg_at(gains, ideal, 10)[0])
+    d = 1.0 / np.log2(np.arange(2, 12))
+    want = d[:3].sum() / d[:5].sum()                    # DCG@3 / IDCG@5
+    assert got == pytest.approx(want, abs=1e-6)
+    assert got < 0.999                                   # NOT 1.0
+
+
+def test_load_qrels_classic_trec_format(tmp_path):
+    from qpp_fusion_rag_tpu.data.loaders import load_qrels
+
+    p = tmp_path / "qrels.txt"
+    p.write_text("1 0 d7 2\n1 0 d9 0\n2 0 d1 1\n")
+    q = load_qrels(p)
+    assert q == {"1": {"d7": 2, "d9": 0}, "2": {"d1": 1}}
