@@ -114,25 +114,10 @@ struct Index {
     }
   }
 
-  // Add a document with externally-supplied (term, weight) pairs — the
-  // learned-sparse (SPLADE-style) path where an encoder emits impacts.
-  void add_doc_impacts(const char** terms, const float* weights, int n) {
-    int32_t doc = static_cast<int32_t>(doc_lens.size());
-    doc_lens.push_back(n);
-    for (int i = 0; i < n; i++) {
-      auto it = vocab.find(terms[i]);
-      int32_t id;
-      if (it == vocab.end()) {
-        id = static_cast<int32_t>(vocab.size());
-        vocab.emplace(terms[i], id);
-        postings.emplace_back();
-      } else {
-        id = it->second;
-      }
-      postings[id].push_back({doc, weights[i]});
-      total_postings++;
-    }
-  }
+  // Learned-sparse (SPLADE-style) ingestion deliberately has NO C++
+  // path: encoder impacts arrive as dense [N, k] arrays, and the CSR
+  // assembly is a vectorized numpy sort (SpladeIndex.from_impacts,
+  // retrievers/splade.py) — a per-doc string loop here would be slower.
 
   void finalize(bool bm25_weights) {
     if (finalized) return;
@@ -264,9 +249,23 @@ int32_t qpp_idx_query_terms(void* h, const char* text, int32_t* ids,
     auto it = idx->vocab.find(t);
     if (it != idx->vocab.end()) tf[it->second] += 1.0f;
   }
+  std::vector<std::pair<int32_t, float>> items(tf.begin(), tf.end());
+  if (static_cast<int32_t>(items.size()) > max_terms) {
+    // deterministic truncation preferring HIGH-IDF (rare) terms: hash
+    // iteration order would keep an arbitrary, build-dependent subset
+    std::sort(items.begin(), items.end(),
+              [idx](const auto& a, const auto& b) {
+                size_t dfa = idx->postings[a.first].size();
+                size_t dfb = idx->postings[b.first].size();
+                if (dfa != dfb) return dfa < dfb;   // rarer first
+                return a.first < b.first;
+              });
+    items.resize(max_terms);
+  }
+  // stable output order (term id) regardless of map iteration order
+  std::sort(items.begin(), items.end());
   int32_t n = 0;
-  for (auto& [id, cnt] : tf) {
-    if (n >= max_terms) break;
+  for (auto& [id, cnt] : items) {
     ids[n] = id;
     counts[n] = cnt;
     n++;

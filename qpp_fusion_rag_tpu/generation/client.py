@@ -118,7 +118,10 @@ class EmbeddingOperation:
         payload = {"model": self.model, "input": list(texts)}
         try:
             data = self.transport(f"{self.base_url}/embeddings", payload, self.timeout)
-            return [d["embedding"] for d in data["data"]]
+            # the API carries an explicit per-item index because list
+            # order is not contractually guaranteed
+            items = sorted(data["data"], key=lambda d: d.get("index", 0))
+            return [d["embedding"] for d in items]
         except GenerationError:
             raise
         except Exception as e:

@@ -40,7 +40,8 @@ class GPTConfig(NamedTuple):
         return cls(
             vocab_size=cfg.vocab_size, n_positions=cfg.n_positions,
             hidden=cfg.n_embd, layers=cfg.n_layer, heads=cfg.n_head,
-            eos_token_id=getattr(cfg, "eos_token_id", None) or 50256,
+            eos_token_id=(lambda e: 50256 if e is None else e)(
+                getattr(cfg, "eos_token_id", None)),
         )
 
 
@@ -214,9 +215,13 @@ def greedy_generate(params, cfg: GPTConfig, prompt_ids: jnp.ndarray,
             v.astype(dtype))
         caches.append((ck, cv))
     x = _ln(x, params["ln_f"])
-    logits_last = jnp.take_along_axis(
-        (x @ params["wte"].T.astype(dtype)).astype(jnp.float32),
-        (prompt_len - 1)[:, None, None], axis=1)[:, 0]          # [B, V]
+    # gather the last prompt position BEFORE the vocab projection: a
+    # full [B, T_p, V] logits matmul (~1000x the FLOPs and a ~200 MB
+    # intermediate at T_p=1024) only to read one row per batch element
+    x_last = jnp.take_along_axis(
+        x, (prompt_len - 1)[:, None, None].astype(jnp.int32)
+        .repeat(cfg.hidden, -1), axis=1)[:, 0]                  # [B, H]
+    logits_last = (x_last @ params["wte"].T.astype(dtype)).astype(jnp.float32)
 
     mask_full = jnp.concatenate(
         [pos_mask, jnp.zeros((B, max_new), bool)], axis=1)

@@ -102,8 +102,10 @@ def block_and_time(fn, *args, sync_result: bool = True, **kw):
         # Tunnel backends (axon) may return from block_until_ready before
         # remote execution finishes; a 1-element host readback is the only
         # reliable barrier there (and costs one RTT, not an array copy).
+        # EVERY array leaf: independent dispatches each need their own
+        # barrier (breaking after the first leaf would let a second
+        # in-flight program escape the measurement)
         for leaf in jax.tree_util.tree_leaves(out):
             if hasattr(leaf, "block_until_ready") and getattr(leaf, "size", 0):
                 np.asarray(leaf.ravel()[:1])
-                break
     return out, time.perf_counter() - t0

@@ -14,7 +14,9 @@ import zipfile
 from numbers import Number
 from pathlib import Path
 from typing import Dict, Iterable, List, Sequence
-from xml.sax.saxutils import escape
+import math
+import re
+from xml.sax.saxutils import escape, quoteattr
 
 _CONTENT_TYPES = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
 <Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
@@ -51,14 +53,34 @@ def _col_name(idx: int) -> str:
     return name
 
 
+_XML_INVALID = re.compile(
+    "[^\x09\x0a\x0d\x20-\ud7ff\ue000-\ufffd]")
+
+
+def _sheet_name(name: str) -> str:
+    """Excel sheet-name rules: <= 31 chars, no []:*?/\\ (replaced with
+    '_'); the XML attribute itself is emitted with quoteattr (escape()
+    leaves double quotes intact and would break name="...")."""
+    clean = re.sub(r"[\[\]:*?/\\]", "_", name)[:31]
+    return clean or "Sheet"
+
+
 def _cell_xml(ref: str, value) -> str:
     if value is None:
         return ""
     if isinstance(value, bool):
         return f'<c r="{ref}" t="b"><v>{int(value)}</v></c>'
     if isinstance(value, Number):
-        return f'<c r="{ref}"><v>{value!r}</v></c>'
-    text = escape(str(value))
+        # float() normalizes numpy scalars (repr would emit
+        # 'np.float64(0.5)' under numpy 2); NaN/inf have no numeric-cell
+        # representation in OOXML — write them as inline strings
+        v = float(value)
+        if math.isfinite(v):
+            iv = int(v)
+            return (f'<c r="{ref}"><v>{iv if iv == v else v!r}</v></c>')
+        value = str(v)
+    # XML 1.0 forbids most control chars outright (escape() keeps them)
+    text = escape(_XML_INVALID.sub("", str(value)))
     return f'<c r="{ref}" t="inlineStr"><is><t>{text}</t></is></c>'
 
 
@@ -97,7 +119,7 @@ def write_xlsx(path, sheets: Dict[str, Iterable[Sequence]]) -> Path:
             for i in range(len(names))
         )))
         z.writestr("xl/workbook.xml", _WB.format(sheets="".join(
-            f'<sheet name="{escape(n[:31])}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+            f'<sheet name={quoteattr(_sheet_name(n))} sheetId="{i + 1}" r:id="rId{i + 1}"/>'
             for i, n in enumerate(names)
         )))
         for i, n in enumerate(names):

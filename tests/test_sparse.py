@@ -796,3 +796,24 @@ def test_q8_exact_wide_rows_stays_correct():
         for d in set(a) ^ set(c):
             sc = a.get(d, c.get(d))
             assert abs(sc - kth) <= 1e-3 * max(1.0, abs(kth))
+
+
+def test_query_terms_truncation_prefers_rare_terms():
+    """When a query has more unique terms than max_terms, the C++
+    tokenizer must keep the HIGHEST-IDF (rarest) subset deterministically
+    (regression: hash-bucket iteration order kept an arbitrary one)."""
+    from qpp_fusion_rag_tpu.index.native import NativeIndexBuilder
+
+    b = NativeIndexBuilder()
+    # 'rare0'/'rare1' appear in 1 doc; common terms in many
+    common = " ".join(f"common{j}" for j in range(10))
+    for i in range(8):
+        b.add_doc(common + (" rare0 rare1" if i == 0 else ""))
+    b.finalize()
+    vocab = b.vocab_dump().splitlines()
+    ids, counts = b.query_terms(common + " rare0 rare1", 4)
+    kept = {vocab[int(t)] for t in ids}
+    assert "rare0" in kept and "rare1" in kept
+    assert len(ids) == 4
+    ids2, _ = b.query_terms(common + " rare0 rare1", 4)
+    assert list(ids) == list(ids2)
