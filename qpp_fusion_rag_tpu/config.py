@@ -169,11 +169,16 @@ class Config(ConfigDict):
             return -1
         if layout == "reference":
             table = self.qpp.method_index.to_dict()
-            if model_name not in table:
-                raise KeyError(
-                    f"Unknown reference QPP model {model_name!r}; known: {sorted(table)}"
-                )
-            return int(table[model_name])
+            if model_name in table:
+                return int(table[model_name])
+            # case-insensitive fallback: the kernel layout lowercases, so
+            # '--qpp-model rsd' must not fail only under this layout
+            lowered = {str(k).lower(): v for k, v in table.items()}
+            if key in lowered:
+                return int(lowered[key])
+            raise KeyError(
+                f"Unknown reference QPP model {model_name!r}; known: {sorted(table)}"
+            )
         key = self._QPP_NAME_ALIASES.get(key, key)
         methods = [str(m).lower() for m in self.qpp.methods]
         if key in methods:

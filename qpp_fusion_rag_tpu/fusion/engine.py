@@ -63,6 +63,15 @@ def weights_from_qpp(
     for r, ranker in enumerate(retrievers):
         for qi, qid in enumerate(qids):
             W[r, qi] = get_qpp_weight(qid, ranker, qpp_data, qpp_index, fusion_mode)
+    # Degenerate guard AT THE CONSUMPTION POINT: reference min-max maps a
+    # constant QPP column to 0 for every query (src/qpp.py:340-374 —
+    # .mmnorm.qpp files keep that parity), but fusing with an all-zero
+    # weight column would zero every contribution and rank by tie-break.
+    # Uniform weights are the correct degenerate limit ("no information
+    # in the predictor" == unweighted fusion).
+    dead = W.sum(axis=0) <= 1e-12
+    if dead.any():
+        W[:, dead] = 1.0 / max(len(retrievers), 1)
     return W
 
 
@@ -81,8 +90,14 @@ def _fused_to_runtensor(rt: RunTensor, fused_ids, fused_scores, name: str) -> Ru
 
 
 def _k_out(rt: RunTensor, k_out: Optional[int]) -> int:
-    cap = int(config.tpu.fusion.max_candidates)
-    return min(k_out or rt.R * rt.K, rt.R * rt.K, cap)
+    """Output depth: an EXPLICIT k_out is honored up to the R*K candidate
+    bound (the kernel cannot emit more candidates than exist);
+    config.tpu.fusion.max_candidates only caps the DEFAULT depth —
+    silently truncating a requested depth broke evaluations deeper than
+    the config cap (e.g. R@1000 on a 512-cap)."""
+    if k_out:
+        return min(k_out, rt.R * rt.K)
+    return min(rt.R * rt.K, int(config.tpu.fusion.max_candidates))
 
 
 def combsum(rt: RunTensor, weights=None, k_out: Optional[int] = None, name: str = "combsum") -> RunTensor:

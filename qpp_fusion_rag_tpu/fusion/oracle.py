@@ -78,4 +78,5 @@ def oracle_report(
         "best_single": best_single,
         "headroom": sel["oracle_metric"] - best_single,
         "selection_histogram": sel["histogram"],
+        "selection": sel["selection"],
     }

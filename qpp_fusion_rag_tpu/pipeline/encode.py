@@ -71,11 +71,28 @@ def main(argv=None) -> int:
         all_docnos.extend(docnos)
         part = parts / f"emb_{ci:05d}.npy"
         if part.exists():  # resume (reference .npy cache semantics)
-            continue
+            # validate the cached part: a kill mid-save leaves a
+            # truncated file, and a changed corpus silently misaligns
+            # rows with docnos — row count is a cheap header read
+            try:
+                cached = np.load(part, mmap_mode="r")
+                if cached.shape[0] == len(docnos):
+                    continue
+                print(f"[encode] chunk {ci}: cached part has "
+                      f"{cached.shape[0]} rows, corpus chunk has "
+                      f"{len(docnos)} — re-encoding")
+            except Exception:
+                print(f"[encode] chunk {ci}: cached part unreadable — "
+                      "re-encoding")
         embs = []
         for i in range(0, len(texts), batch_size):
             embs.append(encoder(texts[i : i + batch_size]))
-        np.save(part, np.concatenate(embs).astype(np.float16))
+        # tmp keeps the .npy suffix (np.save appends it otherwise) and a
+        # prefix the finalize glob (emb_*.npy) does NOT match, so a kill
+        # between save and replace cannot leak a tmp into the concat
+        tmp = part.with_name("tmp_" + part.name)
+        np.save(tmp, np.concatenate(embs).astype(np.float16))
+        tmp.replace(part)          # atomic: no truncated parts on kill
         print(f"[encode] chunk {ci}: {len(texts)} docs "
               f"({len(all_docnos) / max(time.time() - t0, 1e-9):.0f} docs/s)")
 

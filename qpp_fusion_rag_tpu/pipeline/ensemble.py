@@ -172,11 +172,10 @@ def score_candidates(
     if scale_vals is not None:
         s = s * scale_vals
     s = jnp.where(cand_ids >= 0, s, -jnp.inf)
-    ids = jnp.broadcast_to(jnp.where(cand_ids >= 0, cand_ids, -1), s.shape)
+    ids = jnp.broadcast_to(cand_ids, s.shape)   # pad value is already -1
     # key/payload sort: ~2x the argsort + 2x take_along_axis formulation
     # at [2, 1024, 100] on v5e (one permute instead of sort+two gathers)
-    neg, out_ids = jax.lax.sort(
-        (-s, jnp.broadcast_to(ids, s.shape)), dimension=-1, num_keys=1)
+    neg, out_ids = jax.lax.sort((-s, ids), dimension=-1, num_keys=1)
     return -neg, out_ids
 
 
@@ -238,7 +237,7 @@ def fuse_tail(
     weights from a QPP column or a learned MLP over the 5x13 features."""
     norm = F._row_minmax(vals, ids >= 0, fill=-jnp.inf)
     if mlp_params is not None:
-        from qpp_fusion_rag_tpu.pipeline.engine import mlp_apply
+        from qpp_fusion_rag_tpu.models.mlp import mlp_apply
 
         R, B, M = qpp.shape
         feats = jnp.transpose(qpp, (1, 0, 2)).reshape(B, R * M)

@@ -26,7 +26,7 @@ def main(argv=None) -> int:
 
     from qpp_fusion_rag_tpu.data.loaders import load_qrels
     from qpp_fusion_rag_tpu.data.runtensor import RunTensor
-    from qpp_fusion_rag_tpu.fusion.oracle import oracle_report, oracle_run, oracle_selection
+    from qpp_fusion_rag_tpu.fusion.oracle import oracle_report, oracle_run
 
     rt = RunTensor.from_trec_dir(args.runs_dir, use_normalized=True)
     qrels = load_qrels(args.qrels)
@@ -40,8 +40,9 @@ def main(argv=None) -> int:
     print(f"[oracle] selections:  {rep['selection_histogram']}")
 
     if args.write_run:
-        sel = oracle_selection(rt, qrels, metric=args.metric)
-        orun = oracle_run(rt, sel["selection"])
+        # reuse the selection oracle_report already computed (the R x Q
+        # per-query metric matrix is the dominant cost)
+        orun = oracle_run(rt, rep["selection"])
         orun.write_trec(0, args.write_run, tag="oracle")
         print(f"[oracle] run -> {args.write_run}")
     if args.output:

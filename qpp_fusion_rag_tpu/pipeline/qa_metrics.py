@@ -35,7 +35,10 @@ JUDGE_SYSTEM = (
 )
 
 
-def judge_rating(op, query: str, answer: str, references: List[str]) -> float:
+def judge_rating(op, query: str, answer: str, references: List[str]):
+    """-> rating in [1, 5], or None when the judge's reply contains no
+    parseable in-range number (refusals/verbose output) — a 0.0 here
+    would drag the aggregated mean below the scale floor."""
     user = (
         f"Question: {query}\nReference answer(s): {'; '.join(references)}\n"
         f"Candidate answer: {answer}\nRating:"
@@ -48,7 +51,7 @@ def judge_rating(op, query: str, answer: str, references: List[str]) -> float:
                 return v
         except ValueError:
             continue
-    return 0.0
+    return None
 
 
 def main(argv=None) -> int:
@@ -100,7 +103,9 @@ def main(argv=None) -> int:
                     cosine(embs[0], e) for e in embs[1:]
                 ) if len(embs) > 1 else 0.0
             if judge_op is not None and answer:
-                metrics["llm_judge"] = judge_rating(judge_op, rec["query"], answer, refs)
+                rating = judge_rating(judge_op, rec["query"], answer, refs)
+                if rating is not None:
+                    metrics["llm_judge"] = rating
             r["metrics"] = metrics
             per_k.setdefault(k, []).append(metrics)
 
