@@ -112,13 +112,10 @@ class SparseIndex(PackedEngineMixin):
         if self.params.get("quantized"):
             return self
         assert bits == 8, "only 8-bit quantization is supported"
+        from qpp_fusion_rag_tpu.ops.sparse import term_scales_from_csr
+
         counts = np.diff(self.offsets).astype(np.int64)
-        nonempty = counts > 0
-        maxima = np.zeros(self.num_terms, dtype=np.float32)
-        if len(self.weights):
-            # postings are impact-ordered desc per term -> max is the first
-            maxima[nonempty] = self.weights[self.offsets[:-1][nonempty]]
-        scales = np.where(maxima > 0, maxima / 255.0, 1.0).astype(np.float32)
+        scales = term_scales_from_csr(self.weights, self.offsets)
         per_posting_scale = np.repeat(scales, counts)
         q = np.clip(
             np.round(self.weights / np.maximum(per_posting_scale, 1e-12)), 0, 255

@@ -286,7 +286,15 @@ def _packed_windows(packed, s_clamped, cap, dma_gather):
 
     dma_gather None = auto: the Pallas DMA kernel on TPU when shapes
     allow (ops.pallas.window_gather — 8.7 vs 38.6 ms for 16384x2048
-    windows on v5e), else the vmapped dynamic_slice fallback."""
+    windows on v5e), else the vmapped dynamic_slice fallback.
+
+    LAYOUT CONTRACT: the DMA path clamps window starts one extra ALIGN
+    block earlier than the fallback (the aligned fetch needs cap+ALIGN
+    slack), so `packed` MUST carry pad_for_gather's tail slack — always
+    true for pack_postings/pack_postings_presorted output. A hand-built
+    array that merely happens to be 1024-aligned passes the auto checks
+    but would silently lose up to cap+ALIGN tail postings on terms whose
+    windows end near the array tail; build through the packers."""
     from qpp_fusion_rag_tpu.ops.pallas import window_gather as WG
 
     B, Tq = s_clamped.shape
@@ -527,7 +535,9 @@ def pack_doc_vectors(
     flat_weights = np.asarray(flat_weights, dtype=np.float32)
     T = len(offsets) - 1
     sentinel_term = (1 << (31 - imp_bits)) - 1
-    if T >= sentinel_term:
+    # term ids are 0..T-1, so the sentinel collides only when T - 1
+    # reaches it (T == sentinel is fine: max real id is sentinel - 1)
+    if T > sentinel_term:
         raise ValueError(
             f"doc-vector packing with imp_bits={imp_bits} needs term ids "
             f"< 2^{31 - imp_bits} - 1; lower imp_bits (doc_vector_imp_bits)")
@@ -598,7 +608,13 @@ def sparse_exact_rescore(
 
     sort_ids=True pre-sorts candidates by doc id so the row gather walks
     HBM in ascending address order (candidate order is irrelevant — the
-    final top_k re-ranks; -1 pads sort first and stay masked)."""
+    final top_k re-ranks; -1 pads sort first and stay masked).
+
+    PRECONDITION: cand_ids contains each doc at most once per row (the
+    q8/q8r pools guarantee this — one run-last per doc). Duplicates are
+    rescored identically and would occupy multiple top-k slots; callers
+    merging pools from several generators must dedupe first (as
+    _rescore_pool does)."""
     B, C = cand_ids.shape
     if sort_ids:
         cand_ids = jax.lax.sort(cand_ids, dimension=-1)
@@ -974,6 +990,14 @@ def sparse_score_topk_q8_certified(
     slack_in = jnp.where(jnp.isfinite(nxt), ret_lb - (nxt + eps_pool), jnp.inf)
     slack = jnp.minimum(slack_out, slack_in)
     certified = jnp.isfinite(kth) & (slack >= 0.0)
+    if not bit_used and M * 255 >= (1 << 24):
+        # the f32 cumsum fallback is integer-exact only while the row's
+        # total q8 mass stays below 2^24 (every partial sum representable);
+        # M*255 bounds that mass statically. Beyond it, rounding is NOT
+        # covered by eps_q8's fixed +2-unit headroom (realistic at
+        # escalated p_cap), so a certificate would be unsound — refuse,
+        # and let callers escalate to the exhaustive pass
+        certified = jnp.zeros_like(certified)
     return scores, ids, certified, slack
 
 
