@@ -273,4 +273,74 @@ int32_t qpp_idx_query_terms(void* h, const char* text, int32_t* ids,
   return n;
 }
 
+// Stem a single lowercase token with the same Porter stemmer the index
+// builder uses (porter.hpp). Returns the stemmed length; `out` must hold
+// at least strlen(in)+1 bytes (stemming never grows a token).
+int32_t qpp_stem(const char* in, char* out) {
+  static thread_local porter::Stemmer stemmer;
+  std::string s = stemmer.stem(in);
+  std::memcpy(out, s.c_str(), s.size() + 1);
+  return static_cast<int32_t>(s.size());
+}
+
+// ---------------------------------------------------------------------------
+// Terrier BitPostingIndex decoder (data.inverted.bf / data.direct.bf).
+//
+// The reference serves BM25 from a Terrier 5.x on-disk index built by
+// PyTerrier (reference scripts/01_index.py:36-72); its posting lists are
+// bit-compressed by org.terrier.compression.bit.BitOut: per entry a
+// gamma-coded id gap (previous id starts at -1) followed by a unary-coded
+// term frequency. Bits fill each byte MSB-first; unary is
+// zeros-terminated-by-one (value = zeros + 1); gamma is unary(len) then
+// len-1 explicit low bits below an implicit leading one.
+//
+// Decodes all `n_terms` posting lists (df[i] entries each, list i starting
+// at byte_off[i]/bit_off[i]) into CSR order. Returns the number of postings
+// written, or -(i+1) if list i ran past the buffer or produced an id outside
+// [0, max_docid).
+int64_t qpp_terrier_decode(const uint8_t* buf, int64_t buf_len,
+                           const int64_t* byte_off, const uint8_t* bit_off,
+                           const int32_t* dfs, int64_t n_terms,
+                           int32_t max_docid,
+                           int32_t* out_docids, int32_t* out_tfs) {
+  const int64_t total_bits = buf_len * 8;
+  int64_t w = 0;
+  for (int64_t i = 0; i < n_terms; ++i) {
+    int64_t pos = byte_off[i] * 8 + bit_off[i];
+    bool bad = false;
+    auto read_bit = [&]() -> int {
+      if (pos >= total_bits) { bad = true; return 1; }
+      int v = (buf[pos >> 3] >> (7 - (pos & 7))) & 1;
+      ++pos;
+      return v;
+    };
+    auto read_unary = [&]() -> int64_t {
+      int64_t n = 1;
+      while (!read_bit()) {
+        if (bad || n > total_bits) { bad = true; return 0; }
+        ++n;
+      }
+      return n;
+    };
+    auto read_gamma = [&]() -> int64_t {
+      int64_t u = read_unary() - 1;
+      if (bad || u > 62) { bad = true; return 0; }
+      int64_t v = 1;
+      for (int64_t k = 0; k < u; ++k) v = (v << 1) | read_bit();
+      return v;
+    };
+    int64_t prev = -1;
+    for (int32_t j = 0; j < dfs[i]; ++j) {
+      int64_t id = prev + read_gamma();
+      int64_t tf = read_unary();
+      if (bad || id < 0 || id >= max_docid) return -(i + 1);
+      out_docids[w] = static_cast<int32_t>(id);
+      out_tfs[w] = static_cast<int32_t>(tf);
+      ++w;
+      prev = id;
+    }
+  }
+  return w;
+}
+
 }  // extern "C"
