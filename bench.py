@@ -187,8 +187,7 @@ def _tpu_probe(probe_timeout=240) -> str:
     SUBPROCESS with a hard timeout: when the remote-TPU tunnel is down,
     init hangs indefinitely (observed >300 s), which would wedge the
     whole benchmark. A bounded probe lets the main process fall back to
-    the (clearly labeled) CPU path. One try: a healthy tunnel answers in
-    well under the timeout, and a dead one rarely revives within it."""
+    the (clearly labeled) CPU path."""
     import subprocess
 
     try:
@@ -203,15 +202,76 @@ def _tpu_probe(probe_timeout=240) -> str:
     return "no-tpu" if r.returncode == 0 else "unreachable"
 
 
+def wait_for_tpu(max_wait_s=1800.0, interval_s=150.0, probe=_tpu_probe,
+                 sleep=time.sleep, clock=time.monotonic) -> str:
+    """Bounded retry loop around `_tpu_probe` (round-3 lesson: one flaky
+    probe cost the round its TPU headline — VERDICT r3 Weak #1). Re-probes
+    every `interval_s` until the tunnel answers or `max_wait_s` elapses.
+    A "no-tpu" host answer is terminal (retrying won't grow a chip);
+    "unreachable" means the tunnel might come back, so keep trying."""
+    deadline = clock() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        status = probe()
+        if status != "unreachable":
+            if attempt > 1:
+                log(f"TPU probe '{status}' on attempt {attempt}")
+            return status
+        remaining = deadline - clock()
+        if remaining <= 0:
+            log(f"TPU unreachable after {attempt} probes — giving up")
+            return "unreachable"
+        nap = min(interval_s, remaining)
+        log(f"TPU unreachable (attempt {attempt}); retrying in {nap:.0f}s "
+            f"({remaining:.0f}s left in the wait budget)")
+        sleep(nap)
+
+
+PARTIAL_PATH = "/root/repo/cache/bench_partial.json"
+
+
+def persist_partial(section: str, payload) -> None:
+    """Append each completed sub-bench to cache/bench_partial.json so a
+    mid-bench tunnel drop still leaves the finished sections on disk."""
+    import os
+
+    try:
+        data = {}
+        if os.path.exists(PARTIAL_PATH):
+            with open(PARTIAL_PATH) as f:
+                data = json.load(f)
+        data[section] = payload
+        data["ts"] = time.time()
+        os.makedirs(os.path.dirname(PARTIAL_PATH), exist_ok=True)
+        with open(PARTIAL_PATH, "w") as f:
+            json.dump(data, f, indent=1)
+    except Exception as e:  # persistence must never kill the bench
+        log(f"partial persist failed: {e}")
+
+
 def main() -> None:
-    probe = _tpu_probe()
+    import os
+
+    wait = "--no-wait-tpu" not in sys.argv
+    max_wait = float(os.environ.get("BENCH_TPU_MAX_WAIT_S", "1800"))
+    if os.path.exists(PARTIAL_PATH):
+        os.remove(PARTIAL_PATH)
+    probe = wait_for_tpu(max_wait_s=max_wait if wait else 0.0)
     if probe != "tpu":
         log(f"TPU {probe} — falling back to the small CPU workload")
         jax.config.update("jax_platforms", "cpu")
     dev = jax.devices()[0]
     on_tpu = dev.platform == "tpu"
+    persist_partial("device", {"kind": dev.device_kind, "probe": probe})
     ens = bench_ensemble(on_tpu)
-    dense_qps = bench_dense(on_tpu)
+    persist_partial("ensemble", ens)
+    try:
+        dense_qps = bench_dense(on_tpu)
+    except Exception as e:
+        log(f"dense flagship bench failed ({e}); carrying ensemble result")
+        dense_qps = float("nan")
+    persist_partial("dense_flagship_qps", dense_qps)
     out = {
         "metric": "heterogeneous_ensemble_qps_per_chip",
         "value": round(ens["qps"], 1),
