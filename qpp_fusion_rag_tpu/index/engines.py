@@ -112,7 +112,7 @@ class PackedEngineMixin:
             scores, ids = sparse_score_topk_q8_rescored(
                 packed, offs, pscales, dp, ds, q_terms, q_weights,
                 k=k, p_cap=p_cap,
-                candidates=min(candidates, max(k, self.num_docs)),
+                candidates=min(max(candidates, k), max(self.num_docs, 1)),
                 imp_bits=bits, presorted=presorted)
         elif engine == "q8":
             scores, ids = sparse_score_topk_q8(

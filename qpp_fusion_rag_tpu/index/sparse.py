@@ -345,7 +345,8 @@ class SparseIndex(PackedEngineMixin):
             s, i, ok, _slack = sparse_score_topk_q8_certified(
                 packed, offs, pscales, dp, ds,
                 q_terms[sel], q_weights[sel], k=k, p_cap=cap,
-                candidates=min(cand, max(k, self.num_docs)), imp_bits=bits)
+                candidates=min(max(cand, k), max(self.num_docs, 1)),
+                imp_bits=bits)
             s, i = np.asarray(s), np.asarray(i)
             ok = np.asarray(ok)[: len(pending)]
             done = pending[ok]

@@ -251,6 +251,10 @@ class ShardedEnsembleIndexes(NamedTuple):
     corpus_rows: jnp.ndarray      # [Np, D] int8
     d_scale: jnp.ndarray          # [1, Np] f32
     doc_base: jnp.ndarray         # [S] int32 global id of shard-local doc 0
+    # metadata (host int, stripped before shard_map): imp_bits the
+    # *_doc_packed fields were built with; sharded_ensemble_step inherits
+    # it and rejects a conflicting explicit doc_imp_bits
+    doc_imp_bits: Optional[int] = None
 
 
 def shard_ensemble_indexes(
@@ -326,10 +330,10 @@ def shard_ensemble_indexes(
         for s in range(n_shards):
             packed[s, : len(packed_l[s])] = packed_l[s]
             doc_packed[s, :, : dp_l[s].shape[1]] = dp_l[s]
-        if presorted_cap > 0 and int(offsets_out.max()) >= 2**31:
+        if int(offsets_out.max()) >= 2**31:
             raise OverflowError(
-                "a shard's presorted dual layout exceeds the int32 device-"
-                "index range; use more shards")
+                "a shard's posting layout exceeds the int32 device-index "
+                "range; use more shards")
         return (packed, np.stack(scales_l), offsets_out.astype(np.int32),
                 doc_packed, np.stack(ds_l), doc_base)
 
@@ -358,6 +362,7 @@ def shard_ensemble_indexes(
         corpus_int=jnp.transpose(rows_int), corpus_rows=rows,
         d_scale=row_scale.reshape(1, -1),
         doc_base=jnp.asarray(doc_base),
+        doc_imp_bits=doc_imp_bits,
     )
 
 
@@ -381,7 +386,7 @@ def sharded_ensemble_step(
     sparse_candidates: int = 0,
     mlp_params=None,
     qpp_norm_stats=None,
-    doc_imp_bits: int = 8,
+    doc_imp_bits: Optional[int] = None,
     dense_rescore_pool: int = 0,
     sparse_presorted: bool = False,
 ):
@@ -404,6 +409,11 @@ def sharded_ensemble_step(
     a round-trip reshard.
     -> (fused_ids [B, k_out], fused_scores [B, k_out], qpp [5, B, 13]).
     """
+    from qpp_fusion_rag_tpu.pipeline.ensemble import resolve_doc_imp_bits
+
+    doc_imp_bits = resolve_doc_imp_bits(idx.doc_imp_bits, doc_imp_bits)
+    if idx.doc_imp_bits is not None:
+        idx = idx._replace(doc_imp_bits=None)
     if sparse_presorted:
         from qpp_fusion_rag_tpu.ops.sparse import validate_presorted_cap
 

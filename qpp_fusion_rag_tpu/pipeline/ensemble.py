@@ -71,6 +71,12 @@ class EnsembleIndexes(NamedTuple):
     bm25_doc_scale: Optional[jnp.ndarray] = None     # [N] f32
     splade_doc_packed: Optional[jnp.ndarray] = None  # [N, Td2] int32
     splade_doc_scale: Optional[jnp.ndarray] = None   # [N] f32
+    # metadata, not a device leaf: the imp_bits the doc_packed fields were
+    # built with (ops.sparse.pack_doc_vectors). The step entry points
+    # inherit it and refuse a conflicting explicit doc_imp_bits — a
+    # mismatch mis-splits the packed term/impact fields and silently
+    # corrupts rescored scores. Stripped (set to None) before tracing.
+    doc_imp_bits: Optional[int] = None
 
 
 # =============================================================================
@@ -316,15 +322,36 @@ def _ensemble_retrieval_step(
     return fused_ids, fused_scores, qpp
 
 
+def resolve_doc_imp_bits(idx_bits, kw_bits, default: int = 8) -> int:
+    """Reconcile the imp_bits recorded on an index NamedTuple with an
+    explicitly passed doc_imp_bits: inherit the recorded value when the
+    caller didn't pass one, and refuse a conflict (a wrong imp_bits
+    mis-splits pack_doc_vectors' term/impact bit fields and corrupts
+    rescored scores with no error)."""
+    if idx_bits is None:
+        return default if kw_bits is None else kw_bits
+    if kw_bits is not None and kw_bits != idx_bits:
+        raise ValueError(
+            f"doc_imp_bits={kw_bits} conflicts with the index's packed "
+            f"doc vectors (built with imp_bits={idx_bits})")
+    return idx_bits
+
+
 def ensemble_retrieval_step(idx, *args, **kw):
-    """Host-side front door for the jitted step: with
+    """Host-side front door for the jitted step: (a) with
     sparse_presorted=True, verify p_cap covers the dual layout's build
     cap BEFORE tracing (a smaller p_cap silently reads doc-id-prefix
     subsets — the same guard sharded_ensemble_step applies); the check
     is weakref-cached per offsets array, so steady-state serving pays
-    nothing. See _ensemble_retrieval_step for the full signature."""
+    nothing; (b) reconcile doc_imp_bits with the value recorded on the
+    index (resolve_doc_imp_bits) and strip the metadata field before
+    tracing. See _ensemble_retrieval_step for the full signature."""
     import inspect
 
+    kw["doc_imp_bits"] = resolve_doc_imp_bits(
+        idx.doc_imp_bits, kw.get("doc_imp_bits"))
+    if idx.doc_imp_bits is not None:
+        idx = idx._replace(doc_imp_bits=None)
     try:
         bound = inspect.signature(_ensemble_retrieval_step).bind(
             idx, *args, **kw)

@@ -76,7 +76,11 @@ def _cell_xml(ref: str, value) -> str:
         # representation in OOXML — write them as inline strings
         v = float(value)
         if math.isfinite(v):
-            iv = int(v)
+            # take the integer-literal branch only within the float53
+            # exactly-representable range: 1e300 as a 301-digit literal
+            # exceeds Excel's 15-digit numeric precision and breaks
+            # stricter OOXML readers
+            iv = int(v) if abs(v) < 2.0 ** 53 else None
             return (f'<c r="{ref}"><v>{iv if iv == v else v!r}</v></c>')
         value = str(v)
     # XML 1.0 forbids most control chars outright (escape() keeps them)
