@@ -356,7 +356,14 @@ class TerrierIndex:
                 for r, d in enumerate(order)]
 
     def to_sparse_index(self, k1: float = 1.2, b: float = 0.75):
-        """Import into the TPU-native SparseIndex (CSR, device-servable)."""
+        """Import into the TPU-native SparseIndex (CSR, device-servable).
+
+        Terrier's inverted file stores postings in DOC-ID order; the
+        SparseIndex serving kernels expect IMPACT order within each term
+        (p_cap prunes each list's tail, and the q8 engines' MaxScore-
+        style bounds read each run's head), so every run is re-sorted by
+        descending BM25 weight here (stable, so doc-id order breaks
+        ties — deterministic imports)."""
         from qpp_fusion_rag_tpu.index.sparse import SparseIndex
 
         w = self.bm25_weights(k1=k1, b=b)
@@ -366,9 +373,13 @@ class TerrierIndex:
             warnings.warn(
                 "Terrier BM25 idf went negative for high-df terms; use the "
                 "'exact' engine (q8/q8r clamp negatives)")
+        # impact-order each term's run: stable argsort of -w within runs
+        term_of = np.repeat(np.arange(self.num_terms, dtype=np.int64),
+                            np.diff(self.offsets))
+        order = np.lexsort((self.docids, -w.astype(np.float64), term_of))
         return SparseIndex(
-            self.offsets, self.docids, w, self.doc_lens, self.docnos,
-            "\n".join(self.terms),
+            self.offsets, self.docids[order], w[order], self.doc_lens,
+            self.docnos, "\n".join(self.terms),
             params={"kind": "terrier_bm25", "k1": k1, "b": b,
                     "terrier_version":
                         self.properties.get("index.terrier.version", "?")},

@@ -142,17 +142,24 @@ _MAX_DMA_CAP = 4096  # largest p_cap the DMA gather pads for
 def term_scales_from_csr(flat_weights: np.ndarray,
                          offsets: np.ndarray) -> np.ndarray:
     """Anserini-style per-term 8-bit quantization grid: scale = max
-    impact / 255, with 1.0 for empty lists. Lists are impact-ordered so
-    the max is each run's FIRST posting. The ONE derivation — the
-    sharded packer reuses it so shard grids match the single-chip grid
-    bit-for-bit."""
+    impact / 255, with 1.0 for empty lists. The max is computed over the
+    WHOLE run, not assumed to be the first posting: an index imported in
+    doc-id order (e.g. a decoded Terrier inverted file) would otherwise
+    get an underestimated scale and CLAMP its strongest impacts at 255 —
+    measured as a 30% top-1 score loss on the real SciFact index before
+    this was order-proofed. For impact-ordered lists the grid is
+    unchanged. The ONE derivation — the sharded packer reuses it so
+    shard grids match the single-chip grid bit-for-bit."""
     offsets = np.asarray(offsets, dtype=np.int64)
     flat_weights = np.asarray(flat_weights, dtype=np.float32)
     T = len(offsets) - 1
     counts = np.diff(offsets)
     maxima = np.zeros(T, dtype=np.float32)
     nonempty = counts > 0
-    maxima[nonempty] = flat_weights[offsets[:-1][nonempty]]
+    if nonempty.any():
+        run_max = np.maximum.reduceat(flat_weights,
+                                      offsets[:-1][nonempty])
+        maxima[nonempty] = run_max
     return np.where(maxima > 0, maxima / 255.0, 1.0).astype(np.float32)
 
 

@@ -69,3 +69,38 @@ def test_xlsx_large_floats_stay_float_literals():
     assert "<v>5</v>" in _cell_xml("A1", 5.0)
     assert "<v>2.5</v>" in _cell_xml("A1", 2.5)
     assert "<v>-1e+300</v>" in _cell_xml("A1", -1e300)
+
+
+def test_term_scales_order_independent():
+    """Real-data bug (round 4): term_scales_from_csr assumed impact-
+    ordered runs and read each run's FIRST weight as its max; a doc-id-
+    ordered import (decoded Terrier inverted file) then clamped strong
+    impacts at 255 (30% top-1 score loss on real SciFact). Scales must
+    be identical however runs are ordered."""
+    from qpp_fusion_rag_tpu.ops.sparse import term_scales_from_csr
+
+    offsets = np.array([0, 3, 3, 7])
+    w_impact = np.array([9.0, 4.0, 1.0, 5.0, 3.0, 2.0, 0.5], np.float32)
+    w_docid = np.array([1.0, 9.0, 4.0, 0.5, 5.0, 2.0, 3.0], np.float32)
+    s1 = term_scales_from_csr(w_impact, offsets)
+    s2 = term_scales_from_csr(w_docid, offsets)
+    np.testing.assert_allclose(s1, s2)
+    np.testing.assert_allclose(s1, [9.0 / 255, 1.0, 5.0 / 255], rtol=1e-6)
+
+
+def test_terrier_import_is_impact_ordered():
+    from pathlib import Path
+
+    ref = Path("/root/reference/data/scifact/index/pyterrier")
+    if not (ref / "data.properties").exists():
+        pytest.skip("reference index unavailable")
+    from qpp_fusion_rag_tpu.index.terrier import TerrierIndex
+
+    idx = TerrierIndex.load(ref).to_sparse_index()
+    off = np.asarray(idx.offsets)
+    w = np.asarray(idx.weights)
+    # every run non-increasing
+    inner = np.ones(len(w), bool)
+    inner[off[1:-1]] = False  # run starts may rise
+    drops = np.diff(w) <= 1e-6
+    assert (drops | ~inner[1:]).all()
