@@ -243,3 +243,141 @@ def table_figure(
         if title:
             ax.set_title(title, pad=10)
     return fig
+
+
+class ResearchFigure:
+    """Context manager for publication-ready figures (reference
+    src/visualization.py:145-190): applies the compact style, yields a
+    matplotlib Figure, and on clean exit saves it to ``output_path`` in
+    every requested format (reference saved pdf+png at dpi=300).
+
+        with ResearchFigure(size="single", output_path="fig1.pdf") as fig:
+            ax = fig.add_subplot(111)
+            ax.plot(x, y)
+    """
+
+    SIZES = {
+        "single": (3.25, 2.5),   # one column
+        "double": (6.75, 2.5),   # full width
+        "square": (3.25, 3.25),
+    }
+
+    def __init__(self, size: str = "single", figsize=None,
+                 output_path=None, formats: Sequence[str] = ("pdf", "png"),
+                 dpi: int = 300):
+        self.figsize = figsize or self.SIZES.get(size, (3.25, 2.5))
+        self.output_path = output_path
+        self.formats = list(formats)
+        self.dpi = dpi
+        self.fig = None
+        self._style = None
+
+    def __enter__(self):
+        self._style = FigureStyle()
+        self._style.__enter__()
+        self.fig = plt.figure(figsize=self.figsize)
+        return self.fig
+
+    def __exit__(self, exc_type, exc_val, exc_tb):
+        try:
+            if exc_type is None and self.output_path:
+                self.save()
+        finally:
+            plt.close(self.fig)
+            self._style.__exit__(exc_type, exc_val, exc_tb)
+
+    def save(self):
+        return save_figure(self.fig, self.output_path,
+                           formats=self.formats, dpi=self.dpi)
+
+
+def _as_table(data):
+    """DataFrame | {row: {col: val}} | list[dict] -> (columns, rows)."""
+    if hasattr(data, "columns") and hasattr(data, "itertuples"):
+        cols = [str(c) for c in data.columns]
+        rows = [list(t) for t in data.itertuples(index=False, name=None)]
+        return cols, rows
+    if isinstance(data, dict):  # {row_name: {col: val}}
+        cols = ["Method"] + sorted({c for v in data.values() for c in v})
+        rows = [[name] + [v.get(c, "") for c in cols[1:]]
+                for name, v in data.items()]
+        return cols, rows
+    if isinstance(data, (list, tuple)) and data and isinstance(data[0], dict):
+        cols = list(data[0].keys())
+        return [str(c) for c in cols], [[r.get(c, "") for c in cols]
+                                        for r in data]
+    raise TypeError(f"unsupported table input {type(data)!r}")
+
+
+def table_comparison(data, output_path=None, caption: str = "",
+                     label: str = "", highlight_best: bool = True,
+                     highlight_cols=None, precision: int = 4,
+                     format_type: str = "latex") -> str:
+    """Publication table, LaTeX (booktabs) or Markdown, with the best
+    value per numeric column bolded (reference src/visualization.py
+    :374-460). Accepts a pandas DataFrame, {row: {col: val}}, or a list
+    of dicts."""
+    cols, rows = _as_table(data)
+    numeric = [j for j in range(len(cols))
+               if all(isinstance(r[j], (int, float)) and
+                      not isinstance(r[j], bool) for r in rows) and rows]
+    hl = set(numeric if highlight_cols is None
+             else [cols.index(c) for c in highlight_cols if c in cols])
+
+    def fmt(v, j):
+        if j in numeric:
+            best = highlight_best and j in hl and v == max(r[j] for r in rows)
+            s = f"{v:.{precision}f}"
+            if best:
+                return (f"\\textbf{{{s}}}" if format_type == "latex"
+                        else f"**{s}**")
+            return s
+        return str(v)
+
+    body = [[fmt(v, j) for j, v in enumerate(r)] for r in rows]
+    if format_type == "latex":
+        lines = ["\\begin{table}[t]", "\\centering",
+                 f"\\caption{{{caption}}}"]
+        if label:
+            lines.append(f"\\label{{{label}}}")
+        lines += [f"\\begin{{tabular}}{{l{'c' * (len(cols) - 1)}}}",
+                  "\\toprule", " & ".join(cols) + " \\\\", "\\midrule"]
+        lines += [" & ".join(r) + " \\\\" for r in body]
+        lines += ["\\bottomrule", "\\end{tabular}", "\\end{table}"]
+        out = "\n".join(lines)
+    elif format_type == "markdown":
+        widths = [max(len(cols[j]), *(len(r[j]) for r in body)) if body
+                  else len(cols[j]) for j in range(len(cols))]
+        line = lambda cells: ("| " + " | ".join(
+            c.ljust(w) for c, w in zip(cells, widths)) + " |")
+        out = "\n".join([line(cols),
+                         "|" + "|".join("-" * (w + 2) for w in widths) + "|"]
+                        + [line(r) for r in body])
+    else:
+        raise ValueError(f"unknown format_type {format_type!r}")
+    if output_path:
+        p = Path(output_path)
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text(out + "\n")
+    return out
+
+
+def create_results_df(results, index_name: str = "Method"):
+    """{method: {metric: value}} -> DataFrame with methods as rows
+    (reference src/visualization.py:607-620)."""
+    import pandas as pd
+
+    df = pd.DataFrame(results).T
+    df.index.name = index_name
+    return df.reset_index()
+
+
+def format_improvement(baseline: float, improved: float,
+                       precision: int = 2) -> str:
+    """Relative-improvement percentage string, '+x.xx%' / '-x.xx%'
+    (reference src/visualization.py:624-631)."""
+    if baseline == 0:
+        return "N/A"
+    pct = (improved - baseline) / baseline * 100
+    sign = "+" if pct >= 0 else ""
+    return f"{sign}{pct:.{precision}f}%"

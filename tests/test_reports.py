@@ -110,3 +110,54 @@ def test_table_figure(tmp_path):
     )
     paths = save_figure(fig, tmp_path / "table", formats=("png",))
     assert paths[0].exists()
+
+
+def test_research_figure_saves_all_formats(tmp_path):
+    """reference src/visualization.py:145-190 parity."""
+    from qpp_fusion_rag_tpu.utils.visualization import ResearchFigure
+
+    out = tmp_path / "figs" / "f1.pdf"
+    with ResearchFigure(size="single", output_path=out) as fig:
+        ax = fig.add_subplot(111)
+        ax.plot([0, 1], [1, 2])
+    assert (tmp_path / "figs" / "f1.pdf").exists()
+    assert (tmp_path / "figs" / "f1.png").exists()
+    # an exception inside the body must NOT save
+    try:
+        with ResearchFigure(output_path=tmp_path / "figs" / "f2.pdf"):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert not (tmp_path / "figs" / "f2.pdf").exists()
+
+
+def test_table_comparison_latex_and_markdown(tmp_path):
+    """reference src/visualization.py:374-460 parity: best-per-column
+    bolding in both formats, file save."""
+    from qpp_fusion_rag_tpu.utils.visualization import table_comparison
+
+    res = {"combsum": {"nDCG@10": 0.494, "RR@10": 0.41},
+           "learned": {"nDCG@10": 0.5759, "RR@10": 0.50}}
+    tex = table_comparison(res, caption="NQ", label="tab:nq",
+                           output_path=tmp_path / "t.tex")
+    assert "\\textbf{0.5759}" in tex and "0.4940" in tex
+    assert "\\toprule" in tex and "\\label{tab:nq}" in tex
+    assert (tmp_path / "t.tex").exists()
+    md = table_comparison(res, format_type="markdown", precision=3)
+    assert "**0.576**" in md and "| combsum" in md
+
+
+def test_create_results_df_and_format_improvement():
+    """reference src/visualization.py:607-631 parity."""
+    from qpp_fusion_rag_tpu.utils.visualization import (
+        create_results_df, format_improvement, table_comparison)
+
+    res = {"a": {"m": 1.0}, "b": {"m": 2.0}}
+    df = create_results_df(res)
+    assert list(df.columns) == ["Method", "m"]
+    assert df.shape == (2, 2)
+    # DataFrame input accepted by table_comparison
+    assert "\\textbf{2.0000}" in table_comparison(df)
+    assert format_improvement(0.494, 0.5759) == "+16.58%"
+    assert format_improvement(1.0, 0.9) == "-10.00%"
+    assert format_improvement(0.0, 1.0) == "N/A"
