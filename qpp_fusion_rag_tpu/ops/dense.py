@@ -23,7 +23,10 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-NEG = jnp.float32(-jnp.inf)
+# plain Python float, NOT jnp.float32(...): a module-level jnp scalar
+# initializes the XLA backend at import time, which breaks
+# jax.distributed.initialize ordering on multi-host (multihost.py)
+NEG = float("-inf")
 
 # Default per-chunk recall for the approximate top-k path. On TPU,
 # `lax.approx_max_k` maps to a hardware-friendly partial-reduce that is

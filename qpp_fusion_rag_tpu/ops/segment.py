@@ -12,7 +12,10 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-SENTINEL = jnp.int32(2**31 - 1)
+# plain Python int, NOT jnp.int32(...): a module-level jnp scalar
+# initializes the XLA backend at import time, which breaks
+# jax.distributed.initialize ordering on multi-host (multihost.py)
+SENTINEL = 2**31 - 1
 
 
 def segmented_topk(
