@@ -359,3 +359,44 @@ def load_hf_bert(model_name_or_path: str, with_mlm: bool = False,
         model = transformers.AutoModel.from_pretrained(model_name_or_path)
     cfg = BertConfig.from_hf(model.config)
     return params_from_hf_state_dict(model.state_dict(), cfg), cfg
+
+
+def init_bert_params(key, cfg: BertConfig, scale: float = 0.02):
+    """Random-init parameter tree in the exact params_from_hf_state_dict
+    layout — for offline paths that need a *working* encoder without a
+    checkpoint (local embedding transport smoke runs, demos, tests).
+    Embeddings/kernels ~ N(0, scale); LayerNorms identity."""
+    import jax
+
+    keys = iter(jax.random.split(key, 16 + 8 * cfg.num_hidden_layers))
+
+    def mat(shape):
+        return np.asarray(
+            jax.random.normal(next(keys), shape, jnp.float32) * scale)
+
+    def lin(n_in, n_out):
+        return {"kernel": mat((n_in, n_out)),
+                "bias": np.zeros(n_out, np.float32)}
+
+    H, I = cfg.hidden_size, cfg.intermediate_size
+    params = {
+        "embeddings": {
+            "word": mat((cfg.vocab_size, H)),
+            "position": mat((cfg.max_position_embeddings, H)),
+            "token_type": mat((cfg.type_vocab_size, H)),
+            "ln_w": np.ones(H, np.float32),
+            "ln_b": np.zeros(H, np.float32),
+        },
+        "layers": [],
+    }
+    for _ in range(cfg.num_hidden_layers):
+        params["layers"].append({
+            "q": lin(H, H), "k": lin(H, H), "v": lin(H, H),
+            "attn_out": lin(H, H),
+            "attn_ln_w": np.ones(H, np.float32),
+            "attn_ln_b": np.zeros(H, np.float32),
+            "ffn_in": lin(H, I), "ffn_out": lin(I, H),
+            "ffn_ln_w": np.ones(H, np.float32),
+            "ffn_ln_b": np.zeros(H, np.float32),
+        })
+    return params

@@ -188,9 +188,8 @@ def gpt_logits(params, cfg: GPTConfig, ids: jnp.ndarray,
     return (x @ params["wte"].T.astype(x.dtype)).astype(jnp.float32)
 
 
-@partial(jax.jit, static_argnames=("cfg", "max_new"))
-def greedy_generate(params, cfg: GPTConfig, prompt_ids: jnp.ndarray,
-                    prompt_len: jnp.ndarray, max_new: int = 64):
+def _decode(params, cfg: GPTConfig, prompt_ids: jnp.ndarray,
+            prompt_len: jnp.ndarray, max_new: int, select, key):
     """Greedy decode -> (tokens [B, max_new] i32, n_generated [B]).
 
     prompt_ids [B, T_p] right-padded with anything (masked by prompt_len).
@@ -227,7 +226,8 @@ def greedy_generate(params, cfg: GPTConfig, prompt_ids: jnp.ndarray,
         [pos_mask, jnp.zeros((B, max_new), bool)], axis=1)
 
     def step(i, state):
-        tok_buf, cur_tok, caches, mask_full, done = state
+        tok_buf, cur_tok, caches, mask_full, done, key = state
+        key, sub = jax.random.split(key)
         tok = jnp.where(done, cfg.eos_token_id, cur_tok)
         # EOS itself must not land in the buffer (decode would emit a
         # literal '<|endoftext|>'): treat it as done for the write too
@@ -249,17 +249,77 @@ def greedy_generate(params, cfg: GPTConfig, prompt_ids: jnp.ndarray,
             new_caches.append(cache)
         x = _ln(x, params["ln_f"])
         logits = (x[:, 0] @ params["wte"].T.astype(dtype)).astype(jnp.float32)
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nxt = select(logits, sub).astype(jnp.int32)
         done = done | emitted_eos
-        return tok_buf, nxt, new_caches, mask_full, done
+        return tok_buf, nxt, new_caches, mask_full, done, key
 
-    tok0 = jnp.argmax(logits_last, axis=-1).astype(jnp.int32)
+    key, sub0 = jax.random.split(key)
+    tok0 = select(logits_last, sub0).astype(jnp.int32)
     tok_buf = jnp.full((B, max_new), -1, jnp.int32)
     done0 = jnp.zeros((B,), bool)
-    tok_buf, _, _, _, done = jax.lax.fori_loop(
-        0, max_new, step, (tok_buf, tok0, caches, mask_full, done0))
+    tok_buf, _, _, _, done, _ = jax.lax.fori_loop(
+        0, max_new, step, (tok_buf, tok0, caches, mask_full, done0, key))
     n_gen = jnp.sum(tok_buf >= 0, axis=1)
     return tok_buf, n_gen
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_new"))
+def greedy_generate(params, cfg: GPTConfig, prompt_ids: jnp.ndarray,
+                    prompt_len: jnp.ndarray, max_new: int = 64):
+    """Greedy decode -> (tokens [B, max_new] i32, n_generated [B]).
+
+    prompt_ids [B, T_p] right-padded with anything (masked by prompt_len).
+    Prefill computes the prompt KV cache in one pass; each new token is a
+    single-position step; EOS masks the tail (see _decode)."""
+    return _decode(params, cfg, prompt_ids, prompt_len, max_new,
+                   lambda logits, _key: jnp.argmax(logits, axis=-1),
+                   jax.random.PRNGKey(0))
+
+
+def filtered_sample(logits: jnp.ndarray, key, temperature: float = 0.8,
+                    top_p: float = 0.95, top_k: int = 0) -> jnp.ndarray:
+    """One sampling step over [B, V] logits: temperature scaling, optional
+    top-k truncation, then nucleus (top-p) truncation, categorical draw.
+    The reference exposes temperature through its LLM config (reference
+    src/generation.py:92-141, config/defaults.yaml llm.temperature);
+    top-p/top-k are the standard decoding companions. temperature <= 0
+    degenerates to argmax."""
+    if temperature <= 0.0:
+        return jnp.argmax(logits, axis=-1)
+    scaled = logits / jnp.float32(temperature)
+    sorted_desc = jnp.sort(scaled, axis=-1)[..., ::-1]
+    neg = jnp.float32(-1e30)
+    if top_k and top_k > 0:
+        kth = sorted_desc[..., min(top_k, scaled.shape[-1]) - 1][..., None]
+        scaled = jnp.where(scaled >= kth, scaled, neg)
+        sorted_desc = jnp.where(
+            jnp.arange(sorted_desc.shape[-1]) < top_k, sorted_desc, neg)
+    if top_p < 1.0:
+        probs = jax.nn.softmax(sorted_desc, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep tokens whose preceding cumulative mass is < top_p (the
+        # first token always survives)
+        keep = (cum - probs) < jnp.float32(top_p)
+        cutoff = jnp.min(jnp.where(keep, sorted_desc, jnp.inf),
+                         axis=-1, keepdims=True)
+        scaled = jnp.where(scaled >= cutoff, scaled, neg)
+    return jax.random.categorical(key, scaled, axis=-1)
+
+
+@partial(jax.jit,
+         static_argnames=("cfg", "max_new", "temperature", "top_p", "top_k"))
+def sample_generate(params, cfg: GPTConfig, prompt_ids: jnp.ndarray,
+                    prompt_len: jnp.ndarray, key, max_new: int = 64,
+                    temperature: float = 0.8, top_p: float = 0.95,
+                    top_k: int = 0):
+    """Stochastic decode (same contract as greedy_generate) with
+    temperature / nucleus / top-k filtering; `key` makes runs
+    reproducible. temperature <= 0 is exact greedy."""
+    return _decode(
+        params, cfg, prompt_ids, prompt_len, max_new,
+        lambda logits, k: filtered_sample(logits, k, temperature=temperature,
+                                          top_p=top_p, top_k=top_k),
+        key)
 
 
 # =============================================================================

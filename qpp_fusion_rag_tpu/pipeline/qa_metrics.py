@@ -59,6 +59,14 @@ def main(argv=None) -> int:
     ap.add_argument("--results", required=True, help="stage-07 results JSON (updated in place)")
     ap.add_argument("--gold-answers", required=True, help="{qid: [answers]} JSON")
     ap.add_argument("--semantic", action="store_true", help="embedding cosine similarity")
+    ap.add_argument("--semantic-backend", default="http",
+                    choices=["http", "local", "local-random"],
+                    help="embedding transport: LM-Studio-compatible HTTP "
+                         "(reference 08:138-172), an on-device JAX BERT "
+                         "checkpoint, or a random-init on-device encoder "
+                         "(offline smoke only)")
+    ap.add_argument("--embed-model", default=None,
+                    help="checkpoint path for --semantic-backend=local")
     ap.add_argument("--judge", action="store_true", help="LLM-judge 1-5 rating")
     args = ap.parse_args(argv)
 
@@ -79,15 +87,15 @@ def main(argv=None) -> int:
 
     ev = QAEvaluator()
     embed_op = judge_op = None
-    if args.semantic or args.judge:
-        from qpp_fusion_rag_tpu.generation.client import (
-            EmbeddingOperation,
-            GenerationOperation,
-        )
-        if args.semantic:
-            embed_op = EmbeddingOperation()
-        if args.judge:
-            judge_op = GenerationOperation()
+    if args.semantic:
+        from qpp_fusion_rag_tpu.generation.local_embed import make_embedding_op
+
+        embed_op = make_embedding_op(args.semantic_backend,
+                                     model=args.embed_model)
+    if args.judge:
+        from qpp_fusion_rag_tpu.generation.client import GenerationOperation
+
+        judge_op = GenerationOperation()
 
     per_k: Dict[str, List[Dict[str, float]]] = {}
     for qid, rec in data.get("results", {}).items():

@@ -230,3 +230,82 @@ def test_eos_token_not_in_decoded_output(tiny):
                                   jnp.asarray([8, 5], np.int32), max_new=10)
     toks = np.asarray(toks)
     assert (toks != cfg.eos_token_id).all()
+
+
+# -- sampling (VERDICT r3 task #6b: reference exposes temperature, ----------
+#    src/generation.py:92-141 + config/defaults.yaml llm.temperature) ------
+
+def _tiny():
+    import jax
+    from qpp_fusion_rag_tpu.generation.local_lm import (
+        GPTConfig, init_gpt_params)
+
+    cfg = GPTConfig(vocab_size=64, n_positions=32, hidden=16, layers=1,
+                    heads=2, eos_token_id=0)
+    return init_gpt_params(jax.random.PRNGKey(0), cfg), cfg
+
+
+def test_sample_generate_contract():
+    import jax
+    import jax.numpy as jnp
+    from qpp_fusion_rag_tpu.generation.local_lm import (
+        greedy_generate, sample_generate)
+
+    params, cfg = _tiny()
+    ids = jnp.ones((2, 5), jnp.int32)
+    pl = jnp.asarray([5, 3], jnp.int32)
+    g, _ = greedy_generate(params, cfg, ids, pl, max_new=6)
+    s1, n1 = sample_generate(params, cfg, ids, pl, jax.random.PRNGKey(7),
+                             max_new=6, temperature=1.0)
+    s2, _ = sample_generate(params, cfg, ids, pl, jax.random.PRNGKey(7),
+                            max_new=6, temperature=1.0)
+    s3, _ = sample_generate(params, cfg, ids, pl, jax.random.PRNGKey(8),
+                            max_new=6, temperature=1.0)
+    assert (np.asarray(s1) == np.asarray(s2)).all()      # per-key determinism
+    assert (np.asarray(s1) != np.asarray(s3)).any()      # key changes draw
+    g0, _ = sample_generate(params, cfg, ids, pl, jax.random.PRNGKey(9),
+                            max_new=6, temperature=0.0)
+    assert (np.asarray(g0) == np.asarray(g)).all()       # T=0 == greedy
+
+
+def test_filtered_sample_matches_distribution():
+    """logits -> distribution parity: empirical frequencies over many
+    draws match softmax of the temperature-scaled, top-p-truncated
+    logits."""
+    import jax
+    import jax.numpy as jnp
+    from qpp_fusion_rag_tpu.generation.local_lm import filtered_sample
+
+    logits = jnp.asarray([[2.0, 1.0, 0.0, -1.0, -8.0]], jnp.float32)
+    temperature, top_p = 0.7, 0.9
+    n = 20000
+    keys = jax.random.split(jax.random.PRNGKey(0), n)
+    draws = np.asarray(jax.vmap(
+        lambda k: filtered_sample(logits, k, temperature=temperature,
+                                  top_p=top_p))(keys)).ravel()
+    freq = np.bincount(draws, minlength=5) / n
+
+    scaled = np.asarray(logits[0]) / temperature
+    probs = np.exp(scaled - scaled.max())
+    probs /= probs.sum()
+    order = np.argsort(-probs)
+    cum = np.cumsum(probs[order])
+    keep = (cum - probs[order]) < top_p
+    expect = np.zeros(5)
+    expect[order[keep]] = probs[order[keep]]
+    expect /= expect.sum()
+    assert (freq[~(expect > 0)] == 0).all()              # truncated: never drawn
+    np.testing.assert_allclose(freq, expect, atol=0.015)
+
+
+def test_filtered_sample_top_k():
+    import jax
+    import jax.numpy as jnp
+    from qpp_fusion_rag_tpu.generation.local_lm import filtered_sample
+
+    logits = jnp.asarray([[5.0, 4.0, 3.0, 2.0, 1.0]], jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(1), 3000)
+    draws = np.asarray(jax.vmap(
+        lambda k: filtered_sample(logits, k, temperature=5.0, top_p=1.0,
+                                  top_k=2))(keys)).ravel()
+    assert set(np.unique(draws)) <= {0, 1}

@@ -337,3 +337,53 @@ def test_build_context_fetched_once_per_query(rag_world):
     h = RAGEvaluationHarness(g, CountingCorpus(corpus), qrels, k_shots=[1, 2, 3])
     h.run({"1": queries["1"]}, run)
     assert len(fetches) == len(set(fetches)) == 3  # top-3 docs, once each
+
+
+def test_qa_metrics_cli_semantic_local(tmp_path, rag_world):
+    """Stage 08 fully offline: --semantic with the on-device random-init
+    encoder (generation/local_embed.py) — no HTTP transport anywhere
+    (VERDICT r3 task #6; reference needs LM Studio here, 08:138-172)."""
+    from qpp_fusion_rag_tpu.generation.client import (
+        GenerationOperation, QAGenerator)
+    from qpp_fusion_rag_tpu.generation.rag_harness import RAGEvaluationHarness
+    from qpp_fusion_rag_tpu.pipeline import qa_metrics as qm
+
+    corpus, queries, qrels, run = rag_world
+    g = QAGenerator(GenerationOperation(transport=fake_transport_factory("fact1")))
+    h = RAGEvaluationHarness(g, corpus, qrels, k_shots=[1])
+    out = h.run(queries, run)
+    results_path = tmp_path / "f__m.json"
+    results_path.write_text(json.dumps(out))
+    gold_path = tmp_path / "gold.json"
+    gold_path.write_text(json.dumps({"1": ["fact1"], "2": ["fact2"]}))
+
+    rc = qm.main([
+        "--results", str(results_path), "--gold-answers", str(gold_path),
+        "--semantic", "--semantic-backend", "local-random",
+    ])
+    assert rc == 0
+    data = json.loads(results_path.read_text())
+    m = data["metrics_by_k"]["1"]
+    assert "semantic" in m and -1.0 - 1e-9 <= m["semantic"] <= 1.0 + 1e-9
+    # q1's answer string equals its gold -> identical embeddings, cos = 1
+    assert data["results"]["1"]["by_k"]["1"]["metrics"]["semantic"] == \
+        pytest.approx(1.0, abs=1e-5)
+
+
+def test_local_embedding_operation_contract():
+    from qpp_fusion_rag_tpu.generation.local_embed import (
+        LocalEmbeddingOperation, make_embedding_op)
+
+    op = LocalEmbeddingOperation.from_random(seed=0, batch_size=2)
+    vecs = op.embed(["alpha beta", "gamma", "alpha beta"])
+    assert len(vecs) == 3
+    v = np.asarray(vecs)
+    np.testing.assert_allclose(np.linalg.norm(v, axis=1), 1.0, rtol=1e-5)
+    np.testing.assert_allclose(v[0], v[2], rtol=1e-6)   # deterministic
+    assert abs(float(v[0] @ v[1])) < 0.9999             # distinct texts differ
+    assert isinstance(make_embedding_op("local-random"),
+                      LocalEmbeddingOperation)
+    with pytest.raises(ValueError):
+        make_embedding_op("local")          # needs a checkpoint path
+    with pytest.raises(ValueError):
+        make_embedding_op("nope")
