@@ -50,6 +50,12 @@ class SparseIndex(PackedEngineMixin):
         self.params = params or {}
         self._tok: Optional[NativeIndexBuilder] = None
         self._device = None
+        # optional override: callable texts -> (term_ids, weights) padded
+        # arrays, replacing the native tokenizer in encode_queries — set
+        # by format importers whose query semantics differ (e.g.
+        # TerrierIndex.to_sparse_index installs the exact Terrier query
+        # model so every engine/autotune path scores Terrier-identically)
+        self.query_encoder = None
 
     # -- properties ----------------------------------------------------
     @property
@@ -171,6 +177,8 @@ class SparseIndex(PackedEngineMixin):
     ) -> Tuple[np.ndarray, np.ndarray]:
         """-> (term_ids [B, Tq] int32 -1-padded, weights [B, Tq] f32 qtf)."""
         max_terms = max_terms or int(config.tpu.sparse.max_query_terms)
+        if self.query_encoder is not None:
+            return self.query_encoder(texts, max_terms)
         tok = self._tokenizer()
         B = len(texts)
         ids = np.full((B, max_terms), -1, dtype=np.int32)

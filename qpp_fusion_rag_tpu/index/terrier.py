@@ -377,13 +377,39 @@ class TerrierIndex:
         term_of = np.repeat(np.arange(self.num_terms, dtype=np.int64),
                             np.diff(self.offsets))
         order = np.lexsort((self.docids, -w.astype(np.float64), term_of))
-        return SparseIndex(
+        sp = SparseIndex(
             self.offsets, self.docids[order], w[order], self.doc_lens,
             self.docnos, "\n".join(self.terms),
             params={"kind": "terrier_bm25", "k1": k1, "b": b,
                     "terrier_version":
                         self.properties.get("index.terrier.version", "?")},
         )
+        # every engine / autotune path scores Terrier-identically: route
+        # query encoding through the exact Terrier query model instead of
+        # the native tokenizer (whose stopword list and qtf weights differ)
+        sp.query_encoder = self.encode_queries
+        return sp
+
+    def encode_queries(self, texts, max_terms: int = 64):
+        """Exact Terrier query model -> padded (term_ids, kf weights) for
+        the device engines (the SparseIndex.query_encoder hook): sanitize,
+        tokenize, stopword, stem, max-qtf-normalized k3 weights (the
+        verified semantics from the module docstring)."""
+        B = len(texts)
+        ids = np.full((B, max_terms), -1, np.int32)
+        wts = np.zeros((B, max_terms), np.float32)
+        n_max = 1
+        for i, text in enumerate(texts):
+            idx, qw = self.match_query(sanitize_terrier_query(text))
+            n = min(len(idx), max_terms)
+            ids[i, :n] = idx[:n]
+            wts[i, :n] = qw[:n]
+            n_max = max(n_max, n)
+        n_pad = 8
+        while n_pad < n_max:
+            n_pad *= 2
+        n_pad = min(n_pad, max_terms)
+        return ids[:, :n_pad], wts[:, :n_pad]
 
 
 def sanitize_terrier_query(text: str, max_term_len: int = 20) -> str:

@@ -40,6 +40,20 @@ class BM25Retriever(BaseRetriever):
     def from_index_dir(cls, path, **kw) -> "BM25Retriever":
         return cls(SparseIndex.load(path), **kw)
 
+    @classmethod
+    def from_terrier(cls, path, k1: float = 1.2, b: float = 0.75,
+                     **kw) -> "BM25Retriever":
+        """Serve an existing on-disk Terrier index (the reference's
+        PyTerrier build, reference scripts/01_index.py:36-72) through the
+        standard retriever API with EXACT Terrier scoring — the import
+        installs the verified Terrier query model as the index's query
+        encoder, so every engine (exact/q8/q8r/certified) and the
+        autotuner score Terrier-identically (index/terrier.py)."""
+        from qpp_fusion_rag_tpu.index.terrier import TerrierIndex
+
+        return cls(TerrierIndex.load(path).to_sparse_index(k1=k1, b=b),
+                   **kw)
+
     def retrieve(self, query: str, qid: str, top_k: int = 100) -> RetrieverResult:
         out, ms = self._timed(lambda: self.index.search(
             [query], k=top_k, p_cap=self.p_cap, engine=self.engine,
