@@ -343,4 +343,218 @@ int64_t qpp_terrier_decode(const uint8_t* buf, int64_t buf_len,
   return w;
 }
 
+
+// ---------------------------------------------------------------------------
+// Lucene90 postings decoder (.doc): PFOR blocks of 128 (token byte =
+// numExceptions<<5 | bitsPerValue; ForUtil lane packing into 2b LE
+// longs; patch list) + the VInt tail ((delta<<1|freq==1) + optional
+// freq). The ForUtil bit layout is derived at startup by probing a
+// faithful port of the Java encode with one-hot values — the packing is
+// a pure bit permutation, so decode is the inverse gather (same
+// technique as qpp_fusion_rag_tpu/index/lucene.py, verified against the
+// committed real SPLADE segment's per-term df/ttf oracles).
+namespace lucene90 {
+
+constexpr int kBlock = 128;
+
+inline uint64_t lane_mask(int P, int b) {
+  uint64_t m = 0, lane = (b >= 64) ? ~0ULL : ((1ULL << b) - 1);
+  for (int k = 0; k < 64; k += P) m |= lane << k;
+  return m;
+}
+
+// faithful ForUtil.encode port (probe-only; see module comment)
+inline void encode_reference(const uint64_t* values, int b, uint8_t* out) {
+  int P = b <= 8 ? 8 : b <= 16 ? 16 : 32;
+  int n_longs = kBlock * P / 64;
+  int lanes = 64 / P;
+  uint64_t longs[64];
+  for (int i = 0; i < n_longs; ++i) {
+    uint64_t acc = 0;
+    for (int j = 0; j < lanes; ++j)
+      acc |= (values[j * n_longs + i] & ((1ULL << P) - 1))
+             << (64 - P * (j + 1));
+    longs[i] = acc;
+  }
+  int nps = b * 2;
+  uint64_t tmp[64] = {0};
+  int idx = 0;
+  int shift = P - b;
+  for (int i = 0; i < nps; ++i) tmp[i] = longs[idx++] << shift;
+  for (shift -= b; shift >= 0; shift -= b)
+    for (int i = 0; i < nps; ++i) tmp[i] |= longs[idx++] << shift;
+  int rem = (shift + b);
+  uint64_t mask_rem = rem ? lane_mask(P, rem) : 0;
+  int ti = 0, rbv = b;
+  while (idx < n_longs) {
+    if (rbv >= rem) {
+      rbv -= rem;
+      tmp[ti++] |= (longs[idx] >> rbv) & mask_rem;
+      if (rbv == 0) { ++idx; rbv = b; }
+    } else {
+      uint64_t mask1 = lane_mask(P, rbv);
+      uint64_t mask2 = lane_mask(P, rem - rbv);
+      tmp[ti] |= (longs[idx++] & mask1) << (rem - rbv);
+      rbv = b - rem + rbv;
+      tmp[ti++] |= (longs[idx] >> rbv) & mask2;
+    }
+  }
+  for (int i = 0; i < nps; ++i)
+    for (int k = 0; k < 8; ++k) out[i * 8 + k] = (tmp[i] >> (8 * k)) & 0xFF;
+}
+
+// per-bits inverse permutation: stream bit -> value*64 + bit
+struct ForTable {
+  std::vector<int32_t> src;  // size 16*b*8, -1 for unused bits
+};
+
+inline const ForTable& for_table(int b) {
+  static ForTable tables[33];
+  static bool ready[33] = {false};
+  if (!ready[b]) {
+    ForTable t;
+    t.src.assign(16 * b * 8, -1);
+    uint64_t vals[kBlock] = {0};
+    uint8_t buf[16 * 32];
+    for (int j = 0; j < kBlock; ++j) {
+      for (int bit = 0; bit < b; ++bit) {
+        vals[j] = 1ULL << bit;
+        encode_reference(vals, b, buf);
+        vals[j] = 0;
+        for (int p = 0; p < 16 * b; ++p) {
+          if (buf[p]) {
+            int bi = __builtin_ctz(buf[p]);
+            t.src[p * 8 + bi] = j * 64 + bit;
+            break;
+          }
+        }
+      }
+    }
+    tables[b] = std::move(t);
+    ready[b] = true;
+  }
+  return tables[b];
+}
+
+struct In {
+  const uint8_t* b;
+  int64_t pos, len;
+  bool bad = false;
+  uint8_t u8() {
+    if (pos >= len) { bad = true; return 0; }
+    return b[pos++];
+  }
+  uint64_t vlong() {
+    uint64_t out = 0;
+    int shift = 0;
+    while (true) {
+      uint8_t x = u8();
+      out |= (uint64_t)(x & 0x7F) << shift;
+      if (!(x & 0x80) || bad) return out;
+      shift += 7;
+    }
+  }
+};
+
+inline bool pfor_block(In& in, int64_t* out) {
+  uint8_t token = in.u8();
+  int bits = token & 0x1F;
+  int n_exc = token >> 5;
+  if (bits == 0) {
+    uint64_t v = in.vlong();
+    for (int i = 0; i < kBlock; ++i) out[i] = (int64_t)v;
+  } else {
+    if (in.pos + 16 * bits > in.len) { in.bad = true; return false; }
+    const ForTable& t = for_table(bits);
+    const uint8_t* raw = in.b + in.pos;
+    in.pos += 16 * bits;
+    for (int i = 0; i < kBlock; ++i) out[i] = 0;
+    for (int p = 0; p < 16 * bits; ++p) {
+      uint8_t byte = raw[p];
+      while (byte) {
+        int bi = __builtin_ctz(byte);
+        byte &= byte - 1;
+        int32_t s = t.src[p * 8 + bi];
+        if (s >= 0) out[s >> 6] |= 1LL << (s & 63);
+      }
+    }
+  }
+  for (int e = 0; e < n_exc; ++e) {
+    uint8_t pos = in.u8();
+    uint8_t patch = in.u8();
+    out[pos] |= (int64_t)patch << bits;
+  }
+  return !in.bad;
+}
+
+}  // namespace lucene90
+
+// Decode all terms' postings into CSR order. Per term i: doc_fps[i] < 0
+// means a singleton (doc id = singles[i], freq = max(1, ttfs[i])).
+// Returns postings written, or -(i+1) on a malformed/out-of-range term.
+int64_t qpp_lucene_decode_postings(
+    const uint8_t* doc, int64_t doc_len,
+    const int64_t* doc_fps, const int32_t* dfs, const int64_t* ttfs,
+    const int32_t* singles, int64_t n_terms, int32_t has_freqs,
+    int32_t max_doc, int32_t* out_docs, int32_t* out_freqs) {
+  int64_t w = 0;
+  int64_t block[lucene90::kBlock];
+  for (int64_t i = 0; i < n_terms; ++i) {
+    int32_t df = dfs[i];
+    if (doc_fps[i] < 0) {
+      if (df != 1 || singles[i] < 0 || singles[i] >= max_doc) return -(i + 1);
+      out_docs[w] = singles[i];
+      out_freqs[w] = (int32_t)(ttfs[i] > 0 ? ttfs[i] : 1);
+      ++w;
+      continue;
+    }
+    lucene90::In in{doc, doc_fps[i], doc_len};
+    int64_t prev = 0;  // first delta IS the first doc id
+    int64_t freq_sum = 0;
+    int32_t k = 0;
+    int64_t start_w = w;
+    for (; k + lucene90::kBlock <= df; k += lucene90::kBlock) {
+      if (!lucene90::pfor_block(in, block)) return -(i + 1);
+      for (int j = 0; j < lucene90::kBlock; ++j) {
+        prev += block[j];
+        if (prev < 0 || prev >= max_doc) return -(i + 1);
+        out_docs[w + j] = (int32_t)prev;
+      }
+      if (has_freqs) {
+        if (!lucene90::pfor_block(in, block)) return -(i + 1);
+        for (int j = 0; j < lucene90::kBlock; ++j) {
+          out_freqs[w + j] = (int32_t)block[j];
+          freq_sum += block[j];
+        }
+      } else {
+        for (int j = 0; j < lucene90::kBlock; ++j) out_freqs[w + j] = 1;
+        freq_sum += lucene90::kBlock;
+      }
+      w += lucene90::kBlock;
+    }
+    for (; k < df; ++k) {
+      if (has_freqs) {
+        uint64_t code = in.vlong();
+        prev += (int64_t)(code >> 1);
+        int32_t f = (code & 1) ? 1 : (int32_t)in.vlong();
+        out_freqs[w] = f;
+        freq_sum += f;
+      } else {
+        prev += (int64_t)in.vlong();
+        out_freqs[w] = 1;
+        freq_sum += 1;
+      }
+      if (in.bad || prev < 0 || prev >= max_doc) return -(i + 1);
+      out_docs[w] = (int32_t)prev;
+      ++w;
+    }
+    if (in.bad) return -(i + 1);
+    if (has_freqs && ttfs[i] >= 0 && freq_sum != ttfs[i]) return -(i + 1);
+    // strictly increasing doc ids
+    for (int64_t j = start_w + 1; j < w; ++j)
+      if (out_docs[j] <= out_docs[j - 1]) return -(i + 1);
+  }
+  return w;
+}
+
 }  // extern "C"

