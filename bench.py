@@ -132,16 +132,31 @@ def bench_ensemble(on_tpu):
     reps = 5 if on_tpu else 2
     dt_q8 = time_step(step_mode(idx, "q8", 0, 0), reps)
     log(f"ensemble q8: {dt_q8*1e3:.1f} ms/batch -> {batch/dt_q8:.0f} q/s")
-    # rank-safe config: q8r sparse + bf16 rerank rows + dense pool rescore
+    # rank-safe config: q8r sparse + bf16 rerank rows + dense pool
+    # rescore. Round 4 halves the rescore pool (1024 -> 512 candidates,
+    # dense pool 512 -> 256): on REAL data the small-pool configs are
+    # already rank-exact (docs/quality_real_scifact.json — q8r
+    # p_cap=512/cand=256 reproduces exact nDCG@10 identically;
+    # docs/autotune_scifact.json picks cand=128-256 for 0.99 recall),
+    # so the big pools were paying rescore HBM traffic for quality that
+    # real distributions don't need.
     idx_rs = idx._replace(corpus_rows=rows_bf16)
     dt_q8r = time_step(
-        step_mode(idx_rs, "q8r", 1024 if on_tpu else 64,
-                  512 if on_tpu else 32), reps)
+        step_mode(idx_rs, "q8r", 512 if on_tpu else 64,
+                  256 if on_tpu else 32), reps)
     log(f"ensemble q8r: {dt_q8r*1e3:.1f} ms/batch -> {batch/dt_q8r:.0f} q/s")
+    # the round-3 wide-pool config, kept for cross-round comparability
+    dt_q8r_wide = time_step(
+        step_mode(idx_rs, "q8r", 1024 if on_tpu else 64,
+                  512 if on_tpu else 32), reps) if on_tpu else dt_q8r
+    if on_tpu:
+        log(f"ensemble q8r wide: {dt_q8r_wide*1e3:.1f} ms/batch -> "
+            f"{batch/dt_q8r_wide:.0f} q/s")
     return {
         "qps": batch / dt_q8, "ms_per_batch": dt_q8 * 1e3,
         "rank_safe_qps": batch / dt_q8r,
         "rank_safe_ms_per_batch": dt_q8r * 1e3,
+        "rank_safe_wide_qps": batch / dt_q8r_wide,
         "batch": batch, "n_docs": n_docs, "p_cap": p_cap,
         "imp_bits": imp_bits,
     }
@@ -283,9 +298,12 @@ def main() -> None:
         "sparse_mode": "q8",
         "rank_safe_qps": round(ens["rank_safe_qps"], 1),
         "rank_safe_ms_per_batch": round(ens["rank_safe_ms_per_batch"], 1),
-        "rank_safe_config": (f"q8r cand=1024 imp_bits={ens['imp_bits']} + "
-                             "bf16 rows + dense rescore pool 512 "
-                             "(docs/quality_rescore.json, quality_e2e.json)"),
+        "rank_safe_config": (f"q8r cand=512 imp_bits={ens['imp_bits']} + "
+                             "bf16 rows + dense rescore pool 256 "
+                             "(real-data rank-exact at smaller pools: "
+                             "docs/quality_real_scifact.json, "
+                             "docs/autotune_scifact.json)"),
+        "rank_safe_wide_qps": round(ens["rank_safe_wide_qps"], 1),
         "dense_flagship_qps": round(dense_qps, 1),
         "device": dev.device_kind,
     }
