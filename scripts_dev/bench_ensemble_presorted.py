@@ -111,6 +111,15 @@ for label, idx, kw in [
                                        sparse_candidates=1024,
                                        sparse_presorted=True,
                                        dense_rescore_pool=512)),
+    # round-4 retuned production pools (real-data rank-exact:
+    # docs/quality_real_scifact.json, docs/autotune_scifact.json)
+    ("q8r narrow plain", idx_plain, dict(sparse_mode="q8r",
+                                         sparse_candidates=512,
+                                         dense_rescore_pool=256)),
+    ("q8r narrow pre  ", idx_pre, dict(sparse_mode="q8r",
+                                       sparse_candidates=512,
+                                       sparse_presorted=True,
+                                       dense_rescore_pool=256)),
 ]:
     dt = run(idx, **kw)
     print(f"[ab] {label}: {dt*1e3:7.1f} ms/batch -> {B/dt:7.0f} q/s",
