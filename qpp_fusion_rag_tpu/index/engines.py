@@ -87,6 +87,24 @@ class PackedEngineMixin:
             self._device_docvec = (jnp.asarray(dp), jnp.asarray(ds), bits)
         return self._device_docvec
 
+    def _device_doc_vectors_exact(self):
+        """Unquantized doc-major vectors (term ids + raw f32 weights) for
+        the certified engine's exact rescore path
+        (ops.sparse.pack_doc_vectors_exact): the per-candidate rescore
+        epsilon collapses from the imp_bits quantization step to the
+        f32 tie band, certifying every query whose k/k+1 gap is real.
+        2x the packed layout's HBM; built lazily, certified-only."""
+        import jax.numpy as jnp
+
+        from qpp_fusion_rag_tpu.ops.sparse import pack_doc_vectors_exact
+
+        if getattr(self, "_device_docvec_exact", None) is None:
+            docs, weights, offsets, scales = self._packed_source()
+            dt, dw, _ = pack_doc_vectors_exact(
+                offsets, docs, weights, self.num_docs)
+            self._device_docvec_exact = (jnp.asarray(dt), jnp.asarray(dw))
+        return self._device_docvec_exact
+
     def _engine_topk(
         self,
         q_terms: np.ndarray,

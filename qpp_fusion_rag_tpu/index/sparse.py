@@ -303,6 +303,7 @@ class SparseIndex(PackedEngineMixin):
         p_cap: Optional[int] = None,
         candidates: int = 1024,
         max_rounds: int = 2,
+        exact_rescore: bool = True,
     ) -> Tuple[np.ndarray, np.ndarray, Dict]:
         """PROVABLY rank-exact batch search at adaptive cost.
         -> (scores [B, k], doc rows [B, k], info).
@@ -318,6 +319,13 @@ class SparseIndex(PackedEngineMixin):
         weights, like the reference's exhaustive Lucene/Terrier
         traversal (src/retrievers/bm25.py:43-52), but at windowed-kernel
         cost for the (typically large) certified fraction.
+
+        exact_rescore=True (default) rescores candidate pools against
+        raw f32 doc vectors (pack_doc_vectors_exact — the per-candidate
+        epsilon collapses to the f32 tie band; 2x rescore HBM traffic,
+        measured on real SciFact to lift round-0 certification from
+        ~75% to ~97% of queries); False keeps the quantized imp_bits
+        rescore.
 
         info: {"certified_round": [B] (0-based round that certified each
         query; -1 = final exhaustive pass), "rounds": per-round counts}.
@@ -335,6 +343,9 @@ class SparseIndex(PackedEngineMixin):
         p_cap = max(min(p_cap, self.max_df), 1)
         packed, offs, pscales = self._device_packed()
         dp, ds, bits = self._device_doc_vectors()
+        dt = dw = None
+        if exact_rescore:
+            dt, dw = self._device_doc_vectors_exact()
 
         out_s = np.full((B, k), -np.inf, np.float32)
         out_i = np.full((B, k), -1, np.int32)
@@ -354,7 +365,7 @@ class SparseIndex(PackedEngineMixin):
                 packed, offs, pscales, dp, ds,
                 q_terms[sel], q_weights[sel], k=k, p_cap=cap,
                 candidates=min(max(cand, k), max(self.num_docs, 1)),
-                imp_bits=bits)
+                imp_bits=bits, doc_terms=dt, doc_w=dw)
             s, i = np.asarray(s), np.asarray(i)
             ok = np.asarray(ok)[: len(pending)]
             done = pending[ok]

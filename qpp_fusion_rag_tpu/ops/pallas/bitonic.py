@@ -131,12 +131,20 @@ def _shift_up1_flat(x, lane, subl, S, L):
     return jnp.where(lane < L - 1, a, b)
 
 
-def _bitonic_segsum_kernel(x_ref, sums_ref, sids_ref, *, start_block=2):
+def _bitonic_segsum_kernel(x_ref, sums_ref, sids_ref, *, start_block=2,
+                           plus_one=False):
     """Sort + segmented run-sum fused: sort int32 keys (doc << 8 | q8),
     then an int32 segmented Hillis-Steele scan sums each doc run's low
     bytes entirely in VMEM. Outputs: sums (run total at each run's LAST
     position, -1 elsewhere) and the sorted doc ids. Integer sums are
     EXACT — no f32 cumsum-difference error (ops.segment precision note).
+
+    plus_one=True sums (q8 + 1) per element, i.e. run total = q8sum +
+    run length — the certified scorer's per-doc UPPER-BOUND sum: each
+    contribution's combined quantization error (q8 requantization + the
+    packed posting's uint8 rounding) is at most one wmax unit, so
+    wmax * (q8sum + cnt) soundly upper-bounds the doc's true windowed
+    score (ops.sparse.sparse_score_topk_q8_certified).
 
     start_block: see bitonic_sort_rows. NOTE keys may include the
     negative descending-window sentinel INT32_MIN; its doc id unpacks
@@ -153,6 +161,8 @@ def _bitonic_segsum_kernel(x_ref, sums_ref, sids_ref, *, start_block=2):
     flat = subl * L + lane
     sid = jax.lax.shift_right_logical(x, 8)
     v = x & jnp.int32(0xFF)
+    if plus_one:
+        v = v + jnp.int32(1)
     sid_prev = _shift_down_flat(sid, 1, lane, subl, S, L)
     # int32 0/1 flags throughout: Mosaic rejects shifted bool vectors
     # (vector<i8> -> i1 trunci) but is happy with int32 select/or chains
@@ -176,13 +186,16 @@ def _bitonic_segsum_kernel(x_ref, sums_ref, sids_ref, *, start_block=2):
     sids_ref[:] = sid
 
 
-@partial(jax.jit, static_argnames=("start_block",))
-def bitonic_segsum_rows(x: jnp.ndarray, start_block: int = 2):
+@partial(jax.jit, static_argnames=("start_block", "plus_one"))
+def bitonic_segsum_rows(x: jnp.ndarray, start_block: int = 2,
+                        plus_one: bool = False):
     """Sort rows of packed (doc << 8 | q8) int32 keys AND sum each doc's
     q8 run in one VMEM-resident kernel.
     -> (sums [B, M] int32: run total at run-last positions, -1 elsewhere;
         sids [B, M] int32: sorted doc ids — logical-shift unpacked, so
         the INT32_MIN sentinel appears as id 0x800000).
+    plus_one=True accumulates (q8 + 1) per element (run total = q8sum +
+    run length — the certified scorer's sound per-doc upper bound).
     start_block: see bitonic_sort_rows (presorted alternating blocks)."""
     B, M = x.shape
     if M & (M - 1) or M % (8 * LANES):
@@ -196,7 +209,8 @@ def bitonic_segsum_rows(x: jnp.ndarray, start_block: int = 2):
     spec = pl.BlockSpec((ROW_TILE, S, LANES), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     sums, sids = pl.pallas_call(
-        partial(_bitonic_segsum_kernel, start_block=start_block),
+        partial(_bitonic_segsum_kernel, start_block=start_block,
+                plus_one=plus_one),
         out_shape=(jax.ShapeDtypeStruct((B, S, LANES), jnp.int32),
                    jax.ShapeDtypeStruct((B, S, LANES), jnp.int32)),
         grid=(B // ROW_TILE,),

@@ -67,6 +67,26 @@ def segmented_sums_presorted(
     return jnp.where(last & svalid, sums, -jnp.inf)
 
 
+def segmented_sums_presorted_i32(
+    sids: jnp.ndarray,   # [M] int32 ids, ASCENDING (SENTINEL = invalid)
+    ivals: jnp.ndarray,  # [M] int32 contributions, NON-NEGATIVE
+) -> jnp.ndarray:
+    """Integer-exact segmented_sums_presorted: per-run int32 sums at each
+    run's LAST position, -1 elsewhere. No f32 cumsum-difference error at
+    any magnitude — the q8 scorers' CPU/odd-shape fallback matches the
+    Pallas kernel's exact integer semantics, and the certified scorer's
+    bound sums stay sound without a row-mass cutoff. Row totals must
+    stay < 2^31 (posting windows hit memory limits far earlier)."""
+    svalid = sids != SENTINEL
+    last = jnp.concatenate([sids[1:] != sids[:-1], jnp.ones((1,), bool)])
+    c = jnp.cumsum(jnp.where(svalid, ivals, 0).astype(jnp.int32))
+    marked = jnp.where(last, c, jnp.int32(-1))
+    shifted = jnp.concatenate([jnp.full((1,), -1, jnp.int32), marked[:-1]])
+    prev = jax.lax.cummax(shifted)   # values >= 0 monotone: max = last mark
+    sums = c - jnp.maximum(prev, 0)
+    return jnp.where(last & svalid, sums, jnp.int32(-1))
+
+
 def segmented_topk_presorted(
     sids: jnp.ndarray,   # [M] int32 doc ids, ASCENDING (SENTINEL = invalid)
     svals: jnp.ndarray,  # [M] f32 contributions aligned with sids

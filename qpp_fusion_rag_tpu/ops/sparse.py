@@ -591,6 +591,104 @@ def pack_doc_vectors(
     return doc_packed.astype(np.int32), doc_scale, td
 
 
+def pack_doc_vectors_exact(
+    offsets: np.ndarray,       # [T+1] CSR term offsets
+    flat_docs: np.ndarray,     # [P] doc ids
+    flat_weights: np.ndarray,  # [P] f32 impacts
+    n_docs: int,
+):
+    """Invert term-major CSR postings to UNQUANTIZED doc-major vectors:
+    (doc_terms int32 [N, Td] with -1 pad — matches no query term —
+    doc_w f32 [N, Td], Td). The certified scorer's f32 rescore path:
+    per-candidate scores carry only f32 rounding, so the certificate's
+    boundary check resolves k/k+1 gaps down to the tie-tolerance band
+    instead of the imp_bits quantization epsilon (measured on real
+    SciFact: 81/298 queries sit below the imp14 epsilon but only 7 are
+    exact ties — scripts_dev/diag_ties_real.py). Costs 2x the packed
+    layout's HBM and gather traffic; certified serving only."""
+    offsets = np.asarray(offsets, dtype=np.int64)
+    flat_docs = np.asarray(flat_docs)
+    flat_weights = np.asarray(flat_weights, dtype=np.float32)
+    T = len(offsets) - 1
+    term_of = np.repeat(np.arange(T, dtype=np.int64), np.diff(offsets))
+    order = np.argsort(flat_docs, kind="stable")
+    d_sorted = flat_docs[order]
+    t_sorted = term_of[order]
+    w_sorted = flat_weights[order]
+    bounds = np.searchsorted(d_sorted, np.arange(n_docs + 1))
+    counts = np.diff(bounds)
+    td = max(int(counts.max()) if n_docs else 1, 1)
+    doc_terms = np.full((n_docs, td), -1, dtype=np.int32)
+    doc_w = np.zeros((n_docs, td), dtype=np.float32)
+    col = np.arange(len(d_sorted)) - np.repeat(bounds[:-1], counts)
+    doc_terms[d_sorted, col] = t_sorted.astype(np.int32)
+    doc_w[d_sorted, col] = w_sorted
+    return doc_terms, doc_w, td
+
+
+def _exact_rescore_scores_f32(
+    cand_ids: jnp.ndarray,     # [B, C] int32 (-1 pad)
+    doc_terms: jnp.ndarray,    # [N, Td] int32 (-1 pad)
+    doc_w: jnp.ndarray,        # [N, Td] f32
+    q_terms: jnp.ndarray,      # [B, Tq] int32 (-1 pad)
+    q_weights: jnp.ndarray,    # [B, Tq] f32
+) -> jnp.ndarray:
+    """f32-exact sibling of _exact_rescore_scores: gather the candidate
+    rows' term ids AND raw f32 weights, match-accumulate. -> scores
+    [B, C] (-inf at invalid). Query/doc pads are -1/-1 but padded query
+    weights are zeroed, so pad-pad matches contribute nothing."""
+    B, C = cand_ids.shape
+    qw = jnp.where(q_terms >= 0, q_weights, 0.0)
+    safe = jnp.maximum(cand_ids, 0)
+    t = jnp.take(doc_terms, safe.reshape(-1), axis=0).reshape(B, C, -1)
+    w = jnp.take(doc_w, safe.reshape(-1), axis=0).reshape(B, C, -1)
+    matched = jnp.zeros_like(w)
+    Tq = q_terms.shape[1]
+    for j in range(Tq):                                  # unrolled: Tq <= 16
+        matched = matched + jnp.where(
+            t == q_terms[:, j, None, None], qw[:, j, None, None], 0.0)
+    scores = jnp.sum(matched * w, axis=-1)
+    return jnp.where(cand_ids >= 0, scores, -jnp.inf)
+
+
+def _exact_rescore_scores(
+    cand_ids: jnp.ndarray,     # [B, C] int32 candidate doc ids (-1 pad)
+    doc_packed: jnp.ndarray,   # [N, Td] int32 (term << imp_bits | q-impact)
+    doc_scale: jnp.ndarray,    # [N] f32
+    q_terms: jnp.ndarray,      # [B, Tq] int32 (-1 pad)
+    q_weights: jnp.ndarray,    # [B, Tq] f32
+    term_scales: jnp.ndarray = None,
+    imp_bits: int = 8,
+    sort_ids: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Shared rescoring core: every candidate scored against its FULL
+    doc-major term vector. -> (cand_ids [B, C] (re-sorted when sort_ids),
+    scores [B, C] f32, -inf at invalid). The certified scorer consumes
+    the full per-candidate row (per-doc quantization bounds need every
+    pooled doc, not just the top-k); sparse_exact_rescore adds the top-k
+    tail for the serving path."""
+    B, C = cand_ids.shape
+    if sort_ids:
+        cand_ids = jax.lax.sort(cand_ids, dimension=-1)
+    qw = jnp.where(q_terms >= 0, q_weights, 0.0)
+    if term_scales is not None:
+        qw = qw * term_scales[jnp.maximum(q_terms, 0)]
+    safe = jnp.maximum(cand_ids, 0)
+    rows = jnp.take(doc_packed, safe.reshape(-1), axis=0).reshape(B, C, -1)
+    t = jax.lax.shift_right_logical(rows, imp_bits)     # [B, C, Td]
+    imp = (rows & jnp.int32((1 << imp_bits) - 1)).astype(jnp.float32)
+    # single fused pass over [B, C, Td]: accumulate the matched query
+    # weight per element (an elementwise where-chain XLA fuses into one
+    # HBM sweep), then ONE reduction — ~3x faster than per-term reduces
+    matched = jnp.zeros_like(imp)
+    Tq = q_terms.shape[1]
+    for j in range(Tq):                                  # unrolled: Tq <= 16
+        matched = matched + jnp.where(
+            t == q_terms[:, j, None, None], qw[:, j, None, None], 0.0)
+    scores = jnp.sum(matched * imp, axis=-1) * doc_scale[safe]
+    return cand_ids, jnp.where(cand_ids >= 0, scores, -jnp.inf)
+
+
 @partial(jax.jit, static_argnames=("k", "imp_bits", "sort_ids"))
 def sparse_exact_rescore(
     cand_scores: jnp.ndarray,  # [B, C] f32 candidate-gen scores (unused order)
@@ -623,25 +721,9 @@ def sparse_exact_rescore(
     merging pools from several generators must dedupe first (as
     _rescore_pool does)."""
     B, C = cand_ids.shape
-    if sort_ids:
-        cand_ids = jax.lax.sort(cand_ids, dimension=-1)
-    qw = jnp.where(q_terms >= 0, q_weights, 0.0)
-    if term_scales is not None:
-        qw = qw * term_scales[jnp.maximum(q_terms, 0)]
-    safe = jnp.maximum(cand_ids, 0)
-    rows = jnp.take(doc_packed, safe.reshape(-1), axis=0).reshape(B, C, -1)
-    t = jax.lax.shift_right_logical(rows, imp_bits)     # [B, C, Td]
-    imp = (rows & jnp.int32((1 << imp_bits) - 1)).astype(jnp.float32)
-    # single fused pass over [B, C, Td]: accumulate the matched query
-    # weight per element (an elementwise where-chain XLA fuses into one
-    # HBM sweep), then ONE reduction — ~3x faster than per-term reduces
-    matched = jnp.zeros_like(imp)
-    Tq = q_terms.shape[1]
-    for j in range(Tq):                                  # unrolled: Tq <= 16
-        matched = matched + jnp.where(
-            t == q_terms[:, j, None, None], qw[:, j, None, None], 0.0)
-    scores = jnp.sum(matched * imp, axis=-1) * doc_scale[safe]
-    scores = jnp.where(cand_ids >= 0, scores, -jnp.inf)
+    cand_ids, scores = _exact_rescore_scores(
+        cand_ids, doc_packed, doc_scale, q_terms, q_weights,
+        term_scales=term_scales, imp_bits=imp_bits, sort_ids=sort_ids)
     kk = min(k, C)
     top_vals, top_idx = jax.lax.top_k(scores, kk)
     top_ids = jnp.take_along_axis(cand_ids, top_idx, axis=-1)
@@ -674,12 +756,20 @@ def _presorted_geometry(offsets, terms, tq_valid, q_terms):
 
 
 def _q8_row_sums(packed, offsets, term_scales, q_terms, q_weights,
-                 p_cap, dma_gather, bitonic, presorted=False):
+                 p_cap, dma_gather, bitonic, presorted=False,
+                 plus_one=False):
     """Shared windowed-q8 core: gather posting windows, requantize
     contributions to 8 bits, sort by packed (doc<<8|q8) key, segment-sum
     per doc. -> (sums_i32 [B, M] per-run totals at run-LAST positions
     (-1 elsewhere/invalid), sids [B, M] doc ids (>= 0x7FFFFF sentinel),
     wmax_col [B, 1] f32 dequant scale, bitonic_used).
+
+    plus_one=True accumulates (q8 + 1) per contribution, so each run
+    total is q8sum + run length: a SOUND per-doc upper-bound sum for the
+    certified scorer — every contribution's combined quantization error
+    (q8 requantization <= 0.5 + packed uint8 rounding <= 0.5 * qw/wmax)
+    is under one wmax unit, so wmax * (q8sum + cnt) >= the doc's true
+    windowed score against the stored f32 weights.
 
     presorted=True reads the dual doc-ordered layout
     (pack_postings_presorted; p_cap MUST equal the layout's build cap)
@@ -690,8 +780,8 @@ def _q8_row_sums(packed, offsets, term_scales, q_terms, q_weights,
     in imp and doc bits dominate the key.
 
     Integer-exact in both branches (Pallas in-kernel int32 scan, or
-    segmented_sums_presorted over q8 ints < 2^24)."""
-    from qpp_fusion_rag_tpu.ops.segment import segmented_sums_presorted
+    segmented_sums_presorted_i32 — exact at any row mass)."""
+    from qpp_fusion_rag_tpu.ops.segment import segmented_sums_presorted_i32
 
     tq_valid = q_terms >= 0
     terms = jnp.where(tq_valid, q_terms, 0)
@@ -740,7 +830,8 @@ def _q8_row_sums(packed, offsets, term_scales, q_terms, q_weights,
         if (presorted and cap == p_cap and cap & (cap - 1) == 0
                 and 2 * cap <= M):
             start_block = 2 * cap
-        sums, sids = bitonic_segsum_rows(keys, start_block=start_block)
+        sums, sids = bitonic_segsum_rows(keys, start_block=start_block,
+                                         plus_one=plus_one)
         sums = jnp.where(sids >= jnp.int32(0x7FFFFF), -1, sums)
     else:
         if presorted:
@@ -750,22 +841,24 @@ def _q8_row_sums(packed, offsets, term_scales, q_terms, q_weights,
                              jnp.int32(2**31 - 1), keys)
         skeys = jax.lax.sort(keys, dimension=-1)
         sids = jnp.right_shift(skeys, 8)
-        q8v = (skeys & jnp.int32(0xFF)).astype(jnp.float32)
-        q8v = jnp.where(sids == jnp.int32(0x7FFFFF), 0.0, q8v)
+        q8v = skeys & jnp.int32(0xFF)
+        if plus_one:
+            q8v = q8v + jnp.int32(1)
+        q8v = jnp.where(sids == jnp.int32(0x7FFFFF), 0, q8v)
         sid_m = jnp.where(sids == jnp.int32(0x7FFFFF), SENTINEL, sids)
-        fsums = jax.vmap(segmented_sums_presorted)(sid_m, q8v)
-        sums = jnp.where(jnp.isfinite(fsums),
-                         jnp.round(fsums).astype(jnp.int32), -1)
+        sums = jax.vmap(segmented_sums_presorted_i32)(sid_m, q8v)
     return sums, sids, wmax_col, bitonic
 
 
 def _can_bitonic_pool(bit_used, M, tq):
     """All of _bitonic_pool's requirements (its docstring): keys pack as
     (sum << 16 | position), so positions need M <= 2^16 and row sums
-    < 2^15 (tq terms x 255 per contribution). bit_used only implies the
-    M bound on the AUTO bitonic path — an explicit bitonic=True accepts
-    any power-of-two M, so the M check must be repeated here."""
-    return bool(bit_used) and M <= (1 << 16) and tq * 255 < (1 << 15)
+    < 2^15 (tq terms x 256 per contribution — 256 covers the certified
+    scorer's plus_one bound sums, 255 the plain q8 path). bit_used only
+    implies the M bound on the AUTO bitonic path — an explicit
+    bitonic=True accepts any power-of-two M, so the M check must be
+    repeated here."""
+    return bool(bit_used) and M <= (1 << 16) and tq * 256 < (1 << 15)
 
 
 def _bitonic_pool(sums, sids, pool, wmax_col):
@@ -864,7 +957,8 @@ def sparse_score_topk_q8_rescored(
 
 
 @partial(jax.jit, static_argnames=("k", "p_cap", "candidates", "dma_gather",
-                                   "bitonic", "imp_bits", "pool_recall"))
+                                   "bitonic", "imp_bits", "pool_recall",
+                                   "tie_rel_eps"))
 def sparse_score_topk_q8_certified(
     packed: jnp.ndarray,        # [P] int32 (doc << 8 | uint8 impact)
     offsets: jnp.ndarray,       # [T+1] int32
@@ -880,6 +974,9 @@ def sparse_score_topk_q8_certified(
     bitonic: bool = None,
     imp_bits: int = 8,
     pool_recall: float = 0.95,
+    doc_terms: jnp.ndarray = None,   # [N, Td] int32 (pack_doc_vectors_exact)
+    doc_w: jnp.ndarray = None,       # [N, Td] f32
+    tie_rel_eps: float = 1e-5,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """CERTIFIED rank-exact sparse scoring: the q8r pipeline plus a sound
     per-query exactness certificate.
@@ -889,26 +986,49 @@ def sparse_score_topk_q8_certified(
     postings traversal (reference src/retrievers/splade.py:75-80,
     src/retrievers/bm25.py:43-52). Here the windowed kernel is a candidate
     generator, and a MaxScore-style upper bound PROVES per query whether
-    the returned top-k is the true top-k of the stored index:
+    the returned top-k is the true top-k of the stored index.
 
-      any doc outside the candidate pool scores at most
+    The bound is PER-DOC, not per-query worst case: the segsum kernel
+    runs in plus_one mode, so each doc's run total is q8sum + cnt, and
 
-        bound = outside_max + eps_q8 + eps_u8 + U_hidden
+        true_windowed(d) <= wmax * (q8sum(d) + cnt(d))
 
-      where outside_max is the true maximum windowed q8 score over
-      positions NOT selected into the pool (computed directly, so the
-      pool itself may come from fast approx_max_k — exact pool top-k at
-      pool-sized k is pathologically slow on TPU and is NOT needed for
-      soundness), eps_q8/eps_u8 bound the kernel's contribution
-      requantization and the packed postings' uint8 rounding, and
-      U_hidden = sum_t qw_t * (edge_impact_t + 0.5) * [df_t > p_cap]
-      bounds the mass hidden behind every truncated window
-      (impact-ordered lists: a tail posting never beats the window edge).
-      Every pooled doc is exactly rescored against its FULL doc vector,
-      so the query is certified when the k-th rescored score (minus the
-      12-bit doc-vector slack, with a k/k+1 gap check for within-pool
-      stability) clears `bound` — then the returned k ids ARE the true
-      top-k set of the index.
+    because each contribution's combined quantization error (<= 0.5 q8
+    requantization + <= 0.5 * qw/wmax packed-uint8 rounding) is under one
+    wmax unit. The pool selects the top `candidates` BOUND values, so the
+    (pool+1)-th bound value IS the exact maximum possible true windowed
+    score of any non-pooled doc — no eps_q8/eps_u8 slack terms at all
+    (the round-4 formulation charged ~(0.5*Tq + 2 + 0.5*sum qw/wmax) *
+    wmax per query, which certified 0/300 real SciFact queries; the
+    per-doc bound charges each outside doc only its own cnt <= Tq
+    matches, typically 1-2). On top of that,
+
+        bound = max(outside_ub, 0) + U_hidden,
+        U_hidden = sum_t qw_t * (edge_impact_t + 0.5) * [df_t > p_cap]
+
+    bounds the mass hidden behind truncated windows (impact-ordered
+    lists: a tail posting never beats the window edge). Every pooled doc
+    is exactly rescored against its FULL doc vector, so the query is
+    certified when the k-th rescored score (minus the imp_bits
+    doc-vector slack, with a k/k+1 gap check for within-pool stability)
+    clears `bound` — then the returned k ids ARE the true top-k set of
+    the index.
+
+    TIE TOLERANCE: the certificate proves the returned set is a true
+    top-k up to swaps among docs whose true scores differ by at most
+    tie_rel_eps * scale (scale = |ret_lb| + bound) — the equivalence
+    class under which any two f32 engines agree (the exact engine's own
+    summation order perturbs scores at ~1e-7; measured on real SciFact,
+    7/298 queries have EXACT k/k+1 ties that no arithmetic could order).
+    Within that band the claim is set equality, not order.
+
+    RESCORE PRECISION: by default pooled docs rescore against quantized
+    doc vectors (pack_doc_vectors, imp_bits), whose per-doc epsilon
+    0.5 * doc_scale * sum(qw) dominates tight k/k+1 gaps (~1e-3
+    relative at imp_bits=14). Passing doc_terms/doc_w
+    (pack_doc_vectors_exact) switches the pool rescore to raw f32
+    weights: the epsilon collapses to the tie band, certifying every
+    query whose boundary gap is real (2x rescore gather traffic).
 
     Certificates are conservative (sound, not tight): an uncertified
     query's result may still be exact. SparseIndex.search_certified
@@ -916,27 +1036,30 @@ def sparse_score_topk_q8_certified(
     batch provably rank-exact at adaptive cost."""
     sums, sids, wmax_col, bit_used = _q8_row_sums(
         packed, offsets, term_scales, q_terms, q_weights,
-        p_cap, dma_gather, bitonic)
-    wmax = wmax_col[:, 0]                             # [B]
+        p_cap, dma_gather, bitonic, plus_one=True)
     B, M = sums.shape
 
-    # ---- candidate pool + EXACT outside-pool maximum (sound with an
-    # approximate pool: the bound is on what the pool does NOT hold) ----
+    # ---- candidate pool + EXACT maximum bound over non-pooled docs.
+    # sums are bound sums (q8sum + cnt), so pooling by them keeps the
+    # docs with the highest POSSIBLE true scores, and the (pool+1)-th
+    # value upper-bounds every doc left outside ----
     pool = min(candidates, M)
     if pool < M and _can_bitonic_pool(bit_used, M, q_terms.shape[1]):
-        cv, ci, outside_max = _bitonic_pool(sums, sids, pool, wmax_col)
+        cv, ci, outside_ub = _bitonic_pool(sums, sids, pool, wmax_col)
     else:
-        row_scores = jnp.where(sums >= 0,
+        row_bounds = jnp.where(sums >= 0,
                                sums.astype(jnp.float32) * wmax_col, -jnp.inf)
         if M <= max(4 * pool, 256):
-            cv, cidx = jax.lax.top_k(row_scores, pool)
+            cv, cidx = jax.lax.top_k(row_bounds, pool)
         else:
-            cv, cidx = jax.lax.approx_max_k(row_scores, pool,
+            cv, cidx = jax.lax.approx_max_k(row_bounds, pool,
                                             recall_target=pool_recall)
         ci = jnp.where(jnp.isfinite(cv),
                        jnp.take_along_axis(sids, cidx, axis=-1), -1)
-        masked = row_scores.at[jnp.arange(B)[:, None], cidx].set(-jnp.inf)
-        outside_max = jnp.max(masked, axis=1)         # [B]; -inf = none left
+        # sound with an approximate pool: the max over positions NOT
+        # selected covers whatever approx_max_k failed to pool
+        masked = row_bounds.at[jnp.arange(B)[:, None], cidx].set(-jnp.inf)
+        outside_ub = jnp.max(masked, axis=1)          # [B]; -inf = none left
 
     # ---- per-term window stats for the hidden-mass bound ----
     tq_valid = q_terms >= 0
@@ -950,14 +1073,27 @@ def sparse_score_topk_q8_certified(
     cap = min(p_cap, P_total)
     eff = jnp.minimum(lens, cap)
 
-    # rescore k+1 deep: the (k+1)-th score powers the within-pool gap
-    # check (sparse_exact_rescore pads to k+1 when the pool is smaller,
-    # keeping the [B, k] output contract — pads are -inf/-1 and a -inf
-    # k-th score simply fails certification)
-    scores1, ids1 = sparse_exact_rescore(
-        cv, ci, doc_packed, doc_scale, q_terms, q_weights,
-        k=k + 1, imp_bits=imp_bits)
-    scores, ids = scores1[:, :k], ids1[:, :k]
+    # rescore the ENTIRE pool (full per-candidate rows, not just top-k):
+    # the within-pool check needs each pooled doc's own quantization
+    # bound, which a pool-max epsilon over the (k+1)-th value can't give
+    if doc_terms is not None:
+        pool_scores = _exact_rescore_scores_f32(
+            ci, doc_terms, doc_w, q_terms, q_weights)
+    else:
+        ci, pool_scores = _exact_rescore_scores(
+            ci, doc_packed, doc_scale, q_terms, q_weights,
+            imp_bits=imp_bits)
+    C = pool_scores.shape[1]
+    kk = min(k, C)
+    top_vals, top_idx = jax.lax.top_k(pool_scores, kk)
+    ids = jnp.take_along_axis(ci, top_idx, axis=-1)
+    okf = jnp.isfinite(top_vals)
+    scores = jnp.where(okf, top_vals, -jnp.inf)
+    ids = jnp.where(okf, ids, -1)
+    if kk < k:
+        scores = jnp.pad(scores, ((0, 0), (0, k - kk)),
+                         constant_values=-jnp.inf)
+        ids = jnp.pad(ids, ((0, 0), (0, k - kk)), constant_values=-1)
 
     # ---- certificate ----
     truncated = tq_valid & (lens > cap)
@@ -966,45 +1102,42 @@ def sparse_score_topk_q8_certified(
     # hidden mass: tail impacts <= edge impact (+0.5 uint8 rounding)
     u_hidden = jnp.sum(
         jnp.where(truncated, qw * (edge_q + 0.5), 0.0), axis=1)
-    # visible-part slack: one posting per (doc, term) at most
-    seen = tq_valid & (eff > 0)
-    eps_u8 = 0.5 * jnp.sum(jnp.where(seen, qw, 0.0), axis=1)
-    # +2 units: f32-cumsum rounding headroom when the row total nears 2^24
-    eps_q8 = wmax * (0.5 * jnp.sum(seen.astype(jnp.float32), axis=1) + 2.0)
-    vis_bound = jnp.where(
-        jnp.isfinite(outside_max),
-        jnp.maximum(outside_max, 0.0) + eps_q8 + eps_u8, 0.0)
+    # a doc in no window scores >= 0 (qw clamped >= 0), hence the 0 clamp
+    vis_bound = jnp.where(jnp.isfinite(outside_ub),
+                          jnp.maximum(outside_ub, 0.0), 0.0)
     bound = u_hidden + vis_bound
 
-    # rescore-precision slack (imp_bits doc-vector rounding): per-doc for
-    # the RETURNED side (min lower bound over the k returned), pool-max
-    # for the displaced side (we only hold the (k+1)-th rescored value)
+    # per-candidate rescore-precision slack: imp_bits doc-vector rounding
+    # |true - rescored| <= 0.5 * doc_scale * sum qw_raw on the quantized
+    # path; zero on the f32 path (its rounding lives in the tie band)
     sum_qw = jnp.sum(qw_raw, axis=1)                  # [B]
-    pool_scale = jnp.where(ci >= 0, doc_scale[jnp.maximum(ci, 0)], 0.0)
-    eps_pool = 0.5 * jnp.max(pool_scale, axis=1) * sum_qw
-    eps_ret = 0.5 * doc_scale[jnp.maximum(ids, 0)] * sum_qw[:, None]
-    ret_lb = jnp.min(jnp.where(ids >= 0, scores - eps_ret, jnp.inf), axis=1)
+    if doc_terms is not None:
+        eps_c = jnp.zeros_like(pool_scores)
+    else:
+        eps_c = 0.5 * doc_scale[jnp.maximum(ci, 0)] * sum_qw[:, None]
+    eps_ret = jnp.take_along_axis(eps_c, top_idx, axis=-1)[:, :kk]
+    ret_lb = jnp.min(jnp.where(ids[:, :kk] >= 0,
+                               scores[:, :kk] - eps_ret, jnp.inf), axis=1)
+    # every pooled-but-unreturned doc's true score upper bound
+    pool_ub = jnp.where(ci >= 0, pool_scores + eps_c, -jnp.inf)
+    pool_ub = pool_ub.at[
+        jnp.arange(pool_ub.shape[0])[:, None], top_idx].set(-jnp.inf)
+    disp_ub = jnp.max(pool_ub, axis=1)                # -inf: pool <= k docs
 
-    kk = min(k, scores.shape[1])
     kth = scores[:, kk - 1]
+    # the tie band: absorbs f32 summation-order noise AND defines the
+    # accepted swap radius (docstring TIE TOLERANCE)
+    tau = tie_rel_eps * (jnp.abs(ret_lb) + jnp.abs(bound))
     # (a) every returned doc's true score clears any NON-POOL doc
     slack_out = ret_lb - bound
     # (b) within-pool set stability: every returned doc's true lower bound
-    # clears the (k+1)-th rescored value plus its possible upward noise,
-    # so no unreturned pool doc can truly outrank a returned one
+    # clears every unreturned pooled doc's true upper bound
     # (trivially true when the pool holds <= k docs)
-    nxt = scores1[:, -1] if scores1.shape[1] > kk else jnp.full_like(kth, -jnp.inf)
-    slack_in = jnp.where(jnp.isfinite(nxt), ret_lb - (nxt + eps_pool), jnp.inf)
+    slack_in = jnp.where(jnp.isfinite(disp_ub), ret_lb - disp_ub, jnp.inf)
     slack = jnp.minimum(slack_out, slack_in)
-    certified = jnp.isfinite(kth) & (slack >= 0.0)
-    if not bit_used and M * 255 >= (1 << 24):
-        # the f32 cumsum fallback is integer-exact only while the row's
-        # total q8 mass stays below 2^24 (every partial sum representable);
-        # M*255 bounds that mass statically. Beyond it, rounding is NOT
-        # covered by eps_q8's fixed +2-unit headroom (realistic at
-        # escalated p_cap), so a certificate would be unsound — refuse,
-        # and let callers escalate to the exhaustive pass
-        certified = jnp.zeros_like(certified)
+    # both sum branches are integer-exact at any row mass (Pallas int32
+    # scan / segmented_sums_presorted_i32), so no mass-based refusal
+    certified = jnp.isfinite(kth) & (slack >= -tau)
     return scores, ids, certified, slack
 
 

@@ -9,7 +9,8 @@ the primitive inside the sampled RSD/UEF variants) as vectorized numpy.
 
 from __future__ import annotations
 
-from typing import Dict, Sequence
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
@@ -194,6 +195,52 @@ def rank_distance(list_a: Sequence, list_b: Sequence) -> float:
     for i, d in enumerate(list_a):
         total += abs(i - pos_b[d]) if d in pos_b else float(len(list_b) or n)
     return total / n
+
+
+# =============================================================================
+# Utility classes of the reference correlation/ package
+# =============================================================================
+
+def polyfit_predict(x: Sequence, y: Sequence, degree: int = 2,
+                    at: Optional[Sequence] = None) -> np.ndarray:
+    """Least-squares polynomial fit + evaluation (reference
+    correlation/PolynomialRegression.java: commons-math
+    PolynomialCurveFitter.create(degree) over observed (x, y) points).
+    Returns the coefficients (ascending order, commons-math convention)
+    when `at` is None, else the fitted polynomial evaluated at `at`."""
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    coeff = np.polynomial.polynomial.polyfit(x, y, degree)
+    if at is None:
+        return coeff
+    return np.polynomial.polynomial.polyval(np.asarray(at, np.float64), coeff)
+
+
+@dataclass
+class RankScore:
+    """(id, rank, score) tuple ordered by score (reference
+    correlation/RankScore.java — the sortable carrier inside the
+    quantized/pairwise metrics)."""
+    id: int
+    rank: int
+    score: float
+
+    def __lt__(self, other: "RankScore") -> bool:
+        return self.score < other.score
+
+    def __str__(self) -> str:
+        return f"({self.id}-> {self.rank}, {self.score})"
+
+
+def cross_product(groups: Dict[float, Sequence[int]]) -> List[List[int]]:
+    """Cartesian product over a {key: candidate-ids} map (reference
+    correlation/CrossProduct.java: enumerate every way of picking one id
+    per tied score group — used to enumerate tie-break permutations).
+    Key order follows dict insertion order."""
+    result: List[List[int]] = [[]]
+    for key in groups:
+        result = [tup + [v] for tup in result for v in groups[key]]
+    return result
 
 
 # Metrics where LOWER means a better predictor (errors, not correlations).

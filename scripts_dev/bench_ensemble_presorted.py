@@ -111,8 +111,10 @@ for label, idx, kw in [
                                        sparse_candidates=1024,
                                        sparse_presorted=True,
                                        dense_rescore_pool=512)),
-    # round-4 retuned production pools (real-data rank-exact:
-    # docs/quality_real_scifact.json, docs/autotune_scifact.json)
+    # narrow pools, tuned on the 5,183-doc REAL SciFact index
+    # (docs/quality_real_scifact.json, docs/autotune_scifact.json) —
+    # included here only to measure their speed at bench scale; NOT
+    # shown rank-safe for this 2.62M-doc synthetic corpus
     ("q8r narrow plain", idx_plain, dict(sparse_mode="q8r",
                                          sparse_candidates=512,
                                          dense_rescore_pool=256)),

@@ -10,6 +10,7 @@ Writes docs/quality_certified.json. Run on TPU (CPU works, slower).
 """
 
 import json
+import sys
 import time
 from pathlib import Path
 
@@ -17,10 +18,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 from qpp_fusion_rag_tpu.data.synthetic import zipf_bm25_csr, zipf_queries
 from qpp_fusion_rag_tpu.ops.sparse import (
     doc_vector_imp_bits,
     pack_doc_vectors,
+    pack_doc_vectors_exact,
     pack_postings,
     sparse_score_topk_q8_certified,
     sparse_score_topk_q8_rescored,
@@ -61,20 +65,25 @@ def main():
     bits = doc_vector_imp_bits(len(offsets) - 1)
     dp, ds, _ = pack_doc_vectors(offsets, docs, weights, N_DOCS,
                                  imp_bits=bits)
+    dt_, dw_, _ = pack_doc_vectors_exact(offsets, docs, weights, N_DOCS)
     packed, scales = jnp.asarray(packed), jnp.asarray(scales)
     offs = jnp.asarray(offsets.astype(np.int32))
     dp, ds = jnp.asarray(dp), jnp.asarray(ds)
+    dt_, dw_ = jnp.asarray(dt_), jnp.asarray(dw_)
     qt, qw = zipf_queries(offsets, BATCH, n_terms=8, seed=1)
     qt, qw = jnp.asarray(qt), jnp.asarray(qw)
 
     results = {"n_docs": N_DOCS, "batch": BATCH, "k": K, "imp_bits": bits,
                "platform": jax.devices()[0].device_kind, "configs": []}
     for p_cap in ([1024, 2048, 4096] if ON_TPU else [256]):
-        for cand in ([1024, 2048] if ON_TPU else [256]):
+        for cand, f32 in ([(1024, False), (1024, True), (2048, True)]
+                          if ON_TPU else [(256, True)]):
             (s, i, ok, slack), dt_c = timed(
                 lambda: sparse_score_topk_q8_certified(
                     packed, offs, scales, dp, ds, qt, qw,
-                    k=K, p_cap=p_cap, candidates=cand, imp_bits=bits))
+                    k=K, p_cap=p_cap, candidates=cand, imp_bits=bits,
+                    doc_terms=dt_ if f32 else None,
+                    doc_w=dw_ if f32 else None))
             _, dt_r = timed(
                 lambda: sparse_score_topk_q8_rescored(
                     packed, offs, scales, dp, ds, qt, qw,
@@ -87,6 +96,7 @@ def main():
             amortized = dt_c + (1 - frac) * 4 * dt_c
             row = {
                 "p_cap": p_cap, "candidates": cand,
+                "f32_rescore": f32,
                 "certified_frac": round(frac, 4),
                 "slack_median": round(float(np.median(slack[ok])), 3)
                 if ok.any() else None,

@@ -4,10 +4,13 @@ import numpy as np
 import pytest
 
 from qpp_fusion_rag_tpu.qpp.correlation import (
+    RankScore,
+    cross_product,
     evaluate_correlations,
     kendall,
     pairwise_accuracy,
     pearson,
+    polyfit_predict,
     quantized_class_accuracy,
     rank_distance,
     rbo,
@@ -60,6 +63,37 @@ def test_rbo_and_rank_distance():
     assert 0.8 < partial < 1.0
     assert rank_distance([1, 2, 3], [1, 2, 3]) == 0.0
     assert rank_distance([1, 2, 3], [3, 2, 1]) == pytest.approx(4 / 3)
+
+
+def test_polyfit_predict():
+    # exact quadratic recovers its coefficients and predictions
+    x = np.array([0.0, 1.0, 2.0, 3.0, 4.0])
+    y = 2.0 + 3.0 * x + 0.5 * x * x
+    coeff = polyfit_predict(x, y, degree=2)
+    np.testing.assert_allclose(coeff, [2.0, 3.0, 0.5], atol=1e-8)
+    np.testing.assert_allclose(polyfit_predict(x, y, 2, at=[5.0]),
+                               [2.0 + 15.0 + 12.5], atol=1e-6)
+    # the reference main's key-point fit is near-linear (slope ~2,
+    # curvature ~0): PolynomialRegression.java:17-54
+    c = polyfit_predict([1, 150, 10000, 100000, 1000000],
+                        [2, 250, 20000, 200000, 2000000], degree=2)
+    assert abs(c[1] - 2.0) < 0.01 and abs(c[2]) < 1e-6
+
+
+def test_rank_score_ordering():
+    rs = sorted([RankScore(1, 1, 0.9), RankScore(2, 2, 0.1),
+                 RankScore(3, 3, 0.5)])
+    assert [r.id for r in rs] == [2, 3, 1]
+    assert "2" in str(rs[0]) and rs[0].rank == 2
+
+
+def test_cross_product():
+    groups = {1.0: [1, 2], 2.0: [3, 4], 3.0: [5, 6]}
+    tuples = cross_product(groups)
+    assert len(tuples) == 8
+    assert [1, 3, 5] in tuples and [2, 4, 6] in tuples
+    assert all(len(t) == 3 for t in tuples)
+    assert cross_product({}) == [[]]
 
 
 def test_evaluate_correlations_dispatch():
