@@ -141,3 +141,84 @@ def autotune_sparse(
     return TunedConfig(engine=best["engine"], p_cap=best["p_cap"],
                        candidates=best["candidates"], recall=best["recall"],
                        cost=best["cost"], meets_target=meets, sweep=sweep)
+
+
+@dataclass
+class TunedDenseConfig:
+    engine: str                 # "int8" | "int8r" | "stream"
+    rescore_pool: int           # 0 for int8/stream
+    recall: float               # measured recall@k vs f32 exact
+    cost: float                 # relative cost-model units
+    meets_target: bool
+    sweep: List[dict] = field(default_factory=list)
+
+
+def autotune_dense(
+    index,
+    sample_query_embeddings: np.ndarray,
+    k: int = 10,
+    target_recall: float = 0.99,
+    rescore_pools: Sequence[int] = (128, 256, 512, 1024),
+    max_sample: int = 256,
+    gather_cost: float = 32.0,
+) -> TunedDenseConfig:
+    """Dense-engine counterpart of autotune_sparse (VERDICT r4 item #4):
+    sweep the int8 MXU engine and the int8r pool-rescored engine against
+    the f32 exact baseline and return the cheapest config meeting
+    `target_recall` at recall@`k`.
+
+    The reference's FAISS IndexFlatIP search is exact by construction
+    (reference src/retrievers/bge.py:146-151); here the int8 engines
+    trade exactness for MXU throughput, so the same safety rail applies:
+    measure on YOUR embeddings (docs/quality_int8.json characterizes
+    Gaussian synthetics only — worst-case recall@10 0.961).
+
+    `index` is a DenseIndex (retrievers.dense). Cost model (relative,
+    orders configs only): the matmul streams N int8 bytes/dim for int8
+    engines and N*dtype_bytes for the stream engine; the int8r pool
+    rescore adds `pool * gather_cost` (row gathers move the same bytes
+    as `pool` stream elements but at gather, not stream, efficiency).
+    If nothing meets the target, the stream engine (exact=True) is
+    returned as the escalation with meets_target still False only when
+    even it misses (it cannot: it IS the baseline — so escalation is
+    always feasible and the flag reports whether an int8 engine met it).
+    """
+    q = np.asarray(sample_query_embeddings, dtype=np.float32)[:max_sample]
+    if q.size == 0:
+        raise ValueError("need at least one sample query embedding")
+    k_deep = min(max(4 * k, k + 16), max(index.num_docs, 1))
+    exact_s, exact_i = index.search(q, k=k_deep, engine="stream", exact=True)
+
+    n = max(index.num_docs, 1)
+    sweep: List[dict] = []
+    _, got = index.search(q, k=k, engine="int8")
+    sweep.append({"engine": "int8", "rescore_pool": 0,
+                  "recall": _recall_at_k(exact_s, exact_i, got, k),
+                  "cost": float(n)})
+    for pool in rescore_pools:
+        if pool < k:
+            continue
+        _, got = index.search(q, k=k, engine="int8r", rescore_pool=pool)
+        sweep.append({"engine": "int8r", "rescore_pool": pool,
+                      "recall": _recall_at_k(exact_s, exact_i, got, k),
+                      "cost": float(n) + pool * gather_cost})
+
+    feasible = [s for s in sweep if s["recall"] >= target_recall]
+    if feasible:
+        best = min(feasible, key=lambda s: s["cost"])
+        meets = True
+    else:
+        # escalation: the exact stream engine always meets the target
+        # (it is the baseline); meets_target=False records that no int8
+        # engine did, so serving pays full-precision bandwidth
+        dtype_bytes = 4 if "32" in str(
+            getattr(index, "embeddings", np.zeros(0, np.float32)).dtype) \
+            else 2
+        best = {"engine": "stream", "rescore_pool": 0, "recall": 1.0,
+                "cost": float(n) * dtype_bytes}
+        meets = False
+        sweep.append(best)
+    return TunedDenseConfig(
+        engine=best["engine"], rescore_pool=best["rescore_pool"],
+        recall=best["recall"], cost=best["cost"], meets_target=meets,
+        sweep=sweep)

@@ -23,16 +23,30 @@ from pathlib import Path
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description="Tune sparse engine config")
     ap.add_argument("--index-dir", required=True)
-    ap.add_argument("--queries", required=True, help="queries.jsonl")
+    ap.add_argument("--queries", help="queries.jsonl (sparse mode)")
+    ap.add_argument("--dense", action="store_true",
+                    help="tune the DENSE engines (int8/int8r vs f32 exact) "
+                         "of a DenseIndex dir instead of a sparse index")
+    ap.add_argument("--query-emb", default=None,
+                    help="dense mode: .npy of sample query embeddings "
+                         "[B, D] (e.g. pipeline.encode output)")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--target-recall", type=float, default=0.99)
     ap.add_argument("--p-caps", type=int, nargs="+",
                     default=[1024, 2048, 4096])
     ap.add_argument("--candidates", type=int, nargs="+",
                     default=[512, 1024, 2048])
+    ap.add_argument("--rescore-pools", type=int, nargs="+",
+                    default=[128, 256, 512, 1024],
+                    help="dense mode: int8r pool sizes to sweep")
     ap.add_argument("--max-sample", type=int, default=256)
     ap.add_argument("--output", default=None, help="write the sweep JSON here")
     args = ap.parse_args(argv)
+
+    if args.dense:
+        return _main_dense(args)
+    if not args.queries:
+        ap.error("--queries is required unless --dense")
 
     from qpp_fusion_rag_tpu.index.autotune import autotune_sparse
     from qpp_fusion_rag_tpu.index.sparse import SparseIndex
@@ -69,6 +83,44 @@ def main(argv=None) -> int:
         Path(args.output).write_text(json.dumps({
             "chosen": {"engine": cfg.engine, "p_cap": cfg.p_cap,
                        "candidates": cfg.candidates, "recall": cfg.recall,
+                       "meets_target": cfg.meets_target},
+            "k": args.k, "target_recall": args.target_recall,
+            "sweep": cfg.sweep,
+        }, indent=1))
+        print(f"[autotune] sweep -> {args.output}")
+    return 0
+
+
+def _main_dense(args) -> int:
+    import numpy as np
+
+    from qpp_fusion_rag_tpu.index.autotune import autotune_dense
+    from qpp_fusion_rag_tpu.retrievers.dense import DenseIndex
+
+    if not args.query_emb:
+        raise SystemExit("--dense requires --query-emb <queries.npy>")
+    index = DenseIndex.load(args.index_dir)
+    q = np.load(args.query_emb)
+    cfg = autotune_dense(index, q, k=args.k,
+                         target_recall=args.target_recall,
+                         rescore_pools=args.rescore_pools,
+                         max_sample=args.max_sample)
+    for s in cfg.sweep:
+        print(f"[autotune] {s['engine']:6s} pool={s['rescore_pool']:<6d} "
+              f"recall@{args.k}={s['recall']:.4f} cost={s['cost']:.0f}")
+    verdict = ("MEETS" if cfg.meets_target
+               else "ESCALATED to exact stream (no int8 config met target)")
+    print(f"[autotune] chosen: engine={cfg.engine} "
+          f"rescore_pool={cfg.rescore_pool} recall={cfg.recall:.4f} — "
+          f"{verdict}")
+    print(f"[autotune] deploy: --dense-engine {cfg.engine}"
+          + (f" --rescore-pool {cfg.rescore_pool}"
+             if cfg.rescore_pool else ""))
+    if args.output:
+        Path(args.output).write_text(json.dumps({
+            "chosen": {"engine": cfg.engine,
+                       "rescore_pool": cfg.rescore_pool,
+                       "recall": cfg.recall,
                        "meets_target": cfg.meets_target},
             "k": args.k, "target_recall": args.target_recall,
             "sweep": cfg.sweep,

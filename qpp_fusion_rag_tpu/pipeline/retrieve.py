@@ -44,6 +44,9 @@ def main(argv=None) -> int:
                     choices=["stream", "int8", "int8r"],
                     help="dense (bge/tct) engine: streaming matmul, int8 "
                          "MXU kernel, or int8r rank-safe pool rescore")
+    ap.add_argument("--rescore-pool", type=int, default=512,
+                    help="int8r pool size (pipeline.autotune --dense's "
+                         "tuned value)")
     args = ap.parse_args(argv)
 
     from qpp_fusion_rag_tpu.config import config
@@ -75,6 +78,8 @@ def main(argv=None) -> int:
                 kw["p_cap"] = args.p_cap
         if name in ("bge", "tct_colbert", "dense") and args.dense_engine != "stream":
             kw["engine"] = args.dense_engine
+            if args.dense_engine == "int8r":
+                kw["rescore_pool"] = args.rescore_pool
         retriever = get_retriever(name, index_dir=Path(args.index_dir) / name,
                                   **kw)
         results = retriever.retrieve_batch(queries, top_k=top_k)

@@ -51,6 +51,9 @@ def main(argv=None) -> int:
                     choices=["stream", "int8", "int8r"],
                     help="dense (bge/tct) engine: streaming matmul, int8 "
                          "MXU kernel, or int8r rank-safe pool rescore")
+    ap.add_argument("--rescore-pool", type=int, default=512,
+                    help="int8r pool size (pipeline.autotune --dense's "
+                         "tuned value)")
     args = ap.parse_args(argv)
     if args.method.lower() == "learned" and not args.model_path:
         ap.error("--method learned requires --model-path")
@@ -98,6 +101,8 @@ def main(argv=None) -> int:
                     kw["p_cap"] = args.p_cap
             if name in ("bge", "tct_colbert", "dense") and args.dense_engine != "stream":
                 kw["engine"] = args.dense_engine
+                if args.dense_engine == "int8r":
+                    kw["rescore_pool"] = args.rescore_pool
             retrievers[name] = get_retriever(
                 name, index_dir=Path(args.index_dir) / name, **kw)
 
