@@ -544,3 +544,114 @@ def _ensemble_program(mesh, n_docs, n_local, k, k_out, p_cap, qpp_index,
                    P(None, DATA_AXIS, None)),
         check_rep=False,
     ))
+
+
+def sharded_certified_topk(
+    idx: ShardedEnsembleIndexes,
+    q_terms,                 # [B, Tq] int32 (-1 pad)   sharded over data
+    q_weights,               # [B, Tq] f32              sharded over data
+    mesh: Mesh,
+    n_docs: int,
+    k: int = 100,
+    p_cap: int = 1024,
+    candidates: int = 1024,
+    view: str = "bm25",
+):
+    """CERTIFIED rank-exact sparse top-k over a (data, corpus) mesh.
+
+    Each corpus shard runs the production certificate kernel
+    (ops.sparse.sparse_score_topk_q8_certified) on its doc-range
+    partition; local top-k buffers merge over ICI with the shared
+    all_gather+top_k, and the global certificate is the AND of the
+    shard certificates (psum of the negations == 0).
+
+    Merge soundness: every doc in the TRUE global top-k ranks <= k
+    inside its own shard, so it is contained in that shard's true local
+    top-k; when every shard PROVES its local top-k exact, the merged
+    top-k of those buffers is therefore the exact global top-k. The
+    global slack is the pmin of per-shard slacks (the binding margin).
+
+    -> (scores [B, k], GLOBAL ids [B, k], certified [B] bool,
+        slack [B] f32).
+    """
+    from qpp_fusion_rag_tpu.pipeline.ensemble import resolve_doc_imp_bits
+
+    imp_bits = resolve_doc_imp_bits(idx.doc_imp_bits, None)
+    if idx.doc_imp_bits is not None:
+        idx = idx._replace(doc_imp_bits=None)
+    fn = _certified_program(mesh, n_docs, k, p_cap, candidates, imp_bits,
+                            view)
+    return fn(q_terms, q_weights, idx)
+
+
+@lru_cache(maxsize=32)
+def _certified_program(mesh, n_docs, k, p_cap, candidates, imp_bits, view):
+    from qpp_fusion_rag_tpu.ops.sparse import sparse_score_topk_q8_certified
+
+    def local(qt, qw, sidx):
+        if view == "bm25":
+            packed, off = sidx.bm25_packed[0], sidx.bm25_offsets[0]
+            scales = sidx.bm25_scales[0]
+            dp, ds = sidx.bm25_doc_packed[0], sidx.bm25_doc_scale[0]
+        else:
+            packed, off = sidx.splade_packed[0], sidx.splade_offsets[0]
+            scales = sidx.splade_scales[0]
+            dp, ds = sidx.splade_doc_packed[0], sidx.splade_doc_scale[0]
+        vals, ids, cert, slack = sparse_score_topk_q8_certified(
+            packed, off, scales, dp, ds, qt, qw,
+            k=k, p_cap=p_cap, candidates=candidates, imp_bits=imp_bits)
+        vals, gids = _to_global_merge(vals, ids, sidx.doc_base[0],
+                                      n_docs, k)
+        n_uncert = jax.lax.psum((~cert).astype(jnp.int32), CORPUS_AXIS)
+        return vals, gids, n_uncert == 0, jax.lax.pmin(slack, CORPUS_AXIS)
+
+    shard_axis = P(CORPUS_AXIS)
+    idx_specs = ShardedEnsembleIndexes(
+        bm25_packed=shard_axis, bm25_scales=shard_axis,
+        bm25_offsets=shard_axis, bm25_doc_packed=shard_axis,
+        bm25_doc_scale=shard_axis,
+        splade_packed=shard_axis, splade_scales=shard_axis,
+        splade_offsets=shard_axis, splade_doc_packed=shard_axis,
+        splade_doc_scale=shard_axis,
+        corpus_int=P(None, CORPUS_AXIS), corpus_rows=P(CORPUS_AXIS, None),
+        d_scale=P(None, CORPUS_AXIS), doc_base=shard_axis,
+    )
+    return jax.jit(shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None), idx_specs),
+        out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None),
+                   P(DATA_AXIS), P(DATA_AXIS)),
+        check_rep=False,
+    ))
+
+
+def sharded_predict_ensemble(ens, x, mesh: Mesh) -> jnp.ndarray:
+    """Learned-fusion GBDT inference batch-sharded over the data axis:
+    the tree arrays (ops.trees.TreeEnsemble) replicate, each data shard
+    traverses its rows with the shared device kernel. No collectives —
+    tree traversal is embarrassingly parallel over examples; this exists
+    so distributed serving can fuse it into sharded programs.
+    -> [B] predictions, sharded over data."""
+    fn = _tree_program(mesh, ens.max_depth, ens.base_score,
+                       ens.learning_rate)
+    return fn(x, ens.feature, ens.threshold, ens.children, ens.value)
+
+
+@lru_cache(maxsize=32)
+def _tree_program(mesh, max_depth, base_score, learning_rate):
+    from qpp_fusion_rag_tpu.ops.trees import TreeEnsemble, predict_ensemble
+
+    def local(x, feature, threshold, children, value):
+        ens = TreeEnsemble(feature, threshold, children, value,
+                           max_depth, base_score, learning_rate)
+        return predict_ensemble(ens, x)
+
+    return jax.jit(shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS, None), P(None, None), P(None, None),
+                  P(None, None, None), P(None, None)),
+        out_specs=P(DATA_AXIS),
+        check_rep=False,
+    ))

@@ -318,3 +318,70 @@ def test_sharded_ensemble_presorted_equals_single_chip():
     np.testing.assert_allclose(np.asarray(fsc_s), np.asarray(fsc_1),
                                rtol=5e-5, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(fid_s), np.asarray(fid_1))
+
+
+def test_sharded_certified_matches_bruteforce(cpu_mesh):
+    """Certified sparse mode under shard_map: per-shard certificates
+    AND-merge over the corpus axis; where the merged certificate holds,
+    the returned ids must be the TRUE global top-k (modulo exact-tie
+    swaps) of the f32 CSR scores."""
+    import numpy as np
+
+    from qpp_fusion_rag_tpu.parallel.sharded import (
+        shard_ensemble_indexes,
+        sharded_certified_topk,
+    )
+
+    bm25, splade, corpus, qs = _ensemble_fixture(N=512)
+    n_shards = cpu_mesh.shape["corpus"]
+    sidx = shard_ensemble_indexes(
+        bm25, splade, corpus, n_docs=512, n_shards=n_shards)
+
+    k = 10
+    bo, bd, bw = bm25
+    p_cap = 1
+    while p_cap < int(np.diff(bo).max()):
+        p_cap *= 2
+    vals, ids, cert, slack = sharded_certified_topk(
+        sidx, qs["bt"], qs["bqw"], cpu_mesh, n_docs=512,
+        k=k, p_cap=p_cap, candidates=64)
+    vals, ids = np.asarray(vals), np.asarray(ids)
+    cert, slack = np.asarray(cert), np.asarray(slack)
+    assert cert.shape == (qs["bt"].shape[0],)
+    assert np.isfinite(slack).all()
+    assert cert.any(), "no query certified on a fully-covered toy index"
+
+    # brute-force true scores
+    dense = np.zeros((len(bo) - 1, 512), np.float64)
+    for t in range(len(bo) - 1):
+        lo, hi = int(bo[t]), int(bo[t + 1])
+        dense[t, bd[lo:hi]] = bw[lo:hi]
+    for b in range(qs["bt"].shape[0]):
+        if not cert[b]:
+            continue
+        true = np.zeros(512)
+        for t, w in zip(qs["bt"][b], qs["bqw"][b]):
+            if t >= 0:
+                true += w * dense[t]
+        true_sorted = np.sort(true)[::-1][:k]
+        got = np.sort(true[ids[b]])[::-1]
+        np.testing.assert_allclose(got, true_sorted, rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_tree_inference_matches_host(cpu_mesh, rng):
+    """GBDT inference batch-sharded over the data axis equals the
+    single-device device-kernel prediction."""
+    import numpy as np
+
+    from qpp_fusion_rag_tpu.models.gbdt import Booster
+    from qpp_fusion_rag_tpu.parallel.sharded import sharded_predict_ensemble
+
+    X = rng.standard_normal((96, 5)).astype(np.float32)
+    y = (0.3 * X[:, 0] - X[:, 2] ** 2).astype(np.float32)
+    booster = Booster({"n_estimators": 6, "max_depth": 3}, seed=1)
+    booster.fit(X, y)
+
+    Xq = rng.standard_normal((16, 5)).astype(np.float32)
+    pred = sharded_predict_ensemble(booster.ensemble(), Xq, cpu_mesh)
+    np.testing.assert_allclose(
+        np.asarray(pred), booster.predict(Xq, device=True), rtol=1e-5)
