@@ -85,7 +85,7 @@ class EnsembleIndexes(NamedTuple):
 
 def make_sparse_scorer(sparse_mode: str, sparse_candidates: int,
                        k: int, p_cap: int, imp_bits: int = 8,
-                       presorted: bool = False):
+                       presorted: bool = False, sort_ids: bool = False):
     """-> scorer(packed, offsets, scales, terms, qw, doc_packed, doc_scale)
     -> (scores [B, k] desc, doc ids [B, k], -1 pad; LOCAL ids on a shard).
 
@@ -121,7 +121,7 @@ def make_sparse_scorer(sparse_mode: str, sparse_candidates: int,
             return sparse_score_topk_q8_rescored(
                 packed, offsets, scales, doc_packed, doc_scale,
                 terms, qw, k=k, p_cap=p_cap, candidates=cand,
-                imp_bits=imp_bits, presorted=presorted)
+                imp_bits=imp_bits, presorted=presorted, sort_ids=sort_ids)
     elif sparse_candidates > 0:
         if presorted:
             raise ValueError(
@@ -260,7 +260,7 @@ def fuse_tail(
 @partial(jax.jit, static_argnames=(
     "k", "k_out", "p_cap", "method", "qpp_index", "sparse_candidates",
     "sparse_mode", "doc_imp_bits", "dense_rescore_pool",
-    "sparse_presorted"))
+    "sparse_presorted", "sparse_sort_ids"))
 def _ensemble_retrieval_step(
     idx: EnsembleIndexes,
     bm25_terms: jnp.ndarray,    # [B, T_bm] int32 (-1 pad)
@@ -282,6 +282,7 @@ def _ensemble_retrieval_step(
     doc_imp_bits: int = 8,                # pack_doc_vectors precision
     dense_rescore_pool: int = 0,          # >0: rank-safe dense view
     sparse_presorted: bool = False,       # dual doc-ordered posting layout
+    sparse_sort_ids: bool = False,        # ascending-address rescore gather
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """5-view heterogeneous retrieve → QPP → weighted fuse.
     -> (fused_ids [B, k_out], fused_scores [B, k_out], qpp [5, B, 13]).
@@ -294,7 +295,8 @@ def _ensemble_retrieval_step(
     qpp_calibration_stats)."""
     sparse = make_sparse_scorer(sparse_mode, sparse_candidates, k, p_cap,
                                 imp_bits=doc_imp_bits,
-                                presorted=sparse_presorted)
+                                presorted=sparse_presorted,
+                                sort_ids=sparse_sort_ids)
     bm25_s, bm25_i = sparse(
         idx.bm25_packed, idx.bm25_offsets, idx.bm25_scales,
         bm25_terms, bm25_qw, idx.bm25_doc_packed, idx.bm25_doc_scale,
