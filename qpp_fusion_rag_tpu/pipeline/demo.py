@@ -30,14 +30,27 @@ def generate_dataset(root: Path, n_queries: int, n_docs: int, n_retrievers: int,
     (root / "qrels").mkdir(parents=True, exist_ok=True)
     vocab = [f"term{i}" for i in range(800)]
 
+    # Each query also gets a gold ANSWER: a secret token planted only in
+    # its relevant docs, with the query->secret assignment random so an
+    # answer model must extract it from context rather than memorize a
+    # marker->secret map. gold_answers.json feeds stage 08 (the
+    # reference's datasets carry gold answers the same way).
+    secrets = rng.permutation(n_queries * 3)[:n_queries]
+
     with open(root / "corpus.jsonl", "w") as f:
         for d in range(n_docs):
             words = list(rng.choice(vocab, 25))
             if d < n_queries * 2:  # relevant docs carry their query's marker
-                words += [f"marker{d // 2}"] * 3
+                q = d // 2
+                words += [f"marker{q}"] * 3
+                words += ["answer:", f"secret{secrets[q]}"]
             f.write(json.dumps({
                 "_id": f"d{d}", "title": "", "text": " ".join(words)
             }) + "\n")
+
+    with open(root / "gold_answers.json", "w") as f:
+        json.dump({str(q): [f"secret{secrets[q]}"]
+                   for q in range(n_queries)}, f)
 
     with open(root / "queries.jsonl", "w") as f, \
          open(root / "qrels" / "test.tsv", "w") as fq:

@@ -27,6 +27,11 @@ def main(argv=None) -> int:
     ap.add_argument("--k-shots", nargs="*", type=int, default=None)
     ap.add_argument("--max-queries", type=int, default=None)
     ap.add_argument("--checkpoint-every", type=int, default=10)
+    ap.add_argument("--local-lm", default=None,
+                    help="serve answers from an on-device JAX LM saved by "
+                         "generation.lm_trainer.save_lm (no HTTP server)")
+    ap.add_argument("--max-new", type=int, default=16,
+                    help="--local-lm: max generated tokens per answer")
     args = ap.parse_args(argv)
 
     from qpp_fusion_rag_tpu.config import config, detect_dataset
@@ -47,7 +52,21 @@ def main(argv=None) -> int:
     corpus = LazyCorpus(ds_dir / "corpus.jsonl")
     run2 = load_run_pairs(args.fused_run)
 
-    op = GenerationOperation(model=args.model_name)
+    if args.local_lm:
+        from qpp_fusion_rag_tpu.generation.lm_trainer import load_lm
+        from qpp_fusion_rag_tpu.generation.local_lm import LocalLMTransport
+
+        params, lm_cfg, tok = load_lm(args.local_lm)
+        if tok is None:
+            raise SystemExit(f"--local-lm {args.local_lm}: no vocab.json "
+                             "(save with a tokenizer)")
+        transport = LocalLMTransport(params, lm_cfg, tok,
+                                     max_new=args.max_new)
+        op = GenerationOperation(model=args.model_name or "local-jax-lm",
+                                 transport=transport,
+                                 max_tokens=args.max_new)
+    else:
+        op = GenerationOperation(model=args.model_name)
     generator = get_generator(get_task_type(dataset), op)
 
     fusion_name = args.fusion_name or Path(args.fused_run).stem
