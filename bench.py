@@ -75,12 +75,25 @@ def bench_ensemble(on_tpu):
     n_docs, batch = (N_DOCS, BATCH) if on_tpu else (65_536, 64)
     p_cap = P_CAP if on_tpu else 64
 
+    from qpp_fusion_rag_tpu.data.synthetic import (
+        CALIBRATED_LOGNORMAL_SIGMA,
+        CALIBRATED_ZIPF_A_BM25,
+        CALIBRATED_ZIPF_A_SPLADE,
+    )
+
+    # df/weight/length SHAPES follow the fit against the reference's
+    # real SciFact Terrier + SPLADE indexes (docs/synthetic_calibration
+    # .json); avg_doc_len stays the single-chip HBM budget knob
     t0 = time.time()
     bo, bd, bw, _ = zipf_bm25_csr(
         n_docs, vocab_size=100_000, avg_doc_len=30.0, seed=0,
+        zipf_a=CALIBRATED_ZIPF_A_BM25,
+        lognormal_sigma=CALIBRATED_LOGNORMAL_SIGMA,
         max_postings=80_000_000 if on_tpu else 2_000_000)
     so, sd, sw, _ = zipf_bm25_csr(
         n_docs, vocab_size=30_000, avg_doc_len=40.0, seed=7,
+        zipf_a=CALIBRATED_ZIPF_A_SPLADE,
+        lognormal_sigma=CALIBRATED_LOGNORMAL_SIGMA,
         max_postings=60_000_000 if on_tpu else 1_500_000)
     log(f"sparse indexes built {time.time()-t0:.0f}s: "
         f"bm25 {len(bd)/1e6:.0f}M, splade {len(sd)/1e6:.0f}M postings")

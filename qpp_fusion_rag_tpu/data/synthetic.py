@@ -14,6 +14,19 @@ from typing import Optional, Tuple
 
 import numpy as np
 
+# Shape parameters fitted to REAL index statistics (scripts_dev/
+# calibrate_synthetic.py -> docs/synthetic_calibration.json): the df
+# curve of the reference's committed SciFact Terrier index fits
+# Zipf(a=0.9874) with lognormal(sigma=0.3957) doc lengths, and its real
+# SPLADE Lucene impact index has a much FLATTER df curve, Zipf(a=0.675)
+# (learned expansion spreads mass across the vocabulary). Benches pass
+# these so synthetic posting distributions carry real-data shape;
+# absolute doc length stays a memory-budget knob (SciFact's 143.9-term
+# abstracts at NQ-scale doc counts would exceed single-chip HBM).
+CALIBRATED_ZIPF_A_BM25 = 0.9874
+CALIBRATED_ZIPF_A_SPLADE = 0.675
+CALIBRATED_LOGNORMAL_SIGMA = 0.3957
+
 
 def zipf_bm25_csr(
     n_docs: int,
@@ -24,6 +37,7 @@ def zipf_bm25_csr(
     b: float = 0.4,
     seed: int = 0,
     max_postings: Optional[int] = None,
+    lognormal_sigma: float = 0.4,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Build Zipfian BM25 impact-ordered CSR lists.
 
@@ -37,7 +51,7 @@ def zipf_bm25_csr(
     """
     rng = np.random.default_rng(seed)
     doc_lens = np.maximum(
-        rng.lognormal(np.log(avg_doc_len), 0.4, size=n_docs), 4.0
+        rng.lognormal(np.log(avg_doc_len), lognormal_sigma, size=n_docs), 4.0
     ).astype(np.int32)
     total = int(doc_lens.sum())
     if max_postings and total > max_postings:

@@ -757,7 +757,7 @@ def _presorted_geometry(offsets, terms, tq_valid, q_terms):
 
 def _q8_row_sums(packed, offsets, term_scales, q_terms, q_weights,
                  p_cap, dma_gather, bitonic, presorted=False,
-                 plus_one=False):
+                 plus_one=False, return_win_min=False):
     """Shared windowed-q8 core: gather posting windows, requantize
     contributions to 8 bits, sort by packed (doc<<8|q8) key, segment-sum
     per doc. -> (sums_i32 [B, M] per-run totals at run-LAST positions
@@ -778,6 +778,15 @@ def _q8_row_sums(packed, offsets, term_scales, q_terms, q_weights,
     (odd-slot) windows so every block stays monotone. Requantizing the
     low byte preserves block order: round(imp * ratio) is non-decreasing
     in imp and doc bits dominate the key.
+
+    return_win_min=True appends win_min [B, Tq] int32 — the MINIMUM
+    stored uint8 impact over each window's valid positions (255 for
+    empty windows). For an impact-ordered layout this is the window-edge
+    impact; for the presorted dual layout it is the cap-th-largest
+    impact of the term — in both cases the exact supremum of any
+    truncated-tail posting's impact, which the certified scorer's
+    hidden-mass bound needs (the presorted window is doc-ordered, so
+    reading the LAST position would not bound the tail).
 
     Integer-exact in both branches (Pallas in-kernel int32 scan, or
     segmented_sums_presorted_i32 — exact at any row mass)."""
@@ -804,6 +813,10 @@ def _q8_row_sums(packed, offsets, term_scales, q_terms, q_weights,
     eff = jnp.minimum(lens, cap)
     wanted = (pos >= starts[..., None]) & (pos < (starts + eff)[..., None])
     imp = (win & jnp.int32(0xFF)).astype(jnp.float32)
+    win_min = None
+    if return_win_min:
+        win_min = jnp.min(jnp.where(wanted, win & jnp.int32(0xFF),
+                                    jnp.int32(255)), axis=-1)
     q8 = jnp.round(imp * ratio[..., None]).astype(jnp.int32)
     if presorted:
         # descending (odd-slot) windows pad with INT32_MIN so the block
@@ -847,6 +860,8 @@ def _q8_row_sums(packed, offsets, term_scales, q_terms, q_weights,
         q8v = jnp.where(sids == jnp.int32(0x7FFFFF), 0, q8v)
         sid_m = jnp.where(sids == jnp.int32(0x7FFFFF), SENTINEL, sids)
         sums = jax.vmap(segmented_sums_presorted_i32)(sid_m, q8v)
+    if return_win_min:
+        return sums, sids, wmax_col, bitonic, win_min
     return sums, sids, wmax_col, bitonic
 
 
@@ -958,7 +973,7 @@ def sparse_score_topk_q8_rescored(
 
 @partial(jax.jit, static_argnames=("k", "p_cap", "candidates", "dma_gather",
                                    "bitonic", "imp_bits", "pool_recall",
-                                   "tie_rel_eps"))
+                                   "tie_rel_eps", "presorted"))
 def sparse_score_topk_q8_certified(
     packed: jnp.ndarray,        # [P] int32 (doc << 8 | uint8 impact)
     offsets: jnp.ndarray,       # [T+1] int32
@@ -977,6 +992,7 @@ def sparse_score_topk_q8_certified(
     doc_terms: jnp.ndarray = None,   # [N, Td] int32 (pack_doc_vectors_exact)
     doc_w: jnp.ndarray = None,       # [N, Td] f32
     tie_rel_eps: float = 1e-5,
+    presorted: bool = False,  # dual doc-ordered layout (pack_postings_presorted)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """CERTIFIED rank-exact sparse scoring: the q8r pipeline plus a sound
     per-query exactness certificate.
@@ -1033,10 +1049,18 @@ def sparse_score_topk_q8_certified(
     Certificates are conservative (sound, not tight): an uncertified
     query's result may still be exact. SparseIndex.search_certified
     escalates uncertified queries to exact scoring, making the whole
-    batch provably rank-exact at adaptive cost."""
-    sums, sids, wmax_col, bit_used = _q8_row_sums(
+    batch provably rank-exact at adaptive cost.
+
+    presorted=True reads the dual doc-ordered layout (p_cap MUST equal
+    the build cap, as in the plain scorers); the hidden-mass bound then
+    takes each window's MINIMUM stored impact (= the term's cap-th
+    largest, the exact tail supremum) from the segsum sweep instead of
+    the window-edge position — the doc-ordered window has no meaningful
+    edge."""
+    sums, sids, wmax_col, bit_used, win_min = _q8_row_sums(
         packed, offsets, term_scales, q_terms, q_weights,
-        p_cap, dma_gather, bitonic, plus_one=True)
+        p_cap, dma_gather, bitonic, plus_one=True, presorted=presorted,
+        return_win_min=True)
     B, M = sums.shape
 
     # ---- candidate pool + EXACT maximum bound over non-pooled docs.
@@ -1064,14 +1088,16 @@ def sparse_score_topk_q8_certified(
     # ---- per-term window stats for the hidden-mass bound ----
     tq_valid = q_terms >= 0
     terms = jnp.where(tq_valid, q_terms, 0)
-    starts = offsets[terms]
-    lens = jnp.where(tq_valid, offsets[terms + 1] - starts, 0)
+    region = offsets[terms + 1] - offsets[terms]
+    if presorted:
+        # dual layout: each term's region is [asc | desc], true df is half
+        region = jax.lax.shift_right_logical(region, 1)
+    lens = jnp.where(tq_valid, region, 0)
     qw_raw = jnp.where(tq_valid, jnp.maximum(q_weights, 0.0), 0.0)
     qw = qw_raw * term_scales[terms]                  # folded, per impact unit
     qw = jnp.where(tq_valid, jnp.maximum(qw, 0.0), 0.0)
     P_total = packed.shape[0]
     cap = min(p_cap, P_total)
-    eff = jnp.minimum(lens, cap)
 
     # rescore the ENTIRE pool (full per-candidate rows, not just top-k):
     # the within-pool check needs each pooled doc's own quantization
@@ -1096,10 +1122,18 @@ def sparse_score_topk_q8_certified(
         ids = jnp.pad(ids, ((0, 0), (0, k - kk)), constant_values=-1)
 
     # ---- certificate ----
-    truncated = tq_valid & (lens > cap)
-    edge_pos = jnp.clip(starts + eff - 1, 0, P_total - 1)
-    edge_q = (packed[edge_pos] & jnp.int32(0xFF)).astype(jnp.float32)
-    # hidden mass: tail impacts <= edge impact (+0.5 uint8 rounding)
+    if presorted:
+        # the dual layout stores only the top-cap postings, so a stored
+        # length of exactly cap means the term MAY have a dropped tail
+        # (true df is not recoverable from the dual offsets); charging
+        # df == cap terms too is conservative but sound
+        truncated = tq_valid & (lens >= cap)
+    else:
+        truncated = tq_valid & (lens > cap)
+    # hidden mass: every truncated-tail impact <= the window's minimum
+    # stored impact (impact-ordered: the edge; presorted dual: the
+    # cap-th largest) + 0.5 uint8 rounding
+    edge_q = win_min.astype(jnp.float32)
     u_hidden = jnp.sum(
         jnp.where(truncated, qw * (edge_q + 0.5), 0.0), axis=1)
     # a doc in no window scores >= 0 (qw clamped >= 0), hence the 0 clamp

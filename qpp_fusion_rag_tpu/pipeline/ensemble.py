@@ -41,6 +41,7 @@ from qpp_fusion_rag_tpu.ops.sparse import (
     sparse_rescore_topk_packed,
     sparse_score_topk_packed,
     sparse_score_topk_q8,
+    sparse_score_topk_q8_certified,
     sparse_score_topk_q8_rescored,
 )
 from qpp_fusion_rag_tpu.pipeline.engine import qpp_from_runs, weight_and_fuse
@@ -122,6 +123,26 @@ def make_sparse_scorer(sparse_mode: str, sparse_candidates: int,
                 packed, offsets, scales, doc_packed, doc_scale,
                 terms, qw, k=k, p_cap=p_cap, candidates=cand,
                 imp_bits=imp_bits, presorted=presorted, sort_ids=sort_ids)
+    elif sparse_mode == "q8c":
+        # CERTIFIED rank-exact mode: q8r plus a per-query exactness
+        # certificate (ops.sparse.sparse_score_topk_q8_certified) — the
+        # scorer returns a 4-tuple (scores, ids, certified [B], slack [B]);
+        # callers AND the certificates across views and escalate the
+        # uncertified queries (the reference's Lucene/Terrier traversal
+        # is exact by construction, src/retrievers/bm25.py:43-52 — this
+        # mode PROVES the same guarantee per query at window-kernel cost)
+        cand = sparse_candidates if sparse_candidates > 0 else 1024
+
+        def scorer(packed, offsets, scales, terms, qw,
+                   doc_packed=None, doc_scale=None):
+            if doc_packed is None:
+                raise ValueError(
+                    "sparse_mode='q8c' needs doc-major vectors "
+                    "(pack_doc_vectors) on the index")
+            return sparse_score_topk_q8_certified(
+                packed, offsets, scales, doc_packed, doc_scale,
+                terms, qw, k=k, p_cap=p_cap, candidates=cand,
+                imp_bits=imp_bits, presorted=presorted)
     elif sparse_candidates > 0:
         if presorted:
             raise ValueError(
@@ -285,7 +306,9 @@ def _ensemble_retrieval_step(
     sparse_sort_ids: bool = False,        # ascending-address rescore gather
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """5-view heterogeneous retrieve → QPP → weighted fuse.
-    -> (fused_ids [B, k_out], fused_scores [B, k_out], qpp [5, B, 13]).
+    -> (fused_ids [B, k_out], fused_scores [B, k_out], qpp [5, B, 13]);
+    sparse_mode="q8c" appends (certified [B] bool, slack [B] f32) — the
+    AND of both sparse views' rank-exactness certificates.
 
     See make_sparse_scorer for sparse_mode semantics ("q8r" is the
     rank-safe production mode; sparse_presorted reads the dual
@@ -297,14 +320,22 @@ def _ensemble_retrieval_step(
                                 imp_bits=doc_imp_bits,
                                 presorted=sparse_presorted,
                                 sort_ids=sparse_sort_ids)
-    bm25_s, bm25_i = sparse(
+    bm25_out = sparse(
         idx.bm25_packed, idx.bm25_offsets, idx.bm25_scales,
         bm25_terms, bm25_qw, idx.bm25_doc_packed, idx.bm25_doc_scale,
     )
-    splade_s, splade_i = sparse(
+    splade_out = sparse(
         idx.splade_packed, idx.splade_offsets, idx.splade_scales,
         splade_terms, splade_qw, idx.splade_doc_packed, idx.splade_doc_scale,
     )
+    if sparse_mode == "q8c":
+        bm25_s, bm25_i, bm25_cert, bm25_slack = bm25_out
+        splade_s, splade_i, sp_cert, sp_slack = splade_out
+        cert = bm25_cert & sp_cert
+        slack = jnp.minimum(bm25_slack, sp_slack)
+    else:
+        bm25_s, bm25_i = bm25_out
+        splade_s, splade_i = splade_out
     if dense_rescore_pool > 0:
         dense_s, dense_i = dense_view_rescored(
             q_emb, idx.corpus_int, idx.d_scale, idx.corpus_rows, k,
@@ -321,6 +352,11 @@ def _ensemble_retrieval_step(
     qpp = normalize_qpp_with(qpp_raw, qpp_norm_stats)
     fused_ids, fused_scores = fuse_tail(
         vals, ids, qpp, method, qpp_index, k_out, mlp_params)
+    if sparse_mode == "q8c":
+        # per-query proof that BOTH sparse views returned their true
+        # top-k (the dense/rerank views' int8/bf16 precision is a
+        # documented engine property, not part of this certificate)
+        return fused_ids, fused_scores, qpp, cert, slack
     return fused_ids, fused_scores, qpp
 
 

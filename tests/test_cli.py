@@ -43,59 +43,75 @@ def pipeline_dirs(tmp_path_factory):
     return root
 
 
-def test_qpp_cli(pipeline_dirs):
+@pytest.fixture(scope="module")
+def qpp_dir(pipeline_dirs):
+    """Stage 03 artifacts (lazy, once per module: each CLI test depends on
+    the previous stage's files, and xdist may schedule the tests on
+    different workers — fixtures make every test self-sufficient)."""
     from qpp_fusion_rag_tpu.pipeline.qpp import main
 
-    qpp_dir = pipeline_dirs / "qpp"
-    rc = main(["--runs-dir", str(pipeline_dirs / "runs"), "--output-dir", str(qpp_dir)])
-    assert rc == 0
+    out = pipeline_dirs / "qpp"
+    assert main(["--runs-dir", str(pipeline_dirs / "runs"),
+                 "--output-dir", str(out)]) == 0
+    return out
+
+
+@pytest.fixture(scope="module")
+def models_dir(pipeline_dirs, qpp_dir):
+    from qpp_fusion_rag_tpu.pipeline.train_fusion import main
+
+    out = pipeline_dirs / "models"
+    assert main([
+        "--runs-dir", str(pipeline_dirs / "runs"),
+        "--qpp-dir", str(qpp_dir),
+        "--qrels", str(pipeline_dirs / "qrels.tsv"),
+        "--output-dir", str(out),
+        "--models", "multioutput",
+    ]) == 0
+    return out
+
+
+@pytest.fixture(scope="module")
+def fused_dir(pipeline_dirs, qpp_dir, models_dir):
+    from qpp_fusion_rag_tpu.pipeline.fuse import main
+
+    out = pipeline_dirs / "fused"
+    assert main([
+        "--runs-dir", str(pipeline_dirs / "runs"),
+        "--qpp-dir", str(qpp_dir),
+        "--output-dir", str(out),
+        "--method", "all",
+        "--models-dir", str(models_dir),
+    ]) == 0
+    return out
+
+
+def test_qpp_cli(pipeline_dirs, qpp_dir):
     files = sorted(qpp_dir.glob("*.mmnorm.qpp"))
     assert [f.name for f in files] == [f"r{r}.res.mmnorm.qpp" for r in range(3)]
     lines = files[0].read_text().strip().splitlines()
     assert len(lines) == 40 and len(lines[0].split("\t")) == 14
 
 
-def test_train_cli(pipeline_dirs):
-    from qpp_fusion_rag_tpu.pipeline.train_fusion import main
-
-    models_dir = pipeline_dirs / "models"
-    rc = main([
-        "--runs-dir", str(pipeline_dirs / "runs"),
-        "--qpp-dir", str(pipeline_dirs / "qpp"),
-        "--qrels", str(pipeline_dirs / "qrels.tsv"),
-        "--output-dir", str(models_dir),
-        "--models", "multioutput",
-    ])
-    assert rc == 0
+def test_train_cli(models_dir):
     assert (models_dir / "fusion_multioutput.pkl").exists()
     summary = json.loads((models_dir / "training_summary.json").read_text())
     assert "multioutput" in summary
 
 
-def test_fuse_cli_all(pipeline_dirs):
-    from qpp_fusion_rag_tpu.pipeline.fuse import main
-
-    fused = pipeline_dirs / "fused"
-    rc = main([
-        "--runs-dir", str(pipeline_dirs / "runs"),
-        "--qpp-dir", str(pipeline_dirs / "qpp"),
-        "--output-dir", str(fused),
-        "--method", "all",
-        "--models-dir", str(pipeline_dirs / "models"),
-    ])
-    assert rc == 0
-    names = {f.stem for f in fused.glob("*.res")}
+def test_fuse_cli_all(fused_dir):
+    names = {f.stem for f in fused_dir.glob("*.res")}
     assert {"combsum", "combmnz", "rrf", "wcombsum", "wcombmnz", "wrrf",
             "learned_multioutput"} <= names
 
 
-def test_evaluate_cli(pipeline_dirs):
+def test_evaluate_cli(pipeline_dirs, fused_dir):
     from qpp_fusion_rag_tpu.pipeline.evaluate import main
 
-    fused = pipeline_dirs / "fused"
-    rc = main(["--fused-dir", str(fused), "--qrels", str(pipeline_dirs / "qrels.tsv")])
+    rc = main(["--fused-dir", str(fused_dir),
+               "--qrels", str(pipeline_dirs / "qrels.tsv")])
     assert rc == 0
-    comp = json.loads((fused / "comparison_results.json").read_text())
+    comp = json.loads((fused_dir / "comparison_results.json").read_text())
     assert comp["combsum"]["type"] == "unweighted"
     assert comp["wcombsum"]["type"] == "qpp_weighted"
     assert comp["learned_multioutput"]["type"] == "learned"

@@ -183,3 +183,62 @@ def test_ensemble_q8r_pool_smaller_than_k(rng):
     )
     assert np.asarray(fid).shape == (B, K)
     assert np.isfinite(np.asarray(fsc)[:, 0]).all()
+
+
+def test_ensemble_certified_mode(rng):
+    """sparse_mode='q8c': the step returns per-query certificates (AND
+    of both sparse views); with full window coverage and a generous pool
+    every query certifies and the sparse views equal the q8r views."""
+    from qpp_fusion_rag_tpu.ops.pallas.dense_topk import quantize_rows
+    from qpp_fusion_rag_tpu.ops.sparse import (
+        doc_vector_imp_bits,
+        pack_doc_vectors,
+        pack_postings,
+    )
+    from qpp_fusion_rag_tpu.pipeline.ensemble import (
+        EnsembleIndexes,
+        ensemble_retrieval_step,
+    )
+
+    N, D, B, K = 1024, 16, 4, 8
+    bo, bd, bw = _csr(rng, N, n_terms=40, df=32)
+    so, sd, sw = _csr(rng, N, n_terms=48, df=24)
+    bp, bs = pack_postings(bd, bw, bo)
+    sp, ss = pack_postings(sd, sw, so)
+    bits = doc_vector_imp_bits(48)
+    bdp, bds, _ = pack_doc_vectors(bo, bd, bw, N, imp_bits=bits)
+    sdp, sds, _ = pack_doc_vectors(so, sd, sw, N, imp_bits=bits)
+    corpus = rng.standard_normal((N, D)).astype(np.float32)
+    c_int, d_scale = quantize_rows(jnp.asarray(corpus.T), axis=0)
+    idx = EnsembleIndexes(
+        bm25_packed=jnp.asarray(bp), bm25_scales=jnp.asarray(bs),
+        bm25_offsets=jnp.asarray(bo),
+        splade_packed=jnp.asarray(sp), splade_scales=jnp.asarray(ss),
+        splade_offsets=jnp.asarray(so),
+        corpus_int=c_int, corpus_rows=jnp.asarray(np.asarray(c_int).T),
+        d_scale=d_scale.reshape(1, -1),
+        bm25_doc_packed=jnp.asarray(bdp), bm25_doc_scale=jnp.asarray(bds),
+        splade_doc_packed=jnp.asarray(sdp), splade_doc_scale=jnp.asarray(sds),
+        doc_imp_bits=bits,
+    )
+    bm25_t = rng.integers(0, 40, (B, 4)).astype(np.int32)
+    splade_t = rng.integers(0, 48, (B, 8)).astype(np.int32)
+    args = (bm25_t, np.ones((B, 4), np.float32),
+            splade_t, np.ones((B, 8), np.float32),
+            rng.standard_normal((B, D)).astype(np.float32),
+            (rng.standard_normal((2, D, D)) * 0.2).astype(np.float32),
+            np.tile(np.array([4.0, 4.0, 8.0, 5.0], np.float32), (B, 1)))
+    fid_c, fsc_c, qpp_c, cert, slack = ensemble_retrieval_step(
+        idx, *args, k=K, k_out=K, p_cap=32, sparse_mode="q8c",
+        sparse_candidates=256)
+    cert, slack = np.asarray(cert), np.asarray(slack)
+    assert cert.shape == (B,) and cert.dtype == bool
+    assert np.isfinite(slack).all()
+    assert cert.all(), "full coverage + generous pool must certify all"
+    # the certified step's fused output matches the q8r step's
+    fid_r, fsc_r, qpp_r = ensemble_retrieval_step(
+        idx, *args, k=K, k_out=K, p_cap=32, sparse_mode="q8r",
+        sparse_candidates=256)
+    np.testing.assert_array_equal(np.asarray(fid_c), np.asarray(fid_r))
+    np.testing.assert_allclose(np.asarray(fsc_c), np.asarray(fsc_r),
+                               rtol=1e-5, atol=1e-6)

@@ -154,3 +154,35 @@ def test_search_certified_no_escalation_when_generous():
     _, _, info = idx.search_certified(qs, k=5, p_cap=idx.max_df,
                                       candidates=512)
     assert (info["certified_round"] == 0).all()
+
+
+def test_certified_presorted_is_sound(device_index, queries, csr):
+    """The presorted dual layout's certified path: same soundness
+    contract, hidden-mass bound taken from the window-min impact (the
+    doc-ordered window has no meaningful edge position)."""
+    from qpp_fusion_rag_tpu.ops.sparse import pack_postings_presorted
+
+    offsets, docs, weights = csr
+    packed, off32, sc, dp, ds, bits = device_index
+    qt, qw = queries
+    true = host_scores(csr, np.asarray(qt), np.asarray(qw))
+    for p_cap in (128, 512):
+        pre, o2, _ = pack_postings_presorted(
+            docs, weights, offsets, cap=p_cap, scales=np.asarray(sc))
+        s, ids, cert, slack = sparse_score_topk_q8_certified(
+            jnp.asarray(pre), jnp.asarray(o2.astype(np.int32)), sc,
+            dp, ds, qt, qw, k=K, p_cap=p_cap, candidates=256,
+            imp_bits=bits, presorted=True)
+        ids, cert = np.asarray(ids), np.asarray(cert)
+        assert np.isfinite(np.asarray(slack)).all()
+        assert cert.any(), f"nothing certified at p_cap={p_cap}"
+        for b in range(qt.shape[0]):
+            if cert[b]:
+                assert_true_topk(true[b], ids[b], K)
+        # plain and presorted layouts score the same impact windows: the
+        # certified fractions must agree closely (pool-edge ties may
+        # shift single queries)
+        _, _, cert_p, _ = sparse_score_topk_q8_certified(
+            packed, off32, sc, dp, ds, qt, qw, k=K, p_cap=p_cap,
+            candidates=256, imp_bits=bits)
+        assert abs(int(cert.sum()) - int(np.asarray(cert_p).sum())) <= 2
