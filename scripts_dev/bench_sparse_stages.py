@@ -69,10 +69,12 @@ def build_view(name, vocab, avg_len, seed, max_post, n_terms_q, q_seed,
 
 
 def sync(out):
-    """Force completion via a host readback of one element —
-    block_until_ready can return early through the remote-TPU tunnel."""
-    leaves = jax.tree_util.tree_leaves(out)
-    _ = np.asarray(leaves[0]).ravel()[0]
+    """Force completion via a host readback of ONE element —
+    block_until_ready can return early through the remote-TPU tunnel,
+    and fetching a whole output leaf would time the ~64 MB/s tunnel
+    instead of the kernel (slice down on device first)."""
+    x = jax.tree_util.tree_leaves(out)[0]
+    _ = np.asarray(jnp.ravel(x)[0])
 
 
 def timed(fn, reps=10):

@@ -3,6 +3,9 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the `-m "not slow"` fast tier
+
+
 
 @pytest.fixture(scope="module")
 def built_index():

@@ -5,6 +5,8 @@ import json
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # stage-chain fixtures are compile-heavy; fast tier covers the stages via unit tests
+
 
 @pytest.fixture(scope="module")
 def pipeline_dirs(tmp_path_factory):

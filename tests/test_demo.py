@@ -2,6 +2,9 @@
 ordering (QPP-weighted and learned fusion beat unweighted; oracle bounds)."""
 
 import json
+import pytest
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the `-m "not slow"` fast tier
+
 
 
 def test_demo_pipeline(tmp_path):

@@ -8,6 +8,9 @@ import jax.numpy as jnp
 
 from qpp_fusion_rag_tpu.ops import dense
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the `-m "not slow"` fast tier
+
+
 
 def naive_topk(q, c, k):
     s = q @ c.T

@@ -6,6 +6,9 @@ from unittest import mock
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the `-m "not slow"` fast tier
+
+
 torch = pytest.importorskip("torch")
 transformers = pytest.importorskip("transformers")
 

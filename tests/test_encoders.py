@@ -3,10 +3,13 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the `-m "not slow"` fast tier
+
 torch = pytest.importorskip("torch")
 transformers = pytest.importorskip("transformers")
 
 from qpp_fusion_rag_tpu.encoders import (
+
     BertConfig,
     CrossEncoderScorer,
     DenseEncoder,

@@ -8,6 +8,9 @@ from sklearn.ensemble import GradientBoostingRegressor
 
 from qpp_fusion_rag_tpu.models.gbdt import Booster
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the `-m "not slow"` fast tier
+
+
 
 def test_booster_quality_close_to_sklearn():
     rng = np.random.default_rng(0)

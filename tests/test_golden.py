@@ -33,6 +33,7 @@ def test_qpp_golden(norm, key):
                                    err_msg=f"{key}/{qid}")
 
 
+@pytest.mark.slow
 def test_fusion_golden():
     from qpp_fusion_rag_tpu.ops.fusion import fuse
 

@@ -33,6 +33,7 @@ def real_features():
 
 @pytest.mark.parametrize("name", ["fusion_multioutput",
                                   "fusion_per_retriever", "fusion_mlp"])
+@pytest.mark.slow
 def test_load_and_predict_real_model(name, real_features):
     from qpp_fusion_rag_tpu.models.interop import load_reference_fusion_model
 

@@ -5,6 +5,9 @@ import json
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the `-m "not slow"` fast tier
+
+
 
 @pytest.fixture(scope="module")
 def tiny():

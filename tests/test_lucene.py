@@ -15,10 +15,10 @@ from pathlib import Path
 
 REF = Path("/root/reference/data/scifact/index/splade")
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     not (REF / "_h_Lucene90_0.tim").exists(),
     reason="reference SPLADE Lucene index not available",
-)
+)]
 
 
 @pytest.fixture(scope="module")

@@ -15,6 +15,7 @@ def _align(run_docs, qrels_row, vocab=None, K=None):
     return M.align_relevance(ids, ["q"], {"q": qrels_row}, vocab)
 
 
+@pytest.mark.slow
 def test_ndcg_matches_sklearn(rng):
     from sklearn.metrics import ndcg_score
 

@@ -13,6 +13,9 @@ from qpp_fusion_rag_tpu.models import (
 )
 from qpp_fusion_rag_tpu.models.gbdt import Booster, _predict_tree_host
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the `-m "not slow"` fast tier
+
+
 
 @pytest.fixture(scope="module")
 def regression_data():

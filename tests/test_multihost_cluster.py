@@ -13,6 +13,9 @@ import textwrap
 
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the `-m "not slow"` fast tier
+
+
 
 def _clean_env():
     """Subprocess env without the axon TPU-tunnel hooks: the image's

@@ -6,11 +6,14 @@ import pytest
 import jax.numpy as jnp
 
 from qpp_fusion_rag_tpu.ops.pallas.dense_topk import (
+
     GROUP,
     group_max_scores,
     pallas_dense_topk,
     pallas_multi_view_topk,
 )
+
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the `-m "not slow"` fast tier
 
 
 @pytest.fixture(scope="module")

@@ -26,7 +26,8 @@ import pytest
 REF = Path("/root/reference/data/scifact")
 GOLDEN = Path(__file__).parent / "golden" / "parity_drill_v1.json"
 
-pytestmark = pytest.mark.skipif(not REF.exists(), reason="reference data not mounted")
+pytestmark = [pytest.mark.slow,
+              pytest.mark.skipif(not REF.exists(), reason="reference data not mounted")]
 
 RETRIEVERS = ["BM25", "Splade", "BGE", "BM25_TCT", "BM25_MonoT5"]
 DEPTH = 100

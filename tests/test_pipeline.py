@@ -6,6 +6,9 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the `-m "not slow"` fast tier
+
+
 
 def _inputs(B=8, D=32, N=512, R=3, seed=0):
     rng = np.random.default_rng(seed)

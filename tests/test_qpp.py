@@ -172,6 +172,7 @@ def test_text_features_empty_and_java_split():
     assert al == pytest.approx(5.0)
 
 
+@pytest.mark.slow
 def test_engine_normalization_and_files(tmp_path, rng):
     # build a fake .res with 3 queries
     lines = []

@@ -10,6 +10,9 @@ import numpy as np
 import jax.numpy as jnp
 
 from qpp_fusion_rag_tpu.ops import qpp as Q
+import pytest
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the `-m "not slow"` fast tier
+
 
 
 def _raw(rng, R=5, B=64, M=13):

@@ -161,6 +161,7 @@ def test_perturb_and_swap(world_rt):
         assert sorted(swapped[qi]) == sorted(rt.doc_ids[0][qi])
 
 
+@pytest.mark.slow
 def test_stochastic_qpp_evaluation(world_rt):
     from qpp_fusion_rag_tpu.qpp.stochastic import stochastic_qpp_evaluation
 

@@ -18,6 +18,9 @@ from qpp_fusion_rag_tpu.evaluation.ir_evaluator import IREvaluator
 from qpp_fusion_rag_tpu.fusion.engine import run_fusion
 from qpp_fusion_rag_tpu.qpp.engine import compute_qpp_for_runtensor, qpp_tensor_to_dict
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the `-m "not slow"` fast tier
+
+
 
 @pytest.fixture(scope="module")
 def world():

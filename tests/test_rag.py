@@ -339,6 +339,7 @@ def test_build_context_fetched_once_per_query(rag_world):
     assert len(fetches) == len(set(fetches)) == 3  # top-3 docs, once each
 
 
+@pytest.mark.slow
 def test_qa_metrics_cli_semantic_local(tmp_path, rag_world):
     """Stage 08 fully offline: --semantic with the on-device random-init
     encoder (generation/local_embed.py) — no HTTP transport anywhere
@@ -370,6 +371,7 @@ def test_qa_metrics_cli_semantic_local(tmp_path, rag_world):
         pytest.approx(1.0, abs=1e-5)
 
 
+@pytest.mark.slow
 def test_local_embedding_operation_contract():
     from qpp_fusion_rag_tpu.generation.local_embed import (
         LocalEmbeddingOperation, make_embedding_op)

@@ -14,6 +14,7 @@ import pytest
 DOCS = Path(__file__).resolve().parent.parent / "docs"
 
 
+@pytest.mark.slow
 def test_lm_trainer_learns_extraction_task():
     """A micro GPT learns the marker->secret extraction objective: the
     masked answer loss falls by >3x within 150 steps (full convergence

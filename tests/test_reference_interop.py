@@ -13,7 +13,8 @@ import pytest
 
 REF = Path("/root/reference/data/scifact")
 
-pytestmark = pytest.mark.skipif(not REF.exists(), reason="reference data not mounted")
+pytestmark = [pytest.mark.slow,
+              pytest.mark.skipif(not REF.exists(), reason="reference data not mounted")]
 
 
 def test_load_real_qpp_files():

@@ -33,6 +33,7 @@ def runs_world(tmp_path_factory):
     return root
 
 
+@pytest.mark.slow
 def test_eval_rankers_cli(runs_world):
     from qpp_fusion_rag_tpu.pipeline.eval_rankers import main
 

@@ -7,6 +7,9 @@ import jax.numpy as jnp
 
 from qpp_fusion_rag_tpu.ops.segment import SENTINEL, segmented_topk
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the `-m "not slow"` fast tier
+
+
 
 def brute(ids, vals, k, count_bonus=False):
     acc, cnt = {}, {}

@@ -4,6 +4,9 @@ the single-device kernel (exact settings, 8-device CPU mesh)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the `-m "not slow"` fast tier
+
+
 
 def _toy_postings(rng, n_docs=230, n_terms=40, avg_df=25):
     """Random CSR impact lists with strictly distinct weights (no ties)."""

@@ -8,6 +8,9 @@ import pytest
 from qpp_fusion_rag_tpu.index.native import NativeIndexBuilder
 from qpp_fusion_rag_tpu.index.sparse import SparseIndex
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the `-m "not slow"` fast tier
+
+
 DOCS = [
     ("d0", "the quick brown fox jumps over the lazy dog"),
     ("d1", "a fast brown fox leaps across lazy dogs daily"),

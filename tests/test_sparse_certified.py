@@ -15,11 +15,14 @@ import pytest
 from qpp_fusion_rag_tpu.data.synthetic import zipf_bm25_csr, zipf_queries
 from qpp_fusion_rag_tpu.index.sparse import SparseIndex
 from qpp_fusion_rag_tpu.ops.sparse import (
+
     doc_vector_imp_bits,
     pack_doc_vectors,
     pack_postings,
     sparse_score_topk_q8_certified,
 )
+
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the `-m "not slow"` fast tier
 
 N_DOCS = 8192
 K = 10

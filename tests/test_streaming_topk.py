@@ -4,11 +4,15 @@ import numpy as np
 
 import jax.numpy as jnp
 
+import pytest
+
 from qpp_fusion_rag_tpu.ops.pallas.streaming_topk import (
     MSLAB,
     SUPER,
     streaming_dense_topk,
 )
+
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the `-m "not slow"` fast tier
 
 
 def test_streaming_topk_matches_exact_top1():

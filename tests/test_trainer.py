@@ -6,6 +6,9 @@ import pytest
 from qpp_fusion_rag_tpu.data.runtensor import RunTensor
 from qpp_fusion_rag_tpu.data.vocab import DocVocab
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the `-m "not slow"` fast tier
+
+
 
 @pytest.fixture(scope="module")
 def synthetic_world():
