@@ -515,6 +515,7 @@ def pack_doc_vectors(
     n_docs: int,
     doc_cap: int = 0,          # 0 = fit the longest doc (exact)
     imp_bits: int = 8,         # impact precision (doc_vector_imp_bits)
+    return_tail: bool = False,
 ):
     """Invert term-major CSR postings to PACKED doc-major vectors for the
     exact-rescore kernel: row d holds doc d's (term << imp_bits | q-impact)
@@ -529,8 +530,19 @@ def pack_doc_vectors(
 
     doc_cap > 0 truncates docs to their `doc_cap` HIGHEST-weight terms
     (rescoring then lower-bounds the true score); 0 sizes rows to the
-    longest doc — exact, the default. Returns
+    longest doc — exact, the default. doc_cap=128 makes every row
+    exactly one (8, 128) int32 tile, which roughly halves XLA's
+    row-gather cost at serving shapes vs the ragged Td (measured 17->8
+    ms per view at B=1024, C=256 on v5e). Returns
     (doc_packed int32 [N, Td], doc_scale f32 [N], Td).
+
+    return_tail=True appends tail_max f32 [N]: each doc's largest
+    DROPPED raw weight (0.0 where nothing was dropped). The certified
+    scorer turns this into a sound per-candidate upper-bound correction
+    (a dropped term can contribute at most qw_t * tail_max[d]), so
+    doc_cap keeps the rank-exactness certificate valid — docs longer
+    than the cap simply become harder to certify instead of silently
+    mis-scored.
 
     Reference behavior this supports: exhaustive Lucene/Terrier scoring is
     rank-exact by construction (reference src/retrievers/splade.py:75-80,
@@ -569,12 +581,16 @@ def pack_doc_vectors(
         maxw = np.maximum.reduceat(w_sorted, bounds[:-1][nz])
         doc_scale[nz] = np.where(maxw > 0, maxw / qmax, 1.0)
 
+    tail_max = np.zeros(n_docs, dtype=np.float32)
     if td < td_full:
         # keep each doc's heaviest `td` terms: rank entries per doc by -w
         rank = np.zeros(len(d_sorted), dtype=np.int64)
         sub = np.lexsort((-w_sorted, d_sorted))
         pos_in_doc = np.arange(len(d_sorted)) - np.repeat(bounds[:-1], counts)
         rank[sub] = pos_in_doc
+        # the largest dropped weight is exactly the rank-td entry
+        edge = rank == td
+        tail_max[d_sorted[edge]] = w_sorted[edge]
         keep = rank < td
         d_sorted, t_sorted, w_sorted = (
             d_sorted[keep], t_sorted[keep], w_sorted[keep])
@@ -588,6 +604,8 @@ def pack_doc_vectors(
                          dtype=np.int64)
     col = np.arange(len(d_sorted)) - np.repeat(bounds[:-1], counts)
     doc_packed[d_sorted, col] = packed_flat
+    if return_tail:
+        return doc_packed.astype(np.int32), doc_scale, td, tail_max
     return doc_packed.astype(np.int32), doc_scale, td
 
 
@@ -660,13 +678,20 @@ def _exact_rescore_scores(
     term_scales: jnp.ndarray = None,
     imp_bits: int = 8,
     sort_ids: bool = False,
+    return_unmatched: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Shared rescoring core: every candidate scored against its FULL
     doc-major term vector. -> (cand_ids [B, C] (re-sorted when sort_ids),
     scores [B, C] f32, -inf at invalid). The certified scorer consumes
     the full per-candidate row (per-doc quantization bounds need every
     pooled doc, not just the top-k); sparse_exact_rescore adds the top-k
-    tail for the serving path."""
+    tail for the serving path.
+
+    return_unmatched=True appends unmatched_qw [B, C] f32: for each
+    candidate, the sum of query weights whose term found NO entry in the
+    stored row — the multiplier for pack_doc_vectors' tail_max upper
+    bound under doc_cap truncation (a missing term either isn't in the
+    doc or was dropped with weight <= tail_max)."""
     B, C = cand_ids.shape
     if sort_ids:
         cand_ids = jax.lax.sort(cand_ids, dimension=-1)
@@ -682,11 +707,18 @@ def _exact_rescore_scores(
     # HBM sweep), then ONE reduction — ~3x faster than per-term reduces
     matched = jnp.zeros_like(imp)
     Tq = q_terms.shape[1]
+    unmatched = jnp.zeros((B, C), jnp.float32) if return_unmatched else None
     for j in range(Tq):                                  # unrolled: Tq <= 16
-        matched = matched + jnp.where(
-            t == q_terms[:, j, None, None], qw[:, j, None, None], 0.0)
+        hit = t == q_terms[:, j, None, None]
+        matched = matched + jnp.where(hit, qw[:, j, None, None], 0.0)
+        if return_unmatched:
+            unmatched = unmatched + jnp.where(
+                jnp.any(hit, axis=-1), 0.0, qw[:, j, None])
     scores = jnp.sum(matched * imp, axis=-1) * doc_scale[safe]
-    return cand_ids, jnp.where(cand_ids >= 0, scores, -jnp.inf)
+    scores = jnp.where(cand_ids >= 0, scores, -jnp.inf)
+    if return_unmatched:
+        return cand_ids, scores, unmatched
+    return cand_ids, scores
 
 
 @partial(jax.jit, static_argnames=("k", "imp_bits", "sort_ids"))
@@ -993,6 +1025,9 @@ def sparse_score_topk_q8_certified(
     doc_w: jnp.ndarray = None,       # [N, Td] f32
     tie_rel_eps: float = 1e-5,
     presorted: bool = False,  # dual doc-ordered layout (pack_postings_presorted)
+    tail_max: jnp.ndarray = None,    # [N] f32 (pack_doc_vectors return_tail;
+                                     # REQUIRED when doc_packed was built
+                                     # with doc_cap < the longest doc)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """CERTIFIED rank-exact sparse scoring: the q8r pipeline plus a sound
     per-query exactness certificate.
@@ -1102,9 +1137,17 @@ def sparse_score_topk_q8_certified(
     # rescore the ENTIRE pool (full per-candidate rows, not just top-k):
     # the within-pool check needs each pooled doc's own quantization
     # bound, which a pool-max epsilon over the (k+1)-th value can't give
+    tail_ub = None
     if doc_terms is not None:
         pool_scores = _exact_rescore_scores_f32(
             ci, doc_terms, doc_w, q_terms, q_weights)
+    elif tail_max is not None:
+        # doc_cap-truncated vectors: a query term with no stored entry
+        # may be a dropped term of the doc, worth at most tail_max[d]
+        ci, pool_scores, unmatched = _exact_rescore_scores(
+            ci, doc_packed, doc_scale, q_terms, q_weights,
+            imp_bits=imp_bits, return_unmatched=True)
+        tail_ub = unmatched * tail_max[jnp.maximum(ci, 0)]
     else:
         ci, pool_scores = _exact_rescore_scores(
             ci, doc_packed, doc_scale, q_terms, q_weights,
@@ -1149,11 +1192,18 @@ def sparse_score_topk_q8_certified(
         eps_c = jnp.zeros_like(pool_scores)
     else:
         eps_c = 0.5 * doc_scale[jnp.maximum(ci, 0)] * sum_qw[:, None]
+    if tail_ub is not None:
+        # the tail correction is one-sided: stored scores only ever
+        # UNDER-count a truncated doc, so it widens each candidate's
+        # upper bound but leaves the lower bound (scores - eps_c) valid
+        eps_up = eps_c + tail_ub
+    else:
+        eps_up = eps_c
     eps_ret = jnp.take_along_axis(eps_c, top_idx, axis=-1)[:, :kk]
     ret_lb = jnp.min(jnp.where(ids[:, :kk] >= 0,
                                scores[:, :kk] - eps_ret, jnp.inf), axis=1)
     # every pooled-but-unreturned doc's true score upper bound
-    pool_ub = jnp.where(ci >= 0, pool_scores + eps_c, -jnp.inf)
+    pool_ub = jnp.where(ci >= 0, pool_scores + eps_up, -jnp.inf)
     pool_ub = pool_ub.at[
         jnp.arange(pool_ub.shape[0])[:, None], top_idx].set(-jnp.inf)
     disp_ub = jnp.max(pool_ub, axis=1)                # -inf: pool <= k docs

@@ -78,6 +78,11 @@ class EnsembleIndexes(NamedTuple):
     # mismatch mis-splits the packed term/impact fields and silently
     # corrupts rescored scores. Stripped (set to None) before tracing.
     doc_imp_bits: Optional[int] = None
+    # per-doc largest DROPPED weight when the doc vectors were built with
+    # doc_cap (pack_doc_vectors return_tail) — REQUIRED for sparse_mode
+    # 'q8c' on capped vectors, else certificates silently overclaim
+    bm25_tail: Optional[jnp.ndarray] = None          # [N] f32
+    splade_tail: Optional[jnp.ndarray] = None        # [N] f32
 
 
 # =============================================================================
@@ -134,7 +139,7 @@ def make_sparse_scorer(sparse_mode: str, sparse_candidates: int,
         cand = sparse_candidates if sparse_candidates > 0 else 1024
 
         def scorer(packed, offsets, scales, terms, qw,
-                   doc_packed=None, doc_scale=None):
+                   doc_packed=None, doc_scale=None, tail=None):
             if doc_packed is None:
                 raise ValueError(
                     "sparse_mode='q8c' needs doc-major vectors "
@@ -142,7 +147,7 @@ def make_sparse_scorer(sparse_mode: str, sparse_candidates: int,
             return sparse_score_topk_q8_certified(
                 packed, offsets, scales, doc_packed, doc_scale,
                 terms, qw, k=k, p_cap=p_cap, candidates=cand,
-                imp_bits=imp_bits, presorted=presorted)
+                imp_bits=imp_bits, presorted=presorted, tail_max=tail)
     elif sparse_candidates > 0:
         if presorted:
             raise ValueError(
@@ -320,13 +325,17 @@ def _ensemble_retrieval_step(
                                 imp_bits=doc_imp_bits,
                                 presorted=sparse_presorted,
                                 sort_ids=sparse_sort_ids)
+    tails = ({"tail": idx.bm25_tail}, {"tail": idx.splade_tail}) \
+        if sparse_mode == "q8c" else ({}, {})
     bm25_out = sparse(
         idx.bm25_packed, idx.bm25_offsets, idx.bm25_scales,
         bm25_terms, bm25_qw, idx.bm25_doc_packed, idx.bm25_doc_scale,
+        **tails[0],
     )
     splade_out = sparse(
         idx.splade_packed, idx.splade_offsets, idx.splade_scales,
         splade_terms, splade_qw, idx.splade_doc_packed, idx.splade_doc_scale,
+        **tails[1],
     )
     if sparse_mode == "q8c":
         bm25_s, bm25_i, bm25_cert, bm25_slack = bm25_out

@@ -189,3 +189,45 @@ def test_certified_presorted_is_sound(device_index, queries, csr):
             packed, off32, sc, dp, ds, qt, qw, k=K, p_cap=p_cap,
             candidates=256, imp_bits=bits)
         assert abs(int(cert.sum()) - int(np.asarray(cert_p).sum())) <= 2
+
+
+def test_certified_capped_doc_vectors_sound(csr, queries):
+    """doc_cap-truncated doc vectors + tail_max: certificates must stay
+    sound (certified => true top-k) even though stored rescores
+    under-count truncated docs; the tail bound makes long docs harder to
+    certify, never mis-certified."""
+    offsets, docs, weights = csr
+    qt, qw = queries
+    true = host_scores(csr, np.asarray(qt), np.asarray(qw))
+    bits = doc_vector_imp_bits(len(offsets) - 1)
+    packed, scales = pack_postings(docs, weights, offsets)
+
+    # a cap below the longest doc so truncation really happens, but rare
+    # (q99, the intended production setting: cap = next tile multiple
+    # >= the q99 doc length) so most pooled candidates stay exact
+    doc_lens = np.bincount(docs, minlength=N_DOCS)
+    cap = max(int(np.percentile(doc_lens[doc_lens > 0], 99)), 4)
+    dp, ds, td, tail = pack_doc_vectors(offsets, docs, weights, N_DOCS,
+                                        imp_bits=bits, doc_cap=cap,
+                                        return_tail=True)
+    assert td == cap and (tail > 0).any(), "fixture must truncate docs"
+
+    s, ids, cert, slack = sparse_score_topk_q8_certified(
+        jnp.asarray(packed), jnp.asarray(offsets.astype(np.int32)),
+        jnp.asarray(scales), jnp.asarray(dp), jnp.asarray(ds), qt, qw,
+        k=K, p_cap=512, candidates=256, imp_bits=bits,
+        tail_max=jnp.asarray(tail))
+    ids, cert = np.asarray(ids), np.asarray(cert)
+    assert cert.any(), "nothing certified with a generous window"
+    for b in range(qt.shape[0]):
+        if cert[b]:
+            assert_true_topk(true[b], ids[b], K)
+    # tail bound must BIND: the same query set certifies no more than
+    # the uncapped vectors do
+    dp0, ds0, _ = pack_doc_vectors(offsets, docs, weights, N_DOCS,
+                                   imp_bits=bits)
+    _, _, cert0, _ = sparse_score_topk_q8_certified(
+        jnp.asarray(packed), jnp.asarray(offsets.astype(np.int32)),
+        jnp.asarray(scales), jnp.asarray(dp0), jnp.asarray(ds0), qt, qw,
+        k=K, p_cap=512, candidates=256, imp_bits=bits)
+    assert int(cert.sum()) <= int(np.asarray(cert0).sum())
