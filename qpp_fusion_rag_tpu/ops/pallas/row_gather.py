@@ -1,17 +1,24 @@
 """Fused doc-vector gather + term-match rescore (HBM → VMEM DMA).
 
-The rank-safe sparse modes rescore each pooled candidate against its
-full doc-major term vector (ops.sparse._exact_rescore_scores). The XLA
-formulation pays twice: `jnp.take` writes the gathered [B, C, Td] rows
-back to HBM, then the Tq-way unrolled compare-accumulate re-reads them
-— and the compare work (B·C·Td·Tq int32 compares) dominates at SPLADE
-shapes (Tq=16). This kernel does both in one pass: each candidate's
-(8, 128)-tile row group is DMA'd HBM→VMEM (int32 HBM slices must start
-on the 8-sublane tile boundary, so the group holds 8 doc rows and the
-target row is rotated out — same realign idiom as window_gather), and
-the term match runs on the VMEM tile while later candidates' DMAs are
-in flight. Output is one f32 partial score per candidate; the caller
-applies doc_scale and validity masks.
+STATUS: correct but NOT the production path. Measured on v5e at bench
+shapes (N=2.6M, B=1024, Td=128): 10.5/17.2 ms (C=256/512) vs XLA's
+take+compare at 7.5-12.9 ms. The aligned 8-row tile fetch moves 8x the
+useful bytes per candidate, and that DMA overhead exceeds what fusing
+the match saves — XLA's gather of exactly-one-tile rows is already
+near the row-fetch floor (~21 ns/row). The production fix was upstream:
+pack_doc_vectors(doc_cap=128) makes every row ONE (8, 128) int32 tile,
+which halved the XLA gather cost (17→8 ms/view) without any custom
+kernel. This file stays as the measured negative result + the
+scalar-prefetched random-row DMA idiom (window_gather covers the
+contiguous-window case).
+
+Mechanics: each candidate's (8, 128)-tile row group is DMA'd HBM→VMEM
+(int32 HBM slices must start on the 8-sublane tile boundary, so the
+group holds 8 doc rows and the target row is rotated out — same realign
+idiom as window_gather), and the Tq-way term match runs on the VMEM
+tile while later candidates' DMAs are in flight. Output is one f32
+partial score per candidate; the caller applies doc_scale and validity
+masks.
 
 Constraints that shape the design:
 - Td is FIXED at 128 lanes: one tile row per doc (pack_doc_vectors

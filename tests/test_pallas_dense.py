@@ -225,3 +225,46 @@ def test_int8_global_topk_padding():
     assert np.asarray(ids).max() < 1000
     s = q @ c.T
     np.testing.assert_array_equal(np.asarray(ids)[:, 0], np.argmax(s, axis=-1))
+
+
+def test_rescore_match_pallas_matches_reference():
+    """Fused gather+match kernel (interpret mode) == the XLA rescore
+    formulation, including -1 candidate pads and query-term pads."""
+    import jax.numpy as jnp
+
+    from qpp_fusion_rag_tpu.data.synthetic import zipf_bm25_csr, zipf_queries
+    from qpp_fusion_rag_tpu.ops.pallas.row_gather import (
+        pad_doc_rows,
+        rescore_match_pallas,
+    )
+    from qpp_fusion_rag_tpu.ops.sparse import (
+        doc_vector_imp_bits,
+        pack_doc_vectors,
+    )
+
+    N = 2000
+    offsets, docs, weights, _ = zipf_bm25_csr(
+        N, vocab_size=512, avg_doc_len=18.0, seed=5)
+    bits = doc_vector_imp_bits(512)
+    dp, ds, _ = pack_doc_vectors(offsets, docs, weights, N, imp_bits=bits)
+    table = pad_doc_rows(dp, bits)
+    rng = np.random.default_rng(2)
+    B, C = 4, 64
+    ids = rng.integers(0, N, (B, C)).astype(np.int32)
+    ids[1, -3:] = -1
+    qt, qw = zipf_queries(offsets, B, n_terms=8, seed=3)
+
+    out = np.asarray(rescore_match_pallas(
+        jnp.asarray(table), jnp.asarray(ids), qt, qw, imp_bits=bits))
+
+    safe = np.maximum(ids, 0)
+    rows = np.asarray(dp)[safe.reshape(-1)].reshape(B, C, -1)
+    t = rows >> bits
+    imp = (rows & ((1 << bits) - 1)).astype(np.float64)
+    qtn = np.asarray(qt)
+    qwn = np.where(qtn >= 0, np.asarray(qw), 0.0)
+    ref = np.zeros((B, C))
+    for j in range(qtn.shape[1]):
+        ref += (np.where(t == qtn[:, j, None, None],
+                         qwn[:, j, None, None], 0.0) * imp).sum(-1)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
