@@ -110,21 +110,42 @@ def bench_ensemble(on_tpu):
     jax.block_until_ready(corpus_rows)
 
     t0 = time.time()
-    bp, bscale = pack_postings(bd, bw, bo)
-    sp, sscale = pack_postings(sd, sw, so)
+    from qpp_fusion_rag_tpu.ops.sparse import (
+        pack_postings_presorted,
+        term_scales_from_csr,
+    )
+
+    # dual doc-ordered layout (presorted q8/q8r/q8c: the Pallas bitonic
+    # skips its first log2(p_cap) rounds) + doc vectors capped at one
+    # (8, 128) int32 tile (halves the rank-safe rescore gather cost;
+    # per-doc tail bounds keep the q8c certificate sound for the few
+    # docs longer than 128 terms)
+    bscale = term_scales_from_csr(bw, bo)
+    sscale = term_scales_from_csr(sw, so)
+    bp, bo2, _ = pack_postings_presorted(bd, bw, bo, cap=p_cap,
+                                         scales=bscale)
+    sp, so2, _ = pack_postings_presorted(sd, sw, so, cap=p_cap,
+                                         scales=sscale)
     imp_bits = doc_vector_imp_bits(len(bo) - 1)
-    bdp, bds, _ = pack_doc_vectors(bo, bd, bw, n_docs, imp_bits=imp_bits)
-    sdp, sds, _ = pack_doc_vectors(so, sd, sw, n_docs, imp_bits=imp_bits)
-    log(f"packed postings + doc vectors built {time.time()-t0:.0f}s")
+    bdp, bds, _, btail = pack_doc_vectors(bo, bd, bw, n_docs,
+                                          imp_bits=imp_bits, doc_cap=128,
+                                          return_tail=True)
+    sdp, sds, _, stail = pack_doc_vectors(so, sd, sw, n_docs,
+                                          imp_bits=imp_bits, doc_cap=128,
+                                          return_tail=True)
+    log(f"packed postings + doc vectors built {time.time()-t0:.0f}s "
+        f"(truncated: bm25 {(btail > 0).mean()*100:.2f}%, "
+        f"splade {(stail > 0).mean()*100:.2f}%)")
     idx = EnsembleIndexes(
         bm25_packed=jnp.asarray(bp), bm25_scales=jnp.asarray(bscale),
-        bm25_offsets=jnp.asarray(bo.astype(np.int32)),
+        bm25_offsets=jnp.asarray(bo2.astype(np.int32)),
         splade_packed=jnp.asarray(sp), splade_scales=jnp.asarray(sscale),
-        splade_offsets=jnp.asarray(so.astype(np.int32)),
+        splade_offsets=jnp.asarray(so2.astype(np.int32)),
         corpus_int=c_int, corpus_rows=corpus_rows,
         d_scale=d_scale.reshape(1, n_docs),
         bm25_doc_packed=jnp.asarray(bdp), bm25_doc_scale=jnp.asarray(bds),
         splade_doc_packed=jnp.asarray(sdp), splade_doc_scale=jnp.asarray(sds),
+        bm25_tail=jnp.asarray(btail), splade_tail=jnp.asarray(stail),
     )
     del bd, bw, sd, sw, bp, sp, bdp, sdp
 
@@ -139,37 +160,36 @@ def bench_ensemble(on_tpu):
             the_idx, bm25_t, bm25_w, splade_t, splade_w, q_emb, proj, tf,
             k=TOP_K, k_out=TOP_K, p_cap=p_cap,
             sparse_mode=mode, sparse_candidates=cand, doc_imp_bits=imp_bits,
-            dense_rescore_pool=pool,
+            dense_rescore_pool=pool, sparse_presorted=True,
         )
 
     reps = 5 if on_tpu else 2
     dt_q8 = time_step(step_mode(idx, "q8", 0, 0), reps)
     log(f"ensemble q8: {dt_q8*1e3:.1f} ms/batch -> {batch/dt_q8:.0f} q/s")
-    # rank-safe config: q8r sparse + bf16 rerank rows + dense pool
-    # rescore. Round 4 halves the rescore pool (1024 -> 512 candidates,
-    # dense pool 512 -> 256): on REAL data the small-pool configs are
-    # already rank-exact (docs/quality_real_scifact.json — q8r
-    # p_cap=512/cand=256 reproduces exact nDCG@10 identically;
-    # docs/autotune_scifact.json picks cand=128-256 for 0.99 recall),
-    # so the big pools were paying rescore HBM traffic for quality that
-    # real distributions don't need.
+    # RANK-SAFE line (round 5): the CERTIFIED mode — q8r plus a per-query
+    # proof that both sparse views returned their true top-k
+    # (sparse_mode='q8c'; the reference's Lucene/Terrier traversal is
+    # exact by construction, src/retrievers/bm25.py:43-52 — q8c matches
+    # that guarantee per query instead of asserting it from offline
+    # sweeps). certified_frac is reported alongside; uncertified queries
+    # escalate through wider pools in production
+    # (SparseIndex.search_certified shows the ladder).
     idx_rs = idx._replace(corpus_rows=rows_bf16)
-    dt_q8r = time_step(
-        step_mode(idx_rs, "q8r", 512 if on_tpu else 64,
-                  256 if on_tpu else 32), reps)
+    c_cand, c_pool = (512, 256) if on_tpu else (64, 32)
+    dt_q8c = time_step(step_mode(idx_rs, "q8c", c_cand, c_pool), reps)
+    out_c = step_mode(idx_rs, "q8c", c_cand, c_pool)()
+    certified_frac = float(np.asarray(out_c[3]).mean())
+    log(f"ensemble q8c: {dt_q8c*1e3:.1f} ms/batch -> {batch/dt_q8c:.0f} q/s"
+        f" (certified {certified_frac:.3f})")
+    # the q8r line (no certificates), kept for cross-round comparability
+    dt_q8r = time_step(step_mode(idx_rs, "q8r", c_cand, c_pool), reps)
     log(f"ensemble q8r: {dt_q8r*1e3:.1f} ms/batch -> {batch/dt_q8r:.0f} q/s")
-    # the round-3 wide-pool config, kept for cross-round comparability
-    dt_q8r_wide = time_step(
-        step_mode(idx_rs, "q8r", 1024 if on_tpu else 64,
-                  512 if on_tpu else 32), reps) if on_tpu else dt_q8r
-    if on_tpu:
-        log(f"ensemble q8r wide: {dt_q8r_wide*1e3:.1f} ms/batch -> "
-            f"{batch/dt_q8r_wide:.0f} q/s")
     return {
         "qps": batch / dt_q8, "ms_per_batch": dt_q8 * 1e3,
-        "rank_safe_qps": batch / dt_q8r,
-        "rank_safe_ms_per_batch": dt_q8r * 1e3,
-        "rank_safe_wide_qps": batch / dt_q8r_wide,
+        "rank_safe_qps": batch / dt_q8c,
+        "rank_safe_ms_per_batch": dt_q8c * 1e3,
+        "rank_safe_certified_frac": certified_frac,
+        "q8r_qps": batch / dt_q8r,
         "batch": batch, "n_docs": n_docs, "p_cap": p_cap,
         "imp_bits": imp_bits,
     }
@@ -311,12 +331,16 @@ def main() -> None:
         "sparse_mode": "q8",
         "rank_safe_qps": round(ens["rank_safe_qps"], 1),
         "rank_safe_ms_per_batch": round(ens["rank_safe_ms_per_batch"], 1),
-        "rank_safe_config": (f"q8r cand=512 imp_bits={ens['imp_bits']} + "
-                             "bf16 rows + dense rescore pool 256 "
-                             "(real-data rank-exact at smaller pools: "
-                             "docs/quality_real_scifact.json, "
-                             "docs/autotune_scifact.json)"),
-        "rank_safe_wide_qps": round(ens["rank_safe_wide_qps"], 1),
+        "rank_safe_certified_frac": round(ens["rank_safe_certified_frac"], 4),
+        "rank_safe_config": (f"q8c cand=512 imp_bits={ens['imp_bits']} "
+                             "presorted + 128-term doc vectors w/ tail "
+                             "bounds + bf16 rows + dense rescore pool 256 "
+                             "— PER-QUERY rank-exactness certificates on "
+                             "both sparse views (escalation ladder: "
+                             "SparseIndex.search_certified; real-data "
+                             "round-0 certification 298/300, "
+                             "docs/quality_real_scifact.json)"),
+        "q8r_qps": round(ens["q8r_qps"], 1),
         "dense_flagship_qps": round(dense_qps, 1),
         "device": dev.device_kind,
     }

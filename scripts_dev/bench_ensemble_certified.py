@@ -77,6 +77,8 @@ def main():
         bm25_doc_scale=jnp.asarray(bv["doc_scale"]),
         splade_doc_packed=jnp.asarray(sv["doc_packed"]),
         splade_doc_scale=jnp.asarray(sv["doc_scale"]),
+        bm25_tail=jnp.asarray(bv["tail"]),
+        splade_tail=jnp.asarray(sv["tail"]),
     )
     qt_b, qw_b = jnp.asarray(bv["qt"]), jnp.asarray(bv["qw"])
     qt_s, qw_s = jnp.asarray(sv["qt"]), jnp.asarray(sv["qw"])

@@ -43,7 +43,9 @@ def build_view(name, vocab, avg_len, seed, max_post, n_terms_q, q_seed,
         term_scales_from_csr,
     )
 
-    f = CACHE / f"{name}.npz"
+    # v2: doc vectors capped at one (8, 128) tile + tail bounds (the
+    # production rank-safe layout — halves the rescore gather cost)
+    f = CACHE / f"{name}_v2.npz"
     if f.exists():
         d = np.load(f)
         return {k: d[k] for k in d.files}
@@ -55,16 +57,17 @@ def build_view(name, vocab, avg_len, seed, max_post, n_terms_q, q_seed,
     scale = term_scales_from_csr(w, o)
     pre, o2, _ = pack_postings_presorted(dd, w, o, cap=P_CAP, scales=scale)
     imp_bits = doc_vector_imp_bits(len(o) - 1)
-    dp, ds, td = pack_doc_vectors(o, dd, w, N, imp_bits=imp_bits)
+    dp, ds, td, tail = pack_doc_vectors(o, dd, w, N, imp_bits=imp_bits,
+                                        doc_cap=128, return_tail=True)
     qt, qw = zipf_queries(o, B, n_terms=n_terms_q, seed=q_seed)
     out = dict(packed=pre, offsets=o2.astype(np.int32), scales=scale,
-               doc_packed=dp, doc_scale=ds, qt=np.asarray(qt),
+               doc_packed=dp, doc_scale=ds, tail=tail, qt=np.asarray(qt),
                qw=np.asarray(qw), imp_bits=np.int32(imp_bits),
                td=np.int32(td))
     CACHE.mkdir(parents=True, exist_ok=True)
     np.savez(f, **out)
-    print(f"[stages] built {name} in {time.time()-t0:.0f}s (Td={td})",
-          flush=True)
+    print(f"[stages] built {name} in {time.time()-t0:.0f}s (Td={td}, "
+          f"{(tail > 0).mean()*100:.2f}% docs truncated)", flush=True)
     return out
 
 
