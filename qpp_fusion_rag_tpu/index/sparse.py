@@ -273,6 +273,13 @@ class SparseIndex(PackedEngineMixin):
         p_cap): identical candidates/scores, and on TPU the Pallas
         bitonic sort skips its first log2(p_cap) rounds.
         """
+        if engine == "certified":
+            # PROVABLY rank-exact serving with the adaptive escalation
+            # ladder; same (scores, rows) contract (info dropped —
+            # call search_certified directly to inspect rounds)
+            s, i, _info = self.search_certified(
+                queries, k=k, p_cap=p_cap, candidates=candidates)
+            return s, i
         q_terms, q_weights = self.encode_queries(queries)
         if p_cap is None:
             p_cap = int(self.params.get("p_cap", 0)) or min(self.max_df, 4096)

@@ -26,10 +26,11 @@ def main(argv=None) -> int:
     ap.add_argument("--top-k", type=int, default=None)
     ap.add_argument("--split", default="test")
     ap.add_argument("--sparse-engine", default=None,
-                    choices=["exact", "q8", "q8r"],
-                    help="BM25/SPLADE scoring engine (pipeline.serve "
-                         "semantics): exact pair-sort, q8 throughput "
-                         "kernel, or q8r rank-safe rescore")
+                    choices=["exact", "q8", "q8r", "certified"],
+                    help="BM25/SPLADE scoring engine: exact pair-sort, q8 "
+                         "throughput kernel, q8r rank-safe rescore, or "
+                         "certified (PROVABLY rank-exact, adaptive "
+                         "escalation; BM25 only)")
     ap.add_argument("--sparse-presorted", default=None,
                     action=argparse.BooleanOptionalAction,
                     help="dual doc-ordered posting layout (q8/q8r only)")
@@ -70,7 +71,15 @@ def main(argv=None) -> int:
         kw = {}
         if name in ("bm25", "splade"):
             if engine != "exact":
-                kw["engine"] = engine
+                eng = engine
+                if engine == "certified" and name == "splade":
+                    # the adaptive certificate ladder lives on
+                    # SparseIndex; SPLADE serves q8r (same pool
+                    # rescore, no per-query proof)
+                    print(f"[{name}] certified engine: SPLADE "
+                          "falls back to q8r")
+                    eng = "q8r"
+                kw["engine"] = eng
                 kw["candidates"] = args.sparse_candidates
                 if presorted:
                     kw["presorted"] = True

@@ -32,7 +32,7 @@ def main(argv=None) -> int:
     ap.add_argument("--k-out", type=int, default=100)
     ap.add_argument("--timing-jsonl", default=None)
     ap.add_argument("--sparse-engine", default=None,
-                    choices=["exact", "q8", "q8r"],
+                    choices=["exact", "q8", "q8r", "certified"],
                     help="BM25/SPLADE scoring engine: exact pair-sort, q8 "
                          "throughput kernel, or q8r rank-safe rescore "
                          "(docs/quality_rescore.json)")
@@ -93,7 +93,15 @@ def main(argv=None) -> int:
             kw = {}
             if name in ("bm25", "splade"):
                 if engine != "exact":
-                    kw["engine"] = engine
+                    eng = engine
+                    if engine == "certified" and name == "splade":
+                        # the adaptive certificate ladder lives on
+                        # SparseIndex; SPLADE serves q8r (same pool
+                        # rescore, no per-query proof)
+                        print(f"[{name}] certified engine: SPLADE "
+                              "falls back to q8r")
+                        eng = "q8r"
+                    kw["engine"] = eng
                     kw["candidates"] = args.sparse_candidates
                     if presorted:
                         kw["presorted"] = True

@@ -231,3 +231,21 @@ def test_certified_capped_doc_vectors_sound(csr, queries):
         jnp.asarray(scales), jnp.asarray(dp0), jnp.asarray(ds0), qt, qw,
         k=K, p_cap=512, candidates=256, imp_bits=bits)
     assert int(cert.sum()) <= int(np.asarray(cert0).sum())
+
+
+def test_search_certified_engine_alias(csr):
+    """SparseIndex.search(engine='certified') routes through the
+    escalation ladder and matches the exact engine's result set."""
+    offsets, docs, weights = csr
+    doc_lens = np.bincount(docs, minlength=N_DOCS)
+    idx = SparseIndex(offsets, docs, weights, doc_lens,
+                      [f"d{i}" for i in range(N_DOCS)], vocab_dump="")
+    qt, qw = zipf_queries(offsets, 4, n_terms=8, seed=21)
+    idx.query_encoder = lambda texts, mt: (np.asarray(qt)[:len(texts)],
+                                           np.asarray(qw)[:len(texts)])
+    s_c, i_c = idx.search(["q"] * 4, k=K, engine="certified")
+    s_e, i_e = idx.search(["q"] * 4, k=K, engine="exact")
+    # compare score multisets (tie-tolerant: the certificate's contract
+    # allows swaps among docs whose true scores tie at the boundary)
+    np.testing.assert_allclose(np.sort(s_c, axis=1), np.sort(s_e, axis=1),
+                               rtol=1e-4, atol=1e-4)
