@@ -691,7 +691,10 @@ def _exact_rescore_scores(
     candidate, the sum of query weights whose term found NO entry in the
     stored row — the multiplier for pack_doc_vectors' tail_max upper
     bound under doc_cap truncation (a missing term either isn't in the
-    doc or was dropped with weight <= tail_max)."""
+    doc or was dropped with weight <= tail_max). Costs one extra [B, C]
+    reduction, not a per-term pass: doc rows hold each term at most
+    once, so sum_p matched_p == sum_j qw_j * hit_j and the unmatched
+    mass is just sum(qw) - that."""
     B, C = cand_ids.shape
     if sort_ids:
         cand_ids = jax.lax.sort(cand_ids, dimension=-1)
@@ -707,16 +710,14 @@ def _exact_rescore_scores(
     # HBM sweep), then ONE reduction — ~3x faster than per-term reduces
     matched = jnp.zeros_like(imp)
     Tq = q_terms.shape[1]
-    unmatched = jnp.zeros((B, C), jnp.float32) if return_unmatched else None
     for j in range(Tq):                                  # unrolled: Tq <= 16
-        hit = t == q_terms[:, j, None, None]
-        matched = matched + jnp.where(hit, qw[:, j, None, None], 0.0)
-        if return_unmatched:
-            unmatched = unmatched + jnp.where(
-                jnp.any(hit, axis=-1), 0.0, qw[:, j, None])
+        matched = matched + jnp.where(
+            t == q_terms[:, j, None, None], qw[:, j, None, None], 0.0)
     scores = jnp.sum(matched * imp, axis=-1) * doc_scale[safe]
     scores = jnp.where(cand_ids >= 0, scores, -jnp.inf)
     if return_unmatched:
+        unmatched = jnp.maximum(
+            jnp.sum(qw, axis=1)[:, None] - jnp.sum(matched, axis=-1), 0.0)
         return cand_ids, scores, unmatched
     return cand_ids, scores
 
