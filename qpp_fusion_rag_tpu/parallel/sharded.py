@@ -407,7 +407,10 @@ def sharded_ensemble_step(
     fusion tail is pipeline.ensemble.fuse_tail, replicated per corpus
     member on the merged [5, B_loc, k] runs — O(B·k) work, cheaper than
     a round-trip reshard.
-    -> (fused_ids [B, k_out], fused_scores [B, k_out], qpp [5, B, 13]).
+    -> (fused_ids [B, k_out], fused_scores [B, k_out], qpp [5, B, 13]);
+    sparse_mode="q8c" appends (certified [B] bool, slack [B] f32): the
+    AND over corpus shards AND both sparse views of the per-shard
+    rank-exactness certificates (one psum + one pmin on ICI).
     """
     from qpp_fusion_rag_tpu.pipeline.ensemble import resolve_doc_imp_bits
 
@@ -464,13 +467,28 @@ def _ensemble_program(mesh, n_docs, n_local, k, k_out, p_cap, qpp_index,
                                                   list(mlp_leaves))
         qpp_norm_stats = stats_args[0] if has_norm_stats else None
         base = sidx.doc_base[0]
-        bm25_s, bm25_i = to_global(*scorer(
+        bm25_out = scorer(
             sidx.bm25_packed[0], sidx.bm25_offsets[0], sidx.bm25_scales[0],
-            bt, bw, sidx.bm25_doc_packed[0], sidx.bm25_doc_scale[0]), base)
-        spl_s, spl_i = to_global(*scorer(
+            bt, bw, sidx.bm25_doc_packed[0], sidx.bm25_doc_scale[0])
+        spl_out = scorer(
             sidx.splade_packed[0], sidx.splade_offsets[0],
             sidx.splade_scales[0], st, sw,
-            sidx.splade_doc_packed[0], sidx.splade_doc_scale[0]), base)
+            sidx.splade_doc_packed[0], sidx.splade_doc_scale[0])
+        cert = slack = None
+        if sparse_mode == "q8c":
+            # per-shard certificates AND-merge over the corpus axis (the
+            # merged top-k is exact when every shard's local top-k is —
+            # sharded_certified_topk's soundness argument), then AND
+            # across the two sparse views
+            bs_l, bi_l, b_cert, b_slack = bm25_out
+            ss_l, si_l, s_cert, s_slack = spl_out
+            n_uncert = jax.lax.psum(
+                (~(b_cert & s_cert)).astype(jnp.int32), CORPUS_AXIS)
+            cert = n_uncert == 0
+            slack = jax.lax.pmin(jnp.minimum(b_slack, s_slack), CORPUS_AXIS)
+            bm25_out, spl_out = (bs_l, bi_l), (ss_l, si_l)
+        bm25_s, bm25_i = to_global(*bm25_out, base)
+        spl_s, spl_i = to_global(*spl_out, base)
 
         # dense view: production int8 kernel over the local column range
         # (optionally pool-rescored at row precision, same as single-chip)
@@ -514,6 +532,8 @@ def _ensemble_program(mesh, n_docs, n_local, k, k_out, p_cap, qpp_index,
             qpp = normalize_qpp_with(qpp_raw, qpp_norm_stats)
         fused_ids, fused_scores = fuse_tail(
             vals, ids, qpp, method, qpp_index, k_out, mlp_params)
+        if sparse_mode == "q8c":
+            return fused_ids, fused_scores, qpp, cert, slack
         return fused_ids, fused_scores, qpp
 
     shard_axis = P(CORPUS_AXIS)
@@ -531,6 +551,10 @@ def _ensemble_program(mesh, n_docs, n_local, k, k_out, p_cap, qpp_index,
     extra_specs = (tuple(P() for _ in range(n_mlp_leaves)),)
     if has_norm_stats:
         extra_specs = extra_specs + (P(),)
+    out_specs = (P(DATA_AXIS, None), P(DATA_AXIS, None),
+                 P(None, DATA_AXIS, None))
+    if sparse_mode == "q8c":
+        out_specs = out_specs + (P(DATA_AXIS), P(DATA_AXIS))
     return jax.jit(shard_map(
         local,
         mesh=mesh,
@@ -540,8 +564,7 @@ def _ensemble_program(mesh, n_docs, n_local, k, k_out, p_cap, qpp_index,
             P(DATA_AXIS, None), P(None, None, None), P(DATA_AXIS, None),
             idx_specs,
         ) + extra_specs,
-        out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None),
-                   P(None, DATA_AXIS, None)),
+        out_specs=out_specs,
         check_rep=False,
     ))
 
