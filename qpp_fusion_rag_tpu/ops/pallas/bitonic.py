@@ -34,29 +34,24 @@ LANES = 128
 ROW_TILE = 8  # query rows sorted per grid step
 
 
-def _bitonic_network(x, lane, subl, S, L, *, start_block=2):
+def _bitonic_network(x, lane, subl, S, L, *, start_block=2,
+                     stop_block=None):
     """The full compare-exchange network over [TB, S, L] int32 keys in
     flattened row order (shared by the plain-sort and the fused
     sort+segsum kernels — one copy, so a direction/roll/start_block fix
     can never apply to only one of them). See bitonic_sort_rows for the
-    start_block skip-rounds contract."""
+    start_block skip-rounds contract.
+
+    stop_block=K < M stops after outer stage K: every K-block is then
+    sorted, ascending for even block index / descending for odd — the
+    tournament top-P kernel's entry state."""
     TB = x.shape[0]
     M = S * L
     k = start_block
-    while k <= M:
+    while k <= (stop_block or M):
         j = k // 2
         while j >= 1:
-            if j < L:
-                bit_j = (lane & j) != 0
-                plus = pltpu.roll(x, shift=L - j, axis=2)   # [l] = x[l + j]
-                minus = pltpu.roll(x, shift=j, axis=2)      # [l] = x[l - j]
-                px = jnp.where(bit_j, minus, plus)
-            else:
-                js = j // L
-                bit_j = (subl & js) != 0
-                plus = pltpu.roll(x, shift=S - js, axis=1)
-                minus = pltpu.roll(x, shift=js, axis=1)
-                px = jnp.where(bit_j, minus, plus)
+            bit_j, px = _partner(x, lane, subl, S, L, j)
             if k < L:
                 bit_k = (lane & k) != 0
             elif k < M:
@@ -68,6 +63,22 @@ def _bitonic_network(x, lane, subl, S, L, *, start_block=2):
             j //= 2
         k *= 2
     return x
+
+
+def _partner(x, lane, subl, S, L, j):
+    """Stage-j partner values x[i XOR j] in flattened row order, plus the
+    bit_j mask — static-shift rotates only (the shared primitive of the
+    sort, segsum, and tournament kernels)."""
+    if j < L:
+        bit_j = (lane & j) != 0
+        plus = pltpu.roll(x, shift=L - j, axis=2)       # [l] = x[l + j]
+        minus = pltpu.roll(x, shift=j, axis=2)          # [l] = x[l - j]
+        return bit_j, jnp.where(bit_j, minus, plus)
+    js = j // L
+    bit_j = (subl & js) != 0
+    plus = pltpu.roll(x, shift=S - js, axis=1)
+    minus = pltpu.roll(x, shift=js, axis=1)
+    return bit_j, jnp.where(bit_j, minus, plus)
 
 
 def _bitonic_kernel(x_ref, o_ref, *, start_block=2):
@@ -111,6 +122,76 @@ def bitonic_sort_rows(x: jnp.ndarray, start_block: int = 2) -> jnp.ndarray:
         interpret=jax.default_backend() != "tpu",
     )(x3)
     return out.reshape(B, M)
+
+
+def _bitonic_topp_kernel(x_ref, o_ref, *, bs, start_block=2):
+    """Tournament top-`bs` selection: sort bs-blocks (alternating
+    asc/desc — the network's natural state after outer stage bs), then
+    repeatedly (a) keep the elementwise max of adjacent block pairs
+    (asc-vs-desc pairs: exactly the top-bs of their union, as a bitonic
+    sequence) and (b) bitonic-merge the surviving blocks back to the
+    alternating sorted state. Exact: any element of the row's true
+    top-bs is within the top-bs of every pair it meets, so it survives
+    every round. Work ~ M*(log2(bs)^2/2 + 2*log2(bs)) compare-exchanges
+    vs the full sort's M*log2(M)^2/2 — 1.4x (M=16k) to 1.6x (M=32k)
+    fewer at bs=1024. Output: the final bs-block sorted ASCENDING."""
+    TB, S, L = x_ref.shape
+    x = x_ref[:]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TB, S, L), 2)
+    subl = jax.lax.broadcasted_iota(jnp.int32, (TB, S, L), 1)
+    x = _bitonic_network(x, lane, subl, S, L, start_block=start_block,
+                         stop_block=bs)
+    sblk = bs // L                       # sublanes per block
+    while S > sblk:
+        nb2 = S // (2 * sblk)
+        xp = x.reshape(TB, nb2, 2, sblk, L)
+        x = jnp.maximum(xp[:, :, 0], xp[:, :, 1]).reshape(TB, S // 2, L)
+        S //= 2
+        lane = jax.lax.broadcasted_iota(jnp.int32, (TB, S, L), 2)
+        subl = jax.lax.broadcasted_iota(jnp.int32, (TB, S, L), 1)
+        # merge each bs-block; direction alternates by block parity
+        # ((i & bs) != 0 — identical to the full network's bit_k at
+        # k = bs), so the final round (one even block) sorts ascending
+        bit_k = (subl & sblk) != 0
+        j = bs // 2
+        while j >= 1:
+            bit_j, px = _partner(x, lane, subl, S, L, j)
+            take_min = bit_j == bit_k
+            x = jnp.where(take_min, jnp.minimum(x, px), jnp.maximum(x, px))
+            j //= 2
+    o_ref[:] = x
+
+
+@partial(jax.jit, static_argnames=("bs", "start_block"))
+def bitonic_topp_rows(x: jnp.ndarray, bs: int = 1024,
+                      start_block: int = 2) -> jnp.ndarray:
+    """EXACT top-`bs` values of each row of [B, M] int32, returned as a
+    [B, bs] block sorted ascending (callers slice their pool from the
+    tail; element [-pool-1] is the true (pool+1)-th value). M must be a
+    power of two >= 2*bs; bs a power of two >= 1024 (the pairing
+    compaction regroups whole 8-sublane tiles). start_block as in
+    bitonic_sort_rows."""
+    B, M = x.shape
+    if M & (M - 1) or M % (8 * LANES):
+        raise ValueError(f"M={M} must be a power of two >= 1024")
+    if bs & (bs - 1) or bs < 8 * LANES or bs * 2 > M:
+        raise ValueError(f"bs={bs} must be a power of two in "
+                         f"[{8 * LANES}, {M // 2}]")
+    if B % ROW_TILE:
+        raise ValueError(f"B={B} must be a multiple of {ROW_TILE}")
+    S = M // LANES
+    out = pl.pallas_call(
+        partial(_bitonic_topp_kernel, bs=bs, start_block=start_block),
+        out_shape=jax.ShapeDtypeStruct((B, bs // LANES, LANES), x.dtype),
+        grid=(B // ROW_TILE,),
+        in_specs=[pl.BlockSpec((ROW_TILE, S, LANES), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((ROW_TILE, bs // LANES, LANES),
+                               lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=jax.default_backend() != "tpu",
+    )(x.reshape(B, S, LANES))
+    return out.reshape(B, bs)
 
 
 def _shift_down_flat(x, d, lane, subl, S, L):

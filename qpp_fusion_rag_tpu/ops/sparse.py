@@ -918,20 +918,36 @@ def _bitonic_pool(sums, sids, pool, wmax_col):
     for every production shape.
     -> (cand_scores [B, pool] f32 desc, cand_ids [B, pool] (-1 pad),
         outside_max [B] f32: the true (pool+1)-th value, -inf if none)."""
-    from qpp_fusion_rag_tpu.ops.pallas.bitonic import bitonic_sort_rows
+    from qpp_fusion_rag_tpu.ops.pallas.bitonic import (
+        bitonic_sort_rows,
+        bitonic_topp_rows,
+    )
 
     B, M = sums.shape
     posi = jax.lax.broadcasted_iota(jnp.int32, (B, M), 1)
     key = jnp.where(sums >= 0, jnp.left_shift(sums, 16) | posi, -1)
-    skey = bitonic_sort_rows(key)                       # ascending
-    top = skey[:, M - pool:][:, ::-1]                   # descending pool
+    # tournament top-block selection when the pool is a small fraction
+    # of the row: exact top-bs (so the (pool+1)-th value stays the true
+    # outside maximum) at ~1.4-1.6x fewer compare-exchanges than the
+    # full sort (bitonic_topp_rows)
+    bs = 1024
+    while bs <= pool:
+        bs *= 2
+    if 2 * bs <= M:
+        blk = bitonic_topp_rows(key, bs=bs)             # [B, bs] ascending
+        top = blk[:, bs - pool:][:, ::-1]               # descending pool
+        nxt = blk[:, bs - pool - 1]
+    else:
+        skey = bitonic_sort_rows(key)                   # ascending
+        top = skey[:, M - pool:][:, ::-1]
+        nxt = (skey[:, M - pool - 1] if M > pool
+               else jnp.full((B,), -1, jnp.int32))
     cidx = jnp.where(top >= 0, top & jnp.int32(0xFFFF), 0)
     cv = jnp.where(top >= 0,
                    jnp.right_shift(top, 16).astype(jnp.float32) * wmax_col,
                    -jnp.inf)
     ci = jnp.where(top >= 0,
                    jnp.take_along_axis(sids, cidx, axis=-1), -1)
-    nxt = skey[:, M - pool - 1] if M > pool else jnp.full((B,), -1, jnp.int32)
     outside_max = jnp.where(
         nxt >= 0, jnp.right_shift(nxt, 16).astype(jnp.float32) * wmax_col[:, 0],
         -jnp.inf)
