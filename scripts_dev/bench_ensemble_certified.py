@@ -119,29 +119,41 @@ def main():
         results["configs"].append(row)
 
     # escalation ladder: narrow q8c -> wide q8c on the uncertified
-    # sub-batch (compacted to a 256 bucket) -> exhaustive leftovers
+    # sub-batch (compacted to a 256 bucket) -> exhaustive leftovers.
+    # Amortization only makes sense when a useful fraction certifies;
+    # on this calibrated synthetic the certificate (correctly) refuses
+    # nearly everything — tie-dense scores + window-truncated flat dfs
+    # (docs/quality_bench_scale.json records the boundary-gap medians) —
+    # while the REAL SciFact index certifies 298/300
+    # (docs/quality_real_scifact.json).
     narrow = results["configs"][0]
-    wide_bucket = 256
-    ms_wide_sub = timed(lambda: step("q8c", 2048, 512, b=wide_bucket),
-                        reps=5)
-    out_w = step("q8c", 2048, 512)
-    frac_wide = float(np.asarray(out_w[3]).mean())
-    n_uncert = int(round((1 - narrow["certified_frac"]) * B))
-    amort = (narrow["q8c_ms"]
-             + (ms_wide_sub if n_uncert > 0 else 0.0)
-             * max(1, int(np.ceil(n_uncert / wide_bucket))))
-    results["escalation"] = {
-        "wide_candidates": 2048, "wide_dense_pool": 512,
-        "wide_bucket": wide_bucket,
-        "wide_sub_ms": round(ms_wide_sub, 2),
-        "wide_certified_frac_full_batch": round(frac_wide, 4),
-        "narrow_uncertified_per_batch": n_uncert,
-        "amortized_ms": round(amort, 2),
-        "amortized_qps": round(B / amort * 1e3, 1),
-    }
-    print(f"[cert-ens] amortized (narrow + wide escalation): "
-          f"{amort:.1f} ms -> {B/amort*1e3:.0f} q/s "
-          f"(wide certifies {frac_wide:.3f})", flush=True)
+    if narrow["certified_frac"] >= 0.05:
+        wide_bucket = 256
+        ms_wide_sub = timed(lambda: step("q8c", 2048, 512, b=wide_bucket),
+                            reps=5)
+        n_uncert = int(round((1 - narrow["certified_frac"]) * B))
+        amort = (narrow["q8c_ms"]
+                 + (ms_wide_sub if n_uncert > 0 else 0.0)
+                 * max(1, int(np.ceil(n_uncert / wide_bucket))))
+        results["escalation"] = {
+            "wide_candidates": 2048, "wide_dense_pool": 512,
+            "wide_bucket": wide_bucket,
+            "wide_sub_ms": round(ms_wide_sub, 2),
+            "narrow_uncertified_per_batch": n_uncert,
+            "amortized_ms": round(amort, 2),
+            "amortized_qps": round(B / amort * 1e3, 1),
+        }
+        print(f"[cert-ens] amortized (narrow + wide escalation): "
+              f"{amort:.1f} ms -> {B/amort*1e3:.0f} q/s", flush=True)
+    else:
+        results["escalation"] = {
+            "degenerate": True,
+            "why": ("certified_frac ~ 0 on this workload: escalation "
+                    "would re-run everything; see note above and "
+                    "docs/quality_bench_scale.json"),
+        }
+        print("[cert-ens] escalation degenerate (certified_frac ~ 0)",
+              flush=True)
     OUT.write_text(json.dumps(results, indent=1))
     print("wrote", OUT)
 
