@@ -277,6 +277,11 @@ class SparseIndex(PackedEngineMixin):
             # PROVABLY rank-exact serving with the adaptive escalation
             # ladder; same (scores, rows) contract (info dropped —
             # call search_certified directly to inspect rounds)
+            if presorted:
+                raise ValueError(
+                    "engine='certified' runs its own plain-layout "
+                    "escalation ladder (p_cap grows per round, but the "
+                    "dual layout is built at ONE cap); drop presorted")
             s, i, _info = self.search_certified(
                 queries, k=k, p_cap=p_cap, candidates=candidates)
             return s, i

@@ -255,6 +255,11 @@ class ShardedEnsembleIndexes(NamedTuple):
     # *_doc_packed fields were built with; sharded_ensemble_step inherits
     # it and rejects a conflicting explicit doc_imp_bits
     doc_imp_bits: Optional[int] = None
+    # metadata: the dual doc-ordered layout's build cap when the sparse
+    # fields were packed with presorted_cap > 0 (None = plain CSR).
+    # Consumers validate against it — reading a dual layout as plain CSR
+    # double-counts every window with no error otherwise
+    presorted_cap: Optional[int] = None
 
 
 def shard_ensemble_indexes(
@@ -363,6 +368,7 @@ def shard_ensemble_indexes(
         d_scale=row_scale.reshape(1, -1),
         doc_base=jnp.asarray(doc_base),
         doc_imp_bits=doc_imp_bits,
+        presorted_cap=presorted_cap if presorted_cap > 0 else None,
     )
 
 
@@ -415,8 +421,9 @@ def sharded_ensemble_step(
     from qpp_fusion_rag_tpu.pipeline.ensemble import resolve_doc_imp_bits
 
     doc_imp_bits = resolve_doc_imp_bits(idx.doc_imp_bits, doc_imp_bits)
-    if idx.doc_imp_bits is not None:
-        idx = idx._replace(doc_imp_bits=None)
+    _check_layout(idx, sparse_presorted)
+    if idx.doc_imp_bits is not None or idx.presorted_cap is not None:
+        idx = idx._replace(doc_imp_bits=None, presorted_cap=None)
     if sparse_presorted:
         from qpp_fusion_rag_tpu.ops.sparse import validate_presorted_cap
 
@@ -569,6 +576,21 @@ def _ensemble_program(mesh, n_docs, n_local, k, k_out, p_cap, qpp_index,
     ))
 
 
+def _check_layout(idx: "ShardedEnsembleIndexes", presorted: bool) -> None:
+    """Refuse a posting-layout mismatch: a dual doc-ordered index read as
+    plain CSR double-counts every window (and vice versa reads doc-id
+    prefixes), with no runtime error."""
+    if idx.presorted_cap is not None and not presorted:
+        raise ValueError(
+            f"index was packed with presorted_cap={idx.presorted_cap}; "
+            "pass presorted/sparse_presorted=True (and p_cap == that cap)")
+    if presorted and idx.presorted_cap is None and idx.doc_imp_bits is not None:
+        # metadata present but no presorted cap recorded: definitely plain
+        raise ValueError(
+            "presorted=True but the index was packed as plain CSR "
+            "(shard_ensemble_indexes presorted_cap=0)")
+
+
 def sharded_certified_topk(
     idx: ShardedEnsembleIndexes,
     q_terms,                 # [B, Tq] int32 (-1 pad)   sharded over data
@@ -579,6 +601,7 @@ def sharded_certified_topk(
     p_cap: int = 1024,
     candidates: int = 1024,
     view: str = "bm25",
+    presorted: bool = False,
 ):
     """CERTIFIED rank-exact sparse top-k over a (data, corpus) mesh.
 
@@ -596,19 +619,30 @@ def sharded_certified_topk(
 
     -> (scores [B, k], GLOBAL ids [B, k], certified [B] bool,
         slack [B] f32).
+
+    presorted MUST match the layout the index was built with
+    (shard_ensemble_indexes presorted_cap): reading a dual doc-ordered
+    layout as plain CSR double-counts every window — the cap guard
+    below catches the mismatch before tracing.
     """
+    from qpp_fusion_rag_tpu.ops.sparse import validate_presorted_cap
     from qpp_fusion_rag_tpu.pipeline.ensemble import resolve_doc_imp_bits
 
+    _check_layout(idx, presorted)
+    if presorted:
+        off = idx.bm25_offsets if view == "bm25" else idx.splade_offsets
+        validate_presorted_cap(off, p_cap)
     imp_bits = resolve_doc_imp_bits(idx.doc_imp_bits, None)
-    if idx.doc_imp_bits is not None:
-        idx = idx._replace(doc_imp_bits=None)
+    if idx.doc_imp_bits is not None or idx.presorted_cap is not None:
+        idx = idx._replace(doc_imp_bits=None, presorted_cap=None)
     fn = _certified_program(mesh, n_docs, k, p_cap, candidates, imp_bits,
-                            view)
+                            view, presorted)
     return fn(q_terms, q_weights, idx)
 
 
 @lru_cache(maxsize=32)
-def _certified_program(mesh, n_docs, k, p_cap, candidates, imp_bits, view):
+def _certified_program(mesh, n_docs, k, p_cap, candidates, imp_bits, view,
+                       presorted):
     from qpp_fusion_rag_tpu.ops.sparse import sparse_score_topk_q8_certified
 
     def local(qt, qw, sidx):
@@ -622,7 +656,8 @@ def _certified_program(mesh, n_docs, k, p_cap, candidates, imp_bits, view):
             dp, ds = sidx.splade_doc_packed[0], sidx.splade_doc_scale[0]
         vals, ids, cert, slack = sparse_score_topk_q8_certified(
             packed, off, scales, dp, ds, qt, qw,
-            k=k, p_cap=p_cap, candidates=candidates, imp_bits=imp_bits)
+            k=k, p_cap=p_cap, candidates=candidates, imp_bits=imp_bits,
+            presorted=presorted)
         vals, gids = _to_global_merge(vals, ids, sidx.doc_base[0],
                                       n_docs, k)
         n_uncert = jax.lax.psum((~cert).astype(jnp.int32), CORPUS_AXIS)

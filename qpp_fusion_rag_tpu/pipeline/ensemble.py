@@ -137,6 +137,11 @@ def make_sparse_scorer(sparse_mode: str, sparse_candidates: int,
         # is exact by construction, src/retrievers/bm25.py:43-52 — this
         # mode PROVES the same guarantee per query at window-kernel cost)
         cand = sparse_candidates if sparse_candidates > 0 else 1024
+        if sort_ids:
+            raise ValueError(
+                "sparse_mode='q8c' does not support sort_ids (measured "
+                "no benefit on q8r — docs/KERNEL_NOTES.md — so the "
+                "certified kernel never grew the plumbing)")
 
         def scorer(packed, offsets, scales, terms, qw,
                    doc_packed=None, doc_scale=None, tail=None):

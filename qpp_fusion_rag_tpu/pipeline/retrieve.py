@@ -81,7 +81,9 @@ def main(argv=None) -> int:
                     eng = "q8r"
                 kw["engine"] = eng
                 kw["candidates"] = args.sparse_candidates
-                if presorted:
+                if presorted and eng != "certified":
+                    # the certified ladder re-windows per round;
+                    # it runs the plain layout by design
                     kw["presorted"] = True
             if args.p_cap:
                 kw["p_cap"] = args.p_cap

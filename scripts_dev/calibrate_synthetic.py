@@ -69,10 +69,12 @@ def main():
     print(f"[cal] fitted zipf_a={zipf_a:.3f} lognormal_sigma={sigma:.3f} "
           f"avg_doc_len={avg_len:.1f}")
 
-    # fitted synthetic at matched scale
+    # fitted synthetic at matched scale (ALL fitted params, including
+    # sigma — comparing against the default sigma would not validate
+    # the fit)
     so, sd, sw, slens = zipf_bm25_csr(
         n_docs, vocab_size=n_terms, avg_doc_len=avg_len,
-        zipf_a=zipf_a, seed=0)
+        zipf_a=zipf_a, lognormal_sigma=sigma, seed=0)
     syn_df = np.diff(so).astype(np.float64)
 
     report = {

@@ -79,7 +79,9 @@ def main():
             N, vocab_size=vocab, avg_doc_len=alen, seed=seed,
             max_postings=maxp, zipf_a=za,
             lognormal_sigma=CALIBRATED_LOGNORMAL_SIGMA)
-        ts, ti = exact_sparse_scores_host(o, dd, w, qt, qw, N, k=100)
+        # 101 deep: the k=100 boundary gap the certificate tests is
+        # scores[99] vs scores[100] (the 101st doc)
+        ts, ti = exact_sparse_scores_host(o, dd, w, qt, qw, N, k=101)
         print(f"[qbs] {name}: host truth in {time.time()-t0:.0f}s",
               flush=True)
         del o, dd, w
@@ -92,9 +94,9 @@ def main():
         qtj, qwj = jnp.asarray(qt), jnp.asarray(qw)
 
         view = {"boundary_gap_k100_median": float(np.median(
-                    (ts[:, 98] - ts[:, 99]) / np.maximum(ts[:, 0], 1e-9))),
+                    (ts[:, 99] - ts[:, 100]) / np.maximum(ts[:, 0], 1e-9))),
                 "boundary_gap_k10_median": float(np.median(
-                    (ts[:, 8] - ts[:, 9]) / np.maximum(ts[:, 0], 1e-9))),
+                    (ts[:, 9] - ts[:, 10]) / np.maximum(ts[:, 0], 1e-9))),
                 "configs": {}}
 
         _, gi = sparse_score_topk_q8(packed, offs, scales, qtj, qwj,

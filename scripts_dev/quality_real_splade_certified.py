@@ -51,11 +51,15 @@ def main():
     p /= p.sum()
     qt = rng.choice(cand_terms, size=(B, 12), p=p).astype(np.int32)
     qw = rng.uniform(0.3, 2.0, size=(B, 12)).astype(np.float32)
-    idx.query_encoder = lambda texts, mt: (qt[: len(texts)],
-                                           qw[: len(texts)])
+    # query text IS the row index: search_certified's exhaustive
+    # fallback re-encodes only the pending subset, so the encoder must
+    # map by identity, not prefix position
+    idx.query_encoder = lambda texts, mt: (
+        qt[[int(t) for t in texts]], qw[[int(t) for t in texts]])
 
-    s, ids, info = idx.search_certified(["q"] * B, k=K, p_cap=1024,
-                                        candidates=512, max_rounds=2)
+    s, ids, info = idx.search_certified([str(i) for i in range(B)], k=K,
+                                        p_cap=1024, candidates=512,
+                                        max_rounds=2)
     rounds = info["rounds"]
     hist = np.bincount(info["certified_round"] + 1, minlength=3).tolist()
 
