@@ -213,7 +213,7 @@ def _shift_up1_flat(x, lane, subl, S, L):
 
 
 def _bitonic_segsum_kernel(x_ref, sums_ref, sids_ref, *, start_block=2,
-                           plus_one=False):
+                           plus_one=False, max_run=None):
     """Sort + segmented run-sum fused: sort int32 keys (doc << 8 | q8),
     then an int32 segmented Hillis-Steele scan sums each doc run's low
     bytes entirely in VMEM. Outputs: sums (run total at each run's LAST
@@ -252,10 +252,14 @@ def _bitonic_segsum_kernel(x_ref, sums_ref, sids_ref, *, start_block=2,
     sid_next = _shift_up1_flat(sid, lane, subl, S, L)
     last = (sid != sid_next) | (flat == M - 1)
 
-    # segmented inclusive scan: v[i] = sum of its run through i
+    # segmented inclusive scan: v[i] = sum of its run through i. The
+    # scan only needs to span the LONGEST run — sparse callers pass
+    # max_run = Tq (a doc contributes at most one posting per query-term
+    # window, so no run exceeds the query-term count), cutting log2(M)
+    # ~ 14-15 doubling stages to ceil(log2(Tq)) ~ 3-4
     f = start
     d = 1
-    while d < M:
+    while d < (max_run or M):
         vs = _shift_down_flat(v, d, lane, subl, S, L)
         fs = _shift_down_flat(f, d, lane, subl, S, L)
         valid = flat >= d
@@ -267,9 +271,9 @@ def _bitonic_segsum_kernel(x_ref, sums_ref, sids_ref, *, start_block=2,
     sids_ref[:] = sid
 
 
-@partial(jax.jit, static_argnames=("start_block", "plus_one"))
+@partial(jax.jit, static_argnames=("start_block", "plus_one", "max_run"))
 def bitonic_segsum_rows(x: jnp.ndarray, start_block: int = 2,
-                        plus_one: bool = False):
+                        plus_one: bool = False, max_run: int = None):
     """Sort rows of packed (doc << 8 | q8) int32 keys AND sum each doc's
     q8 run in one VMEM-resident kernel.
     -> (sums [B, M] int32: run total at run-last positions, -1 elsewhere;
@@ -277,7 +281,9 @@ def bitonic_segsum_rows(x: jnp.ndarray, start_block: int = 2,
         the INT32_MIN sentinel appears as id 0x800000).
     plus_one=True accumulates (q8 + 1) per element (run total = q8sum +
     run length — the certified scorer's sound per-doc upper bound).
-    start_block: see bitonic_sort_rows (presorted alternating blocks)."""
+    start_block: see bitonic_sort_rows (presorted alternating blocks).
+    max_run: an upper bound on any doc run's length (sparse callers:
+    the query-term count) — the scan stops once its span covers it."""
     B, M = x.shape
     if M & (M - 1) or M % (8 * LANES):
         raise ValueError(f"M={M} must be a power of two >= 1024")
@@ -291,7 +297,7 @@ def bitonic_segsum_rows(x: jnp.ndarray, start_block: int = 2,
                         memory_space=pltpu.VMEM)
     sums, sids = pl.pallas_call(
         partial(_bitonic_segsum_kernel, start_block=start_block,
-                plus_one=plus_one),
+                plus_one=plus_one, max_run=max_run),
         out_shape=(jax.ShapeDtypeStruct((B, S, LANES), jnp.int32),
                    jax.ShapeDtypeStruct((B, S, LANES), jnp.int32)),
         grid=(B // ROW_TILE,),

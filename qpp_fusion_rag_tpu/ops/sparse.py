@@ -877,7 +877,8 @@ def _q8_row_sums(packed, offsets, term_scales, q_terms, q_weights,
                 and 2 * cap <= M):
             start_block = 2 * cap
         sums, sids = bitonic_segsum_rows(keys, start_block=start_block,
-                                         plus_one=plus_one)
+                                         plus_one=plus_one,
+                                         max_run=q_terms.shape[1])
         sums = jnp.where(sids >= jnp.int32(0x7FFFFF), -1, sums)
     else:
         if presorted:

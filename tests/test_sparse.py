@@ -515,6 +515,34 @@ def test_bitonic_sort_rows_small():
     np.testing.assert_array_equal(out, np.sort(x, axis=1))
 
 
+def test_bitonic_segsum_max_run_matches_full_span():
+    """bitonic_segsum_rows(max_run=Tq) == the full log2(M)-stage scan on
+    every real (non-sentinel) position: the scan's span only has to
+    cover the longest real run, and sentinel runs' sums are masked by
+    callers (sids >= 0x7FFFFF)."""
+    import jax.numpy as jnp
+
+    from qpp_fusion_rag_tpu.ops.pallas.bitonic import bitonic_segsum_rows
+
+    rng = np.random.default_rng(3)
+    B, M, Tq = 8, 2048, 16
+    docs = rng.integers(0, 5000, size=(B, M)).astype(np.int32)
+    assert all(np.max(np.unique(r, return_counts=True)[1]) <= Tq
+               for r in docs)
+    keys = (docs << 8) | rng.integers(0, 256, (B, M)).astype(np.int32)
+    keys[:, -200:] = 2**31 - 1   # ascending-pad sentinel run >> Tq long
+    keys[:, :5] = -(2**31)       # descending-window sentinel
+    for plus_one in (False, True):
+        s_full, i_full = bitonic_segsum_rows(jnp.asarray(keys),
+                                             plus_one=plus_one)
+        s_cap, i_cap = bitonic_segsum_rows(jnp.asarray(keys),
+                                           plus_one=plus_one, max_run=Tq)
+        np.testing.assert_array_equal(np.asarray(i_full), np.asarray(i_cap))
+        real = np.asarray(i_full) < 0x7FFFFF
+        np.testing.assert_array_equal(np.asarray(s_full)[real],
+                                      np.asarray(s_cap)[real])
+
+
 def test_search_q8_engine(index):
     """engine='q8' serves the same ranking as exact on the toy index."""
     s_ex, r_ex = index.search(["brown fox documents", "lazy dog"], k=6)
