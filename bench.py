@@ -59,27 +59,49 @@ def time_step(step, reps):
     return (time.perf_counter() - t0) / reps
 
 
-def bench_ensemble(on_tpu):
-    from qpp_fusion_rag_tpu.data.synthetic import zipf_bm25_csr, zipf_queries
-    from qpp_fusion_rag_tpu.ops.pallas.dense_topk import quantize_rows
-    from qpp_fusion_rag_tpu.ops.sparse import (
-        doc_vector_imp_bits,
-        pack_doc_vectors,
-        pack_postings,
-    )
-    from qpp_fusion_rag_tpu.pipeline.ensemble import (
-        EnsembleIndexes,
-        ensemble_retrieval_step,
-    )
+_HOST_NAMES = ("bo", "so", "bscale", "sscale", "bp", "bo2", "sp", "so2",
+               "bdp", "bds", "btail", "sdp", "sds", "stail")
 
-    n_docs, batch = (N_DOCS, BATCH) if on_tpu else (65_536, 64)
-    p_cap = P_CAP if on_tpu else 64
+
+def _host_build(n_docs, p_cap, on_tpu):
+    """Synthetic host-side build (CSR + packed layouts), disk-cached.
+
+    Fully deterministic in its parameters (fixed seeds), so the arrays
+    are cached under cache/benchdata keyed by the parameter hash — a
+    rerun loads in seconds instead of rebuilding for ~5-8 host-minutes
+    (host speed varies ~2.5x run to run on shared machines)."""
+    import hashlib
+    import os
 
     from qpp_fusion_rag_tpu.data.synthetic import (
         CALIBRATED_LOGNORMAL_SIGMA,
         CALIBRATED_ZIPF_A_BM25,
         CALIBRATED_ZIPF_A_SPLADE,
+        zipf_bm25_csr,
     )
+    from qpp_fusion_rag_tpu.ops.sparse import (
+        doc_vector_imp_bits,
+        pack_doc_vectors,
+        pack_postings_presorted,
+        term_scales_from_csr,
+    )
+
+    params = dict(
+        v=1, n_docs=n_docs, p_cap=p_cap, doc_cap=128,
+        zipf_a_bm25=float(CALIBRATED_ZIPF_A_BM25),
+        zipf_a_splade=float(CALIBRATED_ZIPF_A_SPLADE),
+        lognormal_sigma=float(CALIBRATED_LOGNORMAL_SIGMA),
+        max_post=(80_000_000, 60_000_000) if on_tpu
+        else (2_000_000, 1_500_000),
+    )
+    tag = hashlib.sha1(
+        json.dumps(params, sort_keys=True).encode()).hexdigest()[:16]
+    cdir = f"/root/repo/cache/benchdata/hostbuild_{tag}"
+    if os.path.exists(os.path.join(cdir, "ok")):
+        t0 = time.time()
+        h = {n: np.load(os.path.join(cdir, n + ".npy")) for n in _HOST_NAMES}
+        log(f"host arrays loaded from cache {time.time()-t0:.0f}s ({cdir})")
+        return h
 
     # df/weight/length SHAPES follow the fit against the reference's
     # real SciFact Terrier + SPLADE indexes (docs/synthetic_calibration
@@ -89,32 +111,16 @@ def bench_ensemble(on_tpu):
         n_docs, vocab_size=100_000, avg_doc_len=30.0, seed=0,
         zipf_a=CALIBRATED_ZIPF_A_BM25,
         lognormal_sigma=CALIBRATED_LOGNORMAL_SIGMA,
-        max_postings=80_000_000 if on_tpu else 2_000_000)
+        max_postings=params["max_post"][0])
     so, sd, sw, _ = zipf_bm25_csr(
         n_docs, vocab_size=30_000, avg_doc_len=40.0, seed=7,
         zipf_a=CALIBRATED_ZIPF_A_SPLADE,
         lognormal_sigma=CALIBRATED_LOGNORMAL_SIGMA,
-        max_postings=60_000_000 if on_tpu else 1_500_000)
+        max_postings=params["max_post"][1])
     log(f"sparse indexes built {time.time()-t0:.0f}s: "
         f"bm25 {len(bd)/1e6:.0f}M, splade {len(sd)/1e6:.0f}M postings")
 
-    key = jax.random.PRNGKey(0)
-    k1, k2, k3 = jax.random.split(key, 3)
-    corpus_f = jax.random.normal(k1, (DIM, n_docs), jnp.float32)
-    c_int, d_scale = jax.jit(lambda c: quantize_rows(c, axis=0))(corpus_f)
-    # bf16 row copy for the rank-safe config (dense pool rescore + bf16
-    # rerank rows); int8 rows serve the throughput config
-    rows_bf16 = jax.jit(lambda c: jnp.transpose(c).astype(jnp.bfloat16))(corpus_f)
-    del corpus_f
-    corpus_rows = jnp.transpose(c_int)
-    jax.block_until_ready(corpus_rows)
-
     t0 = time.time()
-    from qpp_fusion_rag_tpu.ops.sparse import (
-        pack_postings_presorted,
-        term_scales_from_csr,
-    )
-
     # dual doc-ordered layout (presorted q8/q8r/q8c: the Pallas bitonic
     # skips its first log2(p_cap) rounds) + doc vectors capped at one
     # (8, 128) int32 tile (halves the rank-safe rescore gather cost;
@@ -136,18 +142,68 @@ def bench_ensemble(on_tpu):
     log(f"packed postings + doc vectors built {time.time()-t0:.0f}s "
         f"(truncated: bm25 {(btail > 0).mean()*100:.2f}%, "
         f"splade {(stail > 0).mean()*100:.2f}%)")
+    h = dict(bo=bo, so=so, bscale=bscale, sscale=sscale,
+             bp=bp, bo2=bo2, sp=sp, so2=so2,
+             bdp=bdp, bds=bds, btail=btail,
+             sdp=sdp, sds=sds, stail=stail)
+    try:
+        t0 = time.time()
+        tmp = cdir + ".tmp"
+        os.makedirs(tmp, exist_ok=True)
+        for n in _HOST_NAMES:
+            np.save(os.path.join(tmp, n + ".npy"), h[n])
+        os.rename(tmp, cdir)
+        with open(os.path.join(cdir, "ok"), "w") as f:
+            f.write(json.dumps(params))
+        log(f"host arrays cached {time.time()-t0:.0f}s ({cdir})")
+    except OSError as e:        # disk-full etc: the cache is best-effort
+        log(f"host-array cache write failed (ignored): {e}")
+    return h
+
+
+def bench_ensemble(on_tpu):
+    from qpp_fusion_rag_tpu.data.synthetic import zipf_queries
+    from qpp_fusion_rag_tpu.ops.pallas.dense_topk import quantize_rows
+    from qpp_fusion_rag_tpu.ops.sparse import doc_vector_imp_bits
+    from qpp_fusion_rag_tpu.pipeline.ensemble import (
+        EnsembleIndexes,
+        ensemble_retrieval_step,
+    )
+
+    n_docs, batch = (N_DOCS, BATCH) if on_tpu else (65_536, 64)
+    p_cap = P_CAP if on_tpu else 64
+
+    h = _host_build(n_docs, p_cap, on_tpu)
+    bo, so = h["bo"], h["so"]
+    imp_bits = doc_vector_imp_bits(len(bo) - 1)
+
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    corpus_f = jax.random.normal(k1, (DIM, n_docs), jnp.float32)
+    c_int, d_scale = jax.jit(lambda c: quantize_rows(c, axis=0))(corpus_f)
+    # bf16 row copy for the rank-safe config (dense pool rescore + bf16
+    # rerank rows); int8 rows serve the throughput config
+    rows_bf16 = jax.jit(lambda c: jnp.transpose(c).astype(jnp.bfloat16))(corpus_f)
+    del corpus_f
+    corpus_rows = jnp.transpose(c_int)
+    jax.block_until_ready(corpus_rows)
+
     idx = EnsembleIndexes(
-        bm25_packed=jnp.asarray(bp), bm25_scales=jnp.asarray(bscale),
-        bm25_offsets=jnp.asarray(bo2.astype(np.int32)),
-        splade_packed=jnp.asarray(sp), splade_scales=jnp.asarray(sscale),
-        splade_offsets=jnp.asarray(so2.astype(np.int32)),
+        bm25_packed=jnp.asarray(h["bp"]), bm25_scales=jnp.asarray(h["bscale"]),
+        bm25_offsets=jnp.asarray(h["bo2"].astype(np.int32)),
+        splade_packed=jnp.asarray(h["sp"]),
+        splade_scales=jnp.asarray(h["sscale"]),
+        splade_offsets=jnp.asarray(h["so2"].astype(np.int32)),
         corpus_int=c_int, corpus_rows=corpus_rows,
         d_scale=d_scale.reshape(1, n_docs),
-        bm25_doc_packed=jnp.asarray(bdp), bm25_doc_scale=jnp.asarray(bds),
-        splade_doc_packed=jnp.asarray(sdp), splade_doc_scale=jnp.asarray(sds),
-        bm25_tail=jnp.asarray(btail), splade_tail=jnp.asarray(stail),
+        bm25_doc_packed=jnp.asarray(h["bdp"]),
+        bm25_doc_scale=jnp.asarray(h["bds"]),
+        splade_doc_packed=jnp.asarray(h["sdp"]),
+        splade_doc_scale=jnp.asarray(h["sds"]),
+        bm25_tail=jnp.asarray(h["btail"]),
+        splade_tail=jnp.asarray(h["stail"]),
     )
-    del bd, bw, sd, sw, bp, sp, bdp, sdp
+    del h
 
     bm25_t, bm25_w = zipf_queries(bo, batch, n_terms=8, seed=1)
     splade_t, splade_w = zipf_queries(so, batch, n_terms=16, seed=2)

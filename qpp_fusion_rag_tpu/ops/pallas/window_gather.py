@@ -7,7 +7,10 @@ effective (38.6 ms for 16×2048-wide windows × B=1024 from a 49M-posting
 array on v5e), pure per-slice overhead. This kernel instead issues ROWS
 async DMA copies per grid step and overlaps them — the TPU idiom for
 data-dependent contiguous gathers (scalar-prefetched offsets +
-`make_async_copy`, pallas_guide §PrefetchScalarGridSpec/§Async DMA).
+`make_async_copy`, pallas_guide §PrefetchScalarGridSpec/§Async DMA) —
+and double-buffers across grid steps: step i+1's ROWS copies are issued
+BEFORE step i's VMEM realign, so the rotate/select compute rides under
+the next step's DMA latency instead of serializing with it.
 
 Constraints shape the design:
 - int32 HBM DMA slices must start on the (8, 128) tile boundary
@@ -50,29 +53,43 @@ def pad_for_gather(flat: np.ndarray, cap: int) -> np.ndarray:
 
 def _gather_kernel(starts_ref, src_ref, out_ref, scratch, sems):
     i = pl.program_id(0)
+    n = pl.num_programs(0)
     c_rows = out_ref.shape[1]          # cap // LANES
-    f_rows = scratch.shape[1]          # (cap + ALIGN) // LANES
+    f_rows = scratch.shape[2]          # (cap + ALIGN) // LANES
 
-    def copy(j):
-        s = starts_ref[i * ROWS + j]
+    def copy(step, slot, j):
+        s = starts_ref[step * ROWS + j]
         row0 = pl.multiple_of((s // ALIGN) * (ALIGN // LANES), ALIGN // LANES)
         return pltpu.make_async_copy(
             src_ref.at[pl.ds(row0, f_rows)],
-            scratch.at[j],
-            sems.at[j],
+            scratch.at[slot, j],
+            sems.at[slot, j],
         )
 
+    # Double-buffered pipeline: step i's realign overlaps step i+1's DMAs
+    # (scratch/sems persist across grid steps; slot parity alternates).
+    slot = jax.lax.rem(i, 2)
+
+    @pl.when(i == 0)
+    def _prologue():
+        for j in range(ROWS):
+            copy(i, slot, j).start()
+
+    @pl.when(i + 1 < n)
+    def _prefetch_next():
+        nxt = jax.lax.rem(i + 1, 2)
+        for j in range(ROWS):
+            copy(i + 1, nxt, j).start()
+
     for j in range(ROWS):
-        copy(j).start()
-    for j in range(ROWS):
-        copy(j).wait()
+        copy(i, slot, j).wait()
     lane = jax.lax.broadcasted_iota(jnp.int32, (f_rows, LANES), 1)
     for j in range(ROWS):
         s = starts_ref[i * ROWS + j]
         off = s % ALIGN
         r = off // LANES
         c = off % LANES
-        x = scratch[j]                                   # [f_rows, 128]
+        x = scratch[slot, j]                             # [f_rows, 128]
         y = pltpu.roll(x, shift=(f_rows - r) % f_rows, axis=0)
         a = pltpu.roll(y, shift=(LANES - c) % LANES, axis=1)
         b = pltpu.roll(a, shift=f_rows - 1, axis=0)      # rows shifted by +1
@@ -111,8 +128,8 @@ def gather_windows_pallas(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((ROWS, fetch // LANES, LANES), src.dtype),
-            pltpu.SemaphoreType.DMA((ROWS,)),
+            pltpu.VMEM((2, ROWS, fetch // LANES, LANES), src.dtype),
+            pltpu.SemaphoreType.DMA((2, ROWS)),
         ],
     )
     out = pl.pallas_call(

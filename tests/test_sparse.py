@@ -435,6 +435,14 @@ def test_pallas_window_gather_interpret():
     out = gather_windows_pallas(src, jnp.asarray(starts), 1024)
     ref = np.stack([flat[s:s + 1024] for s in starts])
     np.testing.assert_array_equal(np.asarray(out), ref)
+    # >1 grid step exercises the double-buffered slot rotation (odd and
+    # even steps read different scratch slots; 3 steps cover both parities
+    # plus the no-prefetch epilogue)
+    starts3 = np.resize(
+        rng.permutation(np.arange(0, 5000, dtype=np.int32)), 96)
+    out3 = gather_windows_pallas(src, jnp.asarray(starts3), 1024)
+    ref3 = np.stack([flat[s:s + 1024] for s in starts3])
+    np.testing.assert_array_equal(np.asarray(out3), ref3)
     # cap must be ALIGN-aligned: 256 lowers to an 10-row tpu.dynamic_rotate
     # that Mosaic rejects on hardware — the validator must refuse it
     with _pytest.raises(ValueError, match="multiple of 1024"):
